@@ -1,0 +1,22 @@
+"""Session-scoped Ray fixture — Ray is initialised ONCE per pytest session.
+
+Kernel tests never touch Ray; stage/pipeline tests request ``ray_session``.
+"""
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    yield
+    ray.shutdown()

@@ -1,0 +1,100 @@
+"""Property-based cross-validation: automaton traversal ≡ brute-force DP scan.
+
+Mirrors the reference's load-bearing oracle
+(/root/reference/tests/proptest_automaton_distance_cross_validation.rs:1-80):
+for random dictionaries and queries, the automaton must produce exactly the
+terms within ``max_distance`` with exactly the DP distances — no false
+positives, no false negatives, identical distances — for all three algorithms.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from liblevenshtein_rust_ray.kernel import (
+    ALGORITHMS,
+    LevenshteinAutomaton,
+    build_trie,
+    distance_fn,
+    query,
+)
+
+words = st.text(alphabet="ab", min_size=0, max_size=8)
+wordsets = st.lists(st.text(alphabet="abc", min_size=0, max_size=10), min_size=1, max_size=30)
+unicode_words = st.text(alphabet="aé中", min_size=0, max_size=6)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    terms=wordsets,
+    q=words,
+    n=st.integers(min_value=0, max_value=3),
+    alg=st.sampled_from(ALGORITHMS),
+)
+def test_automaton_equals_dp_scan(terms, q, n, alg):
+    dp = distance_fn(alg)
+    expected = {}
+    for t in set(terms):
+        d = dp(q, t)
+        if d <= n:
+            expected[t] = d
+    got = {c.term: c.distance for c in query(build_trie(terms), q, n, alg)}
+    assert got == expected
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    terms=st.lists(unicode_words, min_size=1, max_size=15),
+    q=unicode_words,
+    n=st.integers(min_value=0, max_value=2),
+    alg=st.sampled_from(ALGORITHMS),
+)
+def test_automaton_equals_dp_scan_unicode(terms, q, n, alg):
+    dp = distance_fn(alg)
+    expected = {t: dp(q, t) for t in set(terms) if dp(q, t) <= n}
+    got = {c.term: c.distance for c in query(build_trie(terms), q, n, alg)}
+    assert got == expected
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    a=st.text(alphabet="abcd", max_size=10),
+    b=st.text(alphabet="abcd", max_size=10),
+    n=st.integers(min_value=0, max_value=3),
+    alg=st.sampled_from(ALGORITHMS),
+)
+def test_pair_acceptance_equals_dp(a, b, n, alg):
+    # LevenshteinAutomaton.accepts ≡ DP pair distance (the universal-automaton
+    # pair-scoring surface, reference universal/automaton.rs:242)
+    d = distance_fn(alg)(a, b)
+    acc = LevenshteinAutomaton(a, n, alg).accepts(b)
+    if d <= n:
+        assert acc == d
+    else:
+        assert acc is None
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    terms=wordsets,
+    q=words,
+    n=st.integers(min_value=0, max_value=2),
+)
+def test_prefix_mode_equals_prefix_dp_scan(terms, q, n):
+    # prefix-mode oracle: min over all prefixes p of t of dp(q, p)
+    dp = distance_fn("standard")
+    got = {c.term: c.distance for c in query(build_trie(terms), q, n, prefix_mode=True)}
+    for t in set(terms):
+        best = min(dp(q, t[:k]) for k in range(len(t) + 1))
+        if len(t) >= len(q):
+            # the autocomplete contract: candidates at least as long as the
+            # typed prefix match exactly the best prefix alignment
+            if best <= n:
+                assert got.get(t) == best
+            else:
+                assert t not in got
+        else:
+            # reference artifact: for terms SHORTER than the query, greedy
+            # match + subsumption-minimal states can prune completion paths,
+            # so a term may be missing; when present its distance is a valid
+            # (not necessarily optimal) prefix-alignment cost
+            if t in got:
+                assert best <= got[t] <= n

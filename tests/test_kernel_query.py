@@ -1,0 +1,179 @@
+"""Golden transducer vectors — ported from the reference's unit/integration
+tests (FIXTURES.md §3):
+
+* /root/reference/src/transducer/query.rs:242-293
+* /root/reference/tests/integration_tests.rs (high distance, query longer
+  than term, z/za boundary)
+* README.md prefix-mode and Unicode examples
+"""
+
+import pytest
+
+from liblevenshtein_rust_ray.kernel import (
+    STANDARD,
+    TRANSPOSITION,
+    MERGE_AND_SPLIT,
+    build_trie,
+    build_dawg,
+    query,
+    ordered_query,
+)
+
+
+def qset(dictionary, term, n, algorithm=STANDARD, **kw):
+    return {(c.term, c.distance) for c in query(dictionary, term, n, algorithm, **kw)}
+
+
+@pytest.mark.parametrize("build", [build_trie, build_dawg])
+def test_exact_match(build):
+    d = build(["test"])
+    assert qset(d, "test", 0) == {("test", 0)}
+
+
+@pytest.mark.parametrize("build", [build_trie, build_dawg])
+def test_query_with_distance(build):
+    # query.rs:259-282 — dict [test, best, rest, testing], query "test", d=1
+    d = build(["test", "best", "rest", "testing"])
+    assert qset(d, "test", 1) == {("test", 0), ("best", 1), ("rest", 1)}
+
+
+def test_candidate_distances():
+    d = build_trie(["test", "best"])
+    assert qset(d, "test", 1) == {("test", 0), ("best", 1)}
+
+
+def test_empty_query():
+    d = build_trie(["test"])
+    assert qset(d, "", 0) == set()
+    # empty query at d=4 reaches "test" via 4 insertions
+    assert qset(d, "", 4) == {("test", 4)}
+
+
+def test_empty_string_in_dict():
+    d = build_trie(["", "a"])
+    assert qset(d, "", 0) == {("", 0)}
+    assert qset(d, "", 1) == {("", 0), ("a", 1)}
+
+
+def test_high_distance_returns_all_terms():
+    # integration_tests.rs test_high_distance_returns_all_terms
+    terms = ["foo", "bar", "baz", "qux", "quo"]
+    d = build_trie(terms)
+    found = {t for t, _ in qset(d, "quuo", 99)}
+    assert found == set(terms)
+
+
+def test_query_longer_than_term():
+    # integration_tests.rs test_query_longer_than_term: "aahaara" vs "hr" = 5
+    d = build_trie(["hr"])
+    assert qset(d, "aahaara", 5) == {("hr", 5)}
+    assert qset(d, "aahaara", 4) == set()
+
+
+def test_z_za_boundary():
+    # query.rs:169-172 comment: dict [z, za], query "za" — 'z' node is final
+    # at distance 1 but children must still be explored
+    d = build_trie(["z", "za"])
+    assert qset(d, "za", 0) == {("za", 0)}
+    assert qset(d, "za", 1) == {("z", 1), ("za", 0)}
+
+
+def test_transposition_algorithm():
+    d = build_trie(["the", "there"])
+    assert qset(d, "teh", 1, TRANSPOSITION) == {("the", 1)}
+    # standard needs distance 2
+    assert qset(d, "teh", 1, STANDARD) == set()
+    assert qset(d, "teh", 2, STANDARD) == {("the", 2)}
+
+
+def test_transposition_ab_ba():
+    # position.rs:116-144 regression: query "ab", dict "ba" — the special
+    # position must survive subsumption for the transposition to complete
+    d = build_trie(["ba"])
+    assert qset(d, "ab", 1, TRANSPOSITION) == {("ba", 1)}
+
+
+def test_merge_split_algorithm():
+    d = build_trie(["rn", "m", "cl"])
+    # any single char splits into any two chars at cost 1 (and vice versa)
+    assert qset(d, "m", 1, MERGE_AND_SPLIT) == {("rn", 1), ("m", 0), ("cl", 1)}
+    assert qset(d, "rn", 1, MERGE_AND_SPLIT) == {("rn", 0), ("m", 1)}
+    assert qset(d, "d", 1, MERGE_AND_SPLIT) == {("cl", 1), ("m", 1), ("rn", 1)}
+
+
+def test_merge_split_everyone():
+    d = build_trie(["everyone"])
+    assert qset(d, "every one", 1, MERGE_AND_SPLIT) == {("everyone", 1)}
+
+
+def test_unicode_terms():
+    # README.md:200-213 Unicode set
+    d = build_trie(["café", "naïve", "中文", "🎉"])
+    assert qset(d, "cafe", 1) == {("café", 1)}
+    assert qset(d, "中国", 1) == {("中文", 1)}
+    assert qset(d, "🎉", 0) == {("🎉", 0)}
+
+
+def test_bytes_terms():
+    d = build_trie([b"test", b"best"])
+    assert qset(d, b"test", 1) == {(b"test", 0), (b"best", 1)}
+
+
+def test_prefix_mode():
+    # README.md:373-392 — autocomplete on identifiers
+    d = build_trie(["getValue", "getVariable", "setValue", "setVariable"])
+    got = qset(d, "getVal", 0, prefix_mode=True)
+    assert got == {("getValue", 0)}
+    got = qset(d, "getVal", 1, prefix_mode=True)
+    assert got == {("getValue", 0), ("getVariable", 1), ("setValue", 1)}
+
+
+def test_prefix_mode_basic():
+    d = build_trie(["test", "testing", "tester", "best"])
+    got = qset(d, "tes", 0, prefix_mode=True)
+    assert got == {("test", 0), ("testing", 0), ("tester", 0)}
+    got = qset(d, "tes", 1, prefix_mode=True)
+    assert got == {("test", 0), ("testing", 0), ("tester", 0), ("best", 1)}
+
+
+def test_substring_mode():
+    # substring semantics: unmatched query suffix is free
+    d = build_trie(["tes"])
+    assert qset(d, "testing", 0, substring_mode=True) == {("tes", 0)}
+
+
+def test_ordered_query_contract():
+    # distance asc, then lexicographic (transducer/mod.rs:390-427)
+    d = build_trie(["test", "best", "rest", "tests", "text"])
+    got = ordered_query(d, "test", 2)
+    assert got[0].term == "test" and got[0].distance == 0
+    dists = [c.distance for c in got]
+    assert dists == sorted(dists)
+    for a, b in zip(got, got[1:]):
+        if a.distance == b.distance:
+            assert a.term < b.term
+    assert ordered_query(d, "test", 2, limit=2) == got[:2]
+
+
+def test_dawg_minimality():
+    # shared suffixes collapse: DAWG of [tap, top] shares the 'p' tail
+    d = build_dawg(["tap", "top"])
+    assert len(d) == 2
+    assert "tap" in d and "top" in d and "tp" not in d
+    n_trie = 7  # root + t,a,p + o,p distinct in a trie (root,t,a,o,p,p)
+    assert d.node_count() < n_trie
+
+
+def test_dawg_requires_sorted():
+    from liblevenshtein_rust_ray.kernel.dawg import Dawg
+
+    with pytest.raises(ValueError):
+        Dawg(["b", "a"])
+
+
+def test_dawg_query_equals_trie_query():
+    terms = ["banana", "band", "bandana", "bans", "can", "candy"]
+    t, d = build_trie(terms), build_dawg(terms)
+    for q in ["band", "cand", "bananna", "xyz"]:
+        for alg in (STANDARD, TRANSPOSITION, MERGE_AND_SPLIT):
+            assert qset(t, q, 2, alg) == qset(d, q, 2, alg)
