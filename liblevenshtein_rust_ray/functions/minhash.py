@@ -1,0 +1,55 @@
+"""MinHash signatures + LSH banding for near-duplicate detection.
+
+Mergeable-sketch design (ray_guide.md "Aggregation at scale"): a signature is
+``num_perm`` 64-bit minima over the shingle set; the LSH step explodes each
+doc into ``(band_id, band_hash)`` keys and a groupby co-locates candidates.
+Deterministic: permutations are fixed odd multipliers derived from blake2b of
+the permutation index (universal hashing mod 2^61-1).
+"""
+
+import numpy as np
+
+from .simhash import hash64
+
+_PRIME = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    a = np.array([hash64(f"minhash-a-{i}") | 1 for i in range(num_perm)], dtype=np.uint64)
+    b = np.array([hash64(f"minhash-b-{i}") for i in range(num_perm)], dtype=np.uint64)
+    return a % _PRIME, b % _PRIME
+
+
+_PARAM_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def minhash_signature(features: list[str], num_perm: int = 64) -> np.ndarray:
+    """uint64[num_perm] signature; empty feature set -> all-max sentinel."""
+    params = _PARAM_CACHE.get(num_perm)
+    if params is None:
+        params = _PARAM_CACHE[num_perm] = _perm_params(num_perm)
+    a, b = params
+    if not features:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    hs = np.fromiter((hash64(f) for f in features), dtype=np.uint64, count=len(features))
+    hs = hs % _PRIME
+    with np.errstate(over="ignore"):
+        # (a*h + b) mod p per permutation; uint64 wraparound is fine for the
+        # multiply because we reduce mod the Mersenne prime afterwards via
+        # python ints — keep it simple & correct: use object-free loop in numpy
+        vals = (hs[None, :] * a[:, None] + b[:, None]) % _PRIME
+    return vals.min(axis=1).astype(np.uint64)
+
+
+def minhash_bands(sig: np.ndarray, n_bands: int = 16) -> list[int]:
+    """LSH: hash each row-band of the signature to one 64-bit bucket key."""
+    rows = len(sig) // n_bands
+    out = []
+    for i in range(n_bands):
+        band = sig[i * rows : (i + 1) * rows]
+        out.append(hash64(band.tobytes()))
+    return out
+
+
+def jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float((sig_a == sig_b).mean())

@@ -1,0 +1,156 @@
+"""Flagship pipeline: blocking + automaton pairwise scoring + transitive
+clustering over Common-Crawl-style pages (the north star).
+
+Dataflow (all lazy, streaming executor, Arrow batches)::
+
+    read_parquet(pages)                      columns pruned at the read
+      -> map_batches(extract_batch)          canonical text + title, html dropped
+      -> map_batches(blocking_keys_batch)    explode to (block_key, url, key_string)
+      -> groupby(block_key)                  shuffle #1 (the blocking shuffle)
+           .map_groups(BlockScorer)          per-block trie + automaton traversal
+      -> dedup edges                         shuffle #2 (same canonical pair from
+                                             several bands)
+      -> connected_components                shuffles #3..k (min-label rounds)
+      -> (url, cluster_id)
+
+Every stage can checkpoint per-partition parquet + manifest via
+``CheckpointManager`` and resumes by fingerprint.
+"""
+
+import pandas as pd
+
+from ..kernel import STANDARD
+from ..stages.blocking import blocking_keys_batch
+from ..stages.extract import extract_batch, EXTRACTOR_VERSION
+from ..stages.scorer import BlockScorer
+from ..stages.cluster import connected_components
+from ..state.checkpoint import CheckpointManager
+
+
+def read_pages(source):
+    """``source`` is a parquet path/dir or an existing Dataset/arrow table."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(source, str):
+        return rd.read_parquet(source)
+    if isinstance(source, pa.Table):
+        return rd.from_arrow(source)
+    return source
+
+
+def er_pairs(
+    source,
+    max_distance: int = 2,
+    algorithm: str = STANDARD,
+    scorer_concurrency=None,
+    emit_all_pairs: bool = False,
+    checkpoints: CheckpointManager | None = None,
+    fingerprint: str = "",
+):
+    """Pages -> canonical deduped candidate edges (url_a, url_b, distance)."""
+    ck = checkpoints or CheckpointManager("", enabled=False)
+    fp = f"{fingerprint}|x{EXTRACTOR_VERSION}|d{max_distance}|{algorithm}"
+
+    def compute():
+        ds = read_pages(source)
+        ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+        ds = ds.map_batches(blocking_keys_batch, batch_format="pyarrow")
+        kwargs = {}
+        if scorer_concurrency:
+            kwargs["concurrency"] = scorer_concurrency
+        scorer = BlockScorer(
+            max_distance=max_distance,
+            algorithm=algorithm,
+            emit_all_pairs=emit_all_pairs,
+        )
+
+        def score_block(group):
+            return scorer(group)
+
+        pairs = ds.groupby("block_key").map_groups(
+            score_block,
+            batch_format="pandas",
+            **kwargs,
+        )
+        # the same canonical pair arrives via several bands: exact dedup by
+        # (url_a, url_b), keep the smallest distance
+        return (
+            pairs.groupby(["url_a", "url_b"])
+            .map_groups(
+                lambda g: g.sort_values("distance").head(1), batch_format="pandas"
+            )
+        )
+
+    return ck.run_stage("pairs", fp, compute)
+
+
+def er_clusters(
+    source,
+    max_distance: int = 2,
+    algorithm: str = STANDARD,
+    checkpoints: CheckpointManager | None = None,
+    fingerprint: str = "",
+    **kwargs,
+):
+    """Pages -> (url, cluster_id): the transitive entity clusters."""
+    ck = checkpoints or CheckpointManager("", enabled=False)
+    pairs = er_pairs(
+        source,
+        max_distance=max_distance,
+        algorithm=algorithm,
+        checkpoints=checkpoints,
+        fingerprint=fingerprint,
+        **kwargs,
+    )
+    fp = f"{fingerprint}|x{EXTRACTOR_VERSION}|d{max_distance}|{algorithm}|cc"
+    return ck.run_stage("clusters", fp, lambda: connected_components(pairs))
+
+
+def er_pipeline(source, out_dir: str | None = None, output_partitions: int | None = None, **kwargs):
+    """Run the full pipeline; optionally write (url, cluster_id) parquet.
+
+    The clustering rounds leave many small blocks; coalesce to
+    ``output_partitions`` files (default: one per ~256k rows, min 1) so the
+    sink is a sane partitioned layout rather than a spray of tiny files."""
+    clusters = er_clusters(source, **kwargs)
+    if out_dir:
+        n = output_partitions or max(1, clusters.count() // 262_144)
+        clusters.repartition(n).write_parquet(out_dir)
+    return clusters
+
+
+# ----------------------------------------------------------------------
+def evaluate_f1(clusters, labeled_pairs) -> dict:
+    """Pairwise precision/recall/F1 of cluster co-membership against labeled
+    within-entity pairs (FIXTURES.md §2; target >= 0.99).
+
+    ``clusters``: Dataset/DataFrame (url, cluster_id);
+    ``labeled_pairs``: DataFrame (url_a, url_b).  Predicted pairs are
+    enumerated per cluster (clusters are small by construction — bounded
+    block cardinality upstream)."""
+    if hasattr(clusters, "to_pandas"):
+        clusters = clusters.to_pandas()
+    if hasattr(labeled_pairs, "to_pandas") and not isinstance(labeled_pairs, pd.DataFrame):
+        labeled_pairs = labeled_pairs.to_pandas()
+
+    pred = set()
+    for _cid, g in clusters.groupby("cluster_id"):
+        urls = sorted(g["url"])
+        for i in range(len(urls)):
+            for j in range(i + 1, len(urls)):
+                pred.add((urls[i], urls[j]))
+
+    truth = set(zip(labeled_pairs["url_a"], labeled_pairs["url_b"]))
+    tp = len(pred & truth)
+    precision = tp / len(pred) if pred else 1.0
+    recall = tp / len(truth) if truth else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "predicted_pairs": len(pred),
+        "true_pairs": len(truth),
+        "tp": tp,
+    }

@@ -1,0 +1,180 @@
+"""Deterministic Common-Crawl-style synthetic page corpus (FIXTURES.md §1-2).
+
+Schema matches BASELINE.json's input_hint exactly:
+``(url: string, warc_ts: timestamp[us], html: binary, text: string,
+lang: string)``.
+
+Entity structure: each entity has one canonical page plus 0-5 near-duplicate
+variants whose titles are perturbed by the seeded typo model
+(reference ``TypoGenerator::generate_typos`` semantics,
+/root/reference/src/corpus/generator.rs:35-212) at edit distance <= 2.
+Variants share the canonical page's host, so blocking keys co-locate them.
+
+Hosts are drawn Zipf-like from a fixed pool with a few mega-hosts to
+exercise skew salting.  Everything is derived from per-entity blake2b-seeded
+RNGs, so generation is deterministic, order-independent, and scale-nested
+(entity i is identical at every corpus size).
+"""
+
+import random
+
+import pyarrow as pa
+
+from ..functions.simhash import hash64
+from ..functions.typogen import TypoGenerator
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+PAIRS_SCHEMA = pa.schema(
+    [
+        ("url_a", pa.string()),
+        ("url_b", pa.string()),
+        ("entity_id", pa.int64()),
+    ]
+)
+
+_EPOCH_US = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z in microseconds
+
+
+def _vocab(seed: int = 42, size: int = 2000) -> list[str]:
+    rng = random.Random(seed)
+    out = set()
+    while len(out) < size:
+        n = rng.randint(4, 10)
+        out.add("".join(rng.choices("abcdefghijklmnopqrstuvwxyz", k=n)))
+    return sorted(out)
+
+
+_VOCAB = None
+
+
+def _get_vocab():
+    global _VOCAB
+    if _VOCAB is None:
+        _VOCAB = _vocab()
+    return _VOCAB
+
+
+def _hosts(n_entities: int) -> list[str]:
+    n_hosts = max(8, n_entities // 40)
+    return [f"site{h}.example.com" for h in range(n_hosts)]
+
+
+def _zipf_pick(rng: random.Random, n: int) -> int:
+    # weight 1/rank: a few mega-hosts absorb a large share (skew on purpose)
+    total = sum(1.0 / (r + 1) for r in range(n))
+    x = rng.random() * total
+    acc = 0.0
+    for r in range(n):
+        acc += 1.0 / (r + 1)
+        if x <= acc:
+            return r
+    return n - 1
+
+
+def generate_pages(n_entities: int, seed: int = 42):
+    """Return ``(pages: pa.Table, labeled_pairs: pa.Table)``.
+
+    ``labeled_pairs`` holds every within-entity pair (url_a < url_b) — the
+    ground truth for pairwise F1 (FIXTURES.md §2).
+    """
+    vocab = _get_vocab()
+    hosts = _hosts(n_entities)
+
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    pair_a, pair_b, pair_e = [], [], []
+    page_index = 0
+
+    for e in range(n_entities):
+        rng = random.Random(hash64(f"entity-{seed}-{e}"))
+        typo = TypoGenerator(seed=hash64(f"typo-{seed}-{e}") & 0x7FFFFFFF)
+
+        title_tokens = rng.sample(vocab, rng.randint(3, 5))
+        title = " ".join(title_tokens)
+        body_sentences = [
+            " ".join(rng.choices(vocab, k=rng.randint(8, 14))) + "."
+            for _ in range(rng.randint(3, 8))
+        ]
+        body = " ".join(body_sentences)
+        host = hosts[_zipf_pick(rng, len(hosts))]
+        n_variants = rng.randint(0, 5)
+
+        entity_urls = []
+        for v in range(n_variants + 1):
+            if v == 0:
+                vtitle = title
+            else:
+                vtitle = typo.generate_typos(title, rng.choice([1, 1, 2]))
+            url = f"https://{host}/e{e}/p{v}"
+            text = f"{vtitle}\n{body}"
+            html = (
+                f"<html><head><title>{vtitle}</title></head>"
+                f"<body><p>{body}</p></body></html>"
+            ).encode("utf-8")
+            # ~10% of rows ship html only (empty text) to exercise extraction
+            ship_text = rng.random() >= 0.10
+            lang = rng.choices(["en", "de", "fr", ""], weights=[90, 4, 4, 2])[0]
+
+            urls.append(url)
+            tss.append(_EPOCH_US + page_index * 1_000_000)
+            htmls.append(html)
+            texts.append(text if ship_text else "")
+            langs.append(lang)
+            entity_urls.append(url)
+            page_index += 1
+
+        entity_urls.sort()
+        for i in range(len(entity_urls)):
+            for j in range(i + 1, len(entity_urls)):
+                pair_a.append(entity_urls[i])
+                pair_b.append(entity_urls[j])
+                pair_e.append(e)
+
+    pages = pa.table(
+        {
+            "url": urls,
+            "warc_ts": pa.array(tss, type=pa.timestamp("us")),
+            "html": htmls,
+            "text": texts,
+            "lang": langs,
+        },
+        schema=PAGES_SCHEMA,
+    )
+    pairs = pa.table(
+        {"url_a": pair_a, "url_b": pair_b, "entity_id": pair_e}, schema=PAIRS_SCHEMA
+    )
+    return pages, pairs
+
+
+def generate_corpus(sf: float, seed: int = 42):
+    """Scale-factor entry: sf=0.001 → ~600 entities (~2k pages)."""
+    n_entities = max(20, int(sf * 600_000))
+    return generate_pages(n_entities, seed)
+
+
+def write_corpus(out_dir: str, sf: float, seed: int = 42, shards: int = 8):
+    """Write pages + labeled pairs as partitioned parquet under ``out_dir``
+    (one file per shard — the resumable layout)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    pages, pairs = generate_corpus(sf, seed)
+    os.makedirs(f"{out_dir}/pages", exist_ok=True)
+    os.makedirs(f"{out_dir}/labeled_pairs", exist_ok=True)
+    n = pages.num_rows
+    per = max(1, (n + shards - 1) // shards)
+    for s in range(shards):
+        chunk = pages.slice(s * per, per)
+        if chunk.num_rows:
+            pq.write_table(chunk, f"{out_dir}/pages/part-{s:05d}.parquet")
+    pq.write_table(pairs, f"{out_dir}/labeled_pairs/part-00000.parquet")
+    return f"{out_dir}/pages", f"{out_dir}/labeled_pairs"

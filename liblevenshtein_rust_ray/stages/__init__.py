@@ -1,0 +1,22 @@
+"""Ray Data pipeline stages.
+
+Stateless per-batch transforms are plain functions; stateful stages are
+callable classes run as actor pools (``map_batches(Cls, concurrency=N)``).
+All hot stages take ``batch_format="pyarrow"`` (zero-copy from the object
+store) unless the kernel genuinely needs pandas.
+"""
+
+from .extract import extract_batch, extract_text_from_html
+from .blocking import blocking_keys_batch, BLOCK_BANDS
+from .scorer import BlockScorer, score_block_pandas
+from .cluster import connected_components
+
+__all__ = [
+    "extract_batch",
+    "extract_text_from_html",
+    "blocking_keys_batch",
+    "BLOCK_BANDS",
+    "BlockScorer",
+    "score_block_pandas",
+    "connected_components",
+]

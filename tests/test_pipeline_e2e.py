@@ -1,0 +1,117 @@
+"""End-to-end entity resolution: synthetic page corpus -> clusters,
+pairwise F1 >= 0.99 (BASELINE.md targets); determinism; checkpoint resume."""
+
+import os
+
+import pytest
+
+from liblevenshtein_rust_ray.sources.pages import generate_pages, write_corpus
+from liblevenshtein_rust_ray.pipelines.entity_resolution import (
+    er_clusters,
+    er_pairs,
+    evaluate_f1,
+)
+from liblevenshtein_rust_ray.state.checkpoint import CheckpointManager
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pages, labeled = generate_pages(50, seed=42)
+    return pages, labeled
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_er_f1(corpus):
+    import ray.data as rd
+
+    pages, labeled = corpus
+    clusters = er_clusters(rd.from_arrow(pages)).to_pandas()
+    m = evaluate_f1(clusters, labeled.to_pandas())
+    assert m["precision"] >= 0.99, m
+    assert m["recall"] >= 0.99, m
+    assert m["f1"] >= 0.99, m
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_er_deterministic_across_runs(corpus):
+    import ray.data as rd
+
+    pages, _ = corpus
+    a = (
+        er_clusters(rd.from_arrow(pages))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    b = (
+        er_clusters(rd.from_arrow(pages).repartition(7))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkpoint_resume(tmp_path, corpus):
+    import ray.data as rd
+
+    pages, _ = corpus
+    run_dir = str(tmp_path / "run")
+
+    ck = CheckpointManager(run_dir)
+    first = er_clusters(rd.from_arrow(pages), checkpoints=ck, fingerprint="t1")
+    first_df = first.to_pandas().sort_values("url").reset_index(drop=True)
+
+    assert os.path.exists(os.path.join(run_dir, "pairs.manifest.json"))
+    assert os.path.exists(os.path.join(run_dir, "clusters.manifest.json"))
+
+    # resume: a fresh manager with the same fingerprint must reuse the
+    # checkpoints (byte-identical outputs, no recompute)
+    ck2 = CheckpointManager(run_dir)
+    assert ck2.is_complete("pairs", ck2.manifest("pairs")["input_fingerprint"])
+    second = er_clusters(rd.from_arrow(pages), checkpoints=ck2, fingerprint="t1")
+    second_df = second.to_pandas().sort_values("url").reset_index(drop=True)
+    assert first_df.equals(second_df)
+
+    # changed fingerprint (e.g. new extractor version) invalidates the stage
+    assert not ck2.is_complete("pairs", "different-fingerprint")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_er_pairs_distances_sound(corpus):
+    """Every emitted pair's distance equals the DP distance of the two
+    titles (spot-check of the automaton inside the distributed stage)."""
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.kernel import standard_distance
+    from liblevenshtein_rust_ray.stages.extract import _canonical_text, _title_of
+
+    pages, _ = corpus
+    titles = {
+        u: _title_of(_canonical_text(t, h))
+        for u, t, h in zip(
+            pages.column("url").to_pylist(),
+            pages.column("text").to_pylist(),
+            pages.column("html").to_pylist(),
+        )
+    }
+    pairs = er_pairs(rd.from_arrow(pages)).to_pandas()
+    assert len(pairs) > 0
+    for a, b, d in zip(pairs["url_a"], pairs["url_b"], pairs["distance"]):
+        assert a < b
+        assert standard_distance(titles[a], titles[b]) == d
+
+
+def test_write_corpus_layout(tmp_path):
+    pages_dir, pairs_dir = write_corpus(str(tmp_path), sf=0.0001, shards=4)
+    import pyarrow.parquet as pq
+    import glob
+
+    files = sorted(glob.glob(f"{pages_dir}/*.parquet"))
+    assert len(files) >= 2  # partitioned output, not one giant file
+    total = sum(pq.read_table(f).num_rows for f in files)
+    from liblevenshtein_rust_ray.sources.pages import generate_corpus
+
+    pages, _ = generate_corpus(0.0001, seed=42)
+    assert total == pages.num_rows

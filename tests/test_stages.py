@@ -1,0 +1,149 @@
+"""Stage kernels: extract, blocking, scorer (no Ray — pure batch kernels),
+plus Ray-level connected components."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from liblevenshtein_rust_ray.stages.extract import (
+    extract_batch,
+    extract_text_from_html,
+)
+from liblevenshtein_rust_ray.stages.blocking import blocking_keys_batch, keys_for_title
+from liblevenshtein_rust_ray.stages.scorer import BlockScorer
+from liblevenshtein_rust_ray.kernel import standard_distance
+
+
+def _pages_batch():
+    return pa.table(
+        {
+            "url": ["https://a.com/1", "https://a.com/2"],
+            "warc_ts": pa.array([0, 1], type=pa.timestamp("us")),
+            "html": [
+                b"<html><head><title>Hello World</title></head><body><p>Body text.</p></body></html>",
+                b"<html><head><title>T2</title></head><body>other</body></html>",
+            ],
+            "text": ["", "provided text\nbody here"],
+            "lang": ["en", "en"],
+        }
+    )
+
+
+def test_extract_html_fallback_and_passthrough():
+    out = extract_batch(_pages_batch())
+    assert out.column_names == ["url", "warc_ts", "lang", "text", "title"]
+    texts = out.column("text").to_pylist()
+    # row 0: extracted from html (deterministic), title first line
+    assert texts[0] == "Hello World\nBody text."
+    assert out.column("title").to_pylist()[0] == "hello world"
+    # row 1: provided text passes through byte-identically
+    assert texts[1] == "provided text\nbody here"
+    assert out.column("title").to_pylist()[1] == "provided text"
+
+
+def test_extract_deterministic():
+    h = b"<html><head><title> A  Title </title></head><body>x <b>y</b>\nz</body></html>"
+    assert extract_text_from_html(h) == extract_text_from_html(h)
+    assert extract_text_from_html(h) == "A Title\nx y z"
+
+
+def test_blocking_token_guarantee():
+    # <=2 char edits touch <=2 token regions -> a shared token always remains
+    a = "alpha beta gamma delta"
+    b = "alXha beta gamma deltaZ"  # 2 edits
+    ka = set(keys_for_title("h", a))
+    kb = set(keys_for_title("h", b))
+    assert ka & kb
+    # identical titles across hosts share the global exact key
+    k1 = set(keys_for_title("h1", a))
+    k2 = set(keys_for_title("h2", a))
+    assert any(k.startswith("x|") for k in k1 & k2)
+    assert keys_for_title("h", "") == []
+
+
+def test_blocking_batch_explodes():
+    batch = pa.table(
+        {"url": ["https://a.com/1"], "title": ["alpha beta gamma"]}
+    )
+    out = blocking_keys_batch(batch)
+    assert out.column_names == ["block_key", "url", "key_string"]
+    assert out.num_rows >= 4  # exact + 3 tokens
+    assert set(out.column("key_string").to_pylist()) == {"alpha beta gamma"}
+
+
+def _group(strings_urls):
+    return pd.DataFrame(
+        {
+            "block_key": ["k"] * len(strings_urls),
+            "url": [u for _s, u in strings_urls],
+            "key_string": [s for s, _u in strings_urls],
+        }
+    )
+
+
+def test_scorer_identical_strings_star():
+    g = _group([("t", f"u{i}") for i in range(5)])
+    out = BlockScorer()(g)
+    # star: 4 edges from min url, all distance 0
+    assert len(out) == 4
+    assert set(out["url_a"]) == {"u0"}
+    assert (out["distance"] == 0).all()
+
+
+def test_scorer_cross_string_representatives():
+    g = _group([("abcd", "u1"), ("abce", "u2"), ("zzzz", "u3")])
+    out = BlockScorer(max_distance=1)(g)
+    assert len(out) == 1
+    assert tuple(out.iloc[0][["url_a", "url_b"]]) == ("u1", "u2")
+    assert out.iloc[0]["distance"] == 1
+
+
+def test_scorer_all_pairs_parity_with_dp():
+    import itertools
+
+    strings = ["cat", "cap", "dog", "dig", "dot", "cart", "", "catt"]
+    rows = [(s, f"u{i}") for i, s in enumerate(strings)]
+    out = BlockScorer(max_distance=2, emit_all_pairs=True)(_group(rows))
+    got = {(a, b): d for a, b, d in zip(out["url_a"], out["url_b"], out["distance"])}
+    expected = {}
+    for (s1, u1), (s2, u2) in itertools.combinations(rows, 2):
+        d = standard_distance(s1, s2)
+        if d <= 2:
+            a, b = sorted([u1, u2])
+            expected[(a, b)] = d
+    assert got == expected
+
+
+def test_scorer_salting_preserves_near_pairs():
+    # force subdivision with a tiny cap; near-identical strings must still pair
+    rows = [(f"prefix-{i:04d}", f"u{i}") for i in range(100)]
+    rows.append(("prefix-0000x", "near_a"))
+    out = BlockScorer(max_distance=1, max_block_strings=10)(_group(rows))
+    pairs = set(zip(out["url_a"], out["url_b"]))
+    assert ("near_a", "u0") in pairs or ("u0", "near_a") in pairs
+
+
+def test_scorer_empty_and_single():
+    assert len(BlockScorer()(_group([("only", "u1")]))) == 0
+    out = BlockScorer()(_group([]))
+    assert list(out.columns) == ["url_a", "url_b", "distance"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components():
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.cluster import connected_components
+
+    pairs = rd.from_items(
+        [
+            {"url_a": "a", "url_b": "b", "distance": 1},
+            {"url_a": "b", "url_b": "c", "distance": 1},
+            {"url_a": "x", "url_b": "y", "distance": 0},
+        ]
+    )
+    out = connected_components(pairs).to_pandas()
+    lab = dict(zip(out["url"], out["cluster_id"]))
+    assert lab["a"] == lab["b"] == lab["c"] == "a"
+    assert lab["x"] == lab["y"] == "x"
+    assert len(out) == 5
