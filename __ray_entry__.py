@@ -1,44 +1,408 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship entity-resolution pipeline on a deterministic
+Common-Crawl-style corpus at sf=0.001.  ``queries()`` exposes one callable
+per implemented operator/pipeline (SURVEY.md §2 + training-data ops);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+query (tables region nation customer supplier part orders lineitem events
+documents embeddings are pre-registered views).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the DRIVER before importing this module — nothing here
+calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
+_CORPUS_CACHE = "/tmp/llrr_corpus"
 
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.001
+
+
+def _corpus_dir(sf: float) -> str:
+    """Deterministic synthetic page corpus for the given scale, cached as
+    partitioned parquet under /tmp (generated once per process/machine)."""
+    from liblevenshtein_rust_ray.sources.pages import write_corpus
+
+    out = os.path.join(_CORPUS_CACHE, f"sf{sf}")
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        write_corpus(out, sf)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def _pages_path(sf_dir: str) -> str:
+    return os.path.join(_corpus_dir(_sf_of(sf_dir)), "pages")
+
+
+# ======================================================================
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages -> blocking -> automaton scoring -> clusters."""
+    from liblevenshtein_rust_ray.pipelines.entity_resolution import er_clusters
+
+    return er_clusters(_pages_path("/root/testdata/sf0.001"))
 
 
+# ======================================================================
+# queries — each callable: sf_dir -> Dataset | DataFrame | pa.Table
+# ======================================================================
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from liblevenshtein_rust_ray.pipelines import relational as R
+    from liblevenshtein_rust_ray.pipelines import fuzzy as F
+    from liblevenshtein_rust_ray.pipelines.entity_resolution import er_clusters, er_pairs
+    from liblevenshtein_rust_ray.stages import dedup as D
+    from liblevenshtein_rust_ray.stages import textstats as T
+    from liblevenshtein_rust_ray.stages.similarity import ann_brute_topk
+    from liblevenshtein_rust_ray.stages.multimodal import multimodal_features
+    from liblevenshtein_rust_ray.functions.phonetic import phonetic_normalize
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    import numpy as np
+    import pyarrow as pa
+
+    def _rd(sf_dir, table, columns=None):
+        import ray.data as rd
+
+        return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+    # -------------------------- fuzzy operators -----------------------
+    def fuzzy_selfjoin_part(sf_dir):
+        return F.fuzzy_self_join(_rd(sf_dir, "part", ["p_name"]), "p_name", n=2)
+
+    def fuzzy_selfjoin_customer(sf_dir):
+        return F.fuzzy_self_join(_rd(sf_dir, "customer", ["c_name"]), "c_name", n=1)
+
+    def _vocab_ds(sf_dir):
+        import ray.data as rd
+        from liblevenshtein_rust_ray.functions.tokenize import tokenize
+
+        def toks(t: pa.Table) -> pa.Table:
+            out = sorted({tok for x in t.column("text").to_pylist() for tok in tokenize(x or "")})
+            return pa.table({"tok": pa.array(out, type=pa.string())})
+
+        return (
+            _rd(sf_dir, "documents", ["text"])
+            .map_batches(toks, batch_format="pyarrow")
+            .groupby("tok")
+            .map_groups(lambda g: g.head(1), batch_format="pandas")
+        )
+
+    def fuzzy_vocab_pairs(sf_dir):
+        return F.fuzzy_self_join(_vocab_ds(sf_dir), "tok", n=2)
+
+    def fuzzy_lookup_parts(sf_dir):
+        part = _rd(sf_dir, "part", ["p_partkey", "p_name"])
+        return F.fuzzy_lookup_agg(part, part, "p_name", "p_name", "p_partkey", n=1)
+
+    def fuzzy_join_vocab_partwords(sf_dir):
+        """Two-sided fuzzy join: document vocabulary x part-name words, d<=1."""
+        from liblevenshtein_rust_ray.functions.tokenize import tokenize
+
+        def words(t: pa.Table) -> pa.Table:
+            out = sorted({w for x in t.column("p_name").to_pylist() for w in tokenize(x or "")})
+            return pa.table({"w": pa.array(out, type=pa.string())})
+
+        right = _rd(sf_dir, "part", ["p_name"]).map_batches(words, batch_format="pyarrow")
+        return F.fuzzy_join(_vocab_ds(sf_dir), right, "tok", "w", n=1)
+
+    def prefix_search_tokens(sf_dir):
+        """Prefix-mode automaton (autocomplete): every 3-char token prefix ->
+        all vocabulary tokens starting with it (distance 0 prefix match)."""
+        from liblevenshtein_rust_ray.kernel import build_trie
+        from liblevenshtein_rust_ray.kernel.query import query as kq
+
+        def expand(t: pa.Table) -> pa.Table:
+            toks = sorted(set(t.column("tok").to_pylist()))
+            trie = build_trie(toks)
+            prefixes = sorted({x[:3] for x in toks if len(x) >= 3})
+            out_p, out_t = [], []
+            for p in prefixes:
+                for cand in kq(trie, p, 0, prefix_mode=True):
+                    out_p.append(p)
+                    out_t.append(cand.term)
+            return pa.table({"prefix": pa.array(out_p, type=pa.string()),
+                             "term": pa.array(out_t, type=pa.string())})
+
+        # vocabulary-scale op: the trie must span the whole (small) vocab —
+        # coalesce to one block first
+        return _vocab_ds(sf_dir).repartition(1).map_batches(
+            expand, batch_format="pyarrow", batch_size=None
+        )
+
+    # -------------------------- dedup family --------------------------
+    def exact_dedup_part(sf_dir):
+        return D.exact_dedup(_rd(sf_dir, "part"), "p_name", "p_partkey")
+
+    def minhash_neardup_docs(sf_dir):
+        return D.minhash_lsh_pairs(
+            _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", threshold=0.5
+        )
+
+    def simhash_pairs_docs(sf_dir):
+        return D.simhash_pairs(
+            _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", max_hamming=6
+        )
+
+    def ngram_jaccard_docs(sf_dir):
+        return D.ngram_jaccard_pairs(
+            _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", threshold=0.5
+        )
+
+    # -------------------------- text analysis -------------------------
+    def token_stats(sf_dir):
+        return _rd(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            T.token_stats_batch, batch_format="pyarrow"
+        )
+
+    def quality_docs(sf_dir):
+        return _rd(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            T.quality_batch, batch_format="pyarrow"
+        )
+
+    def langid_docs(sf_dir):
+        return _rd(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+            T.langid_batch, batch_format="pyarrow"
+        )
+
+    def doc_fingerprints(sf_dir):
+        return _rd(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            T.fingerprint_batch, batch_format="pyarrow"
+        )
+
+    def phonetic_part(sf_dir):
+        def norm(t: pa.Table) -> pa.Table:
+            names = t.column("p_name").to_pylist()
+            return pa.table(
+                {
+                    "p_partkey": t.column("p_partkey"),
+                    "p_name": t.column("p_name"),
+                    "phonetic": pa.array(
+                        [" ".join(phonetic_normalize(w) for w in (x or "").split()) for x in names],
+                        type=pa.string(),
+                    ),
+                }
+            )
+
+        return _rd(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+            norm, batch_format="pyarrow"
+        )
+
+    def word_freq(sf_dir):
+        return R.word_freq(sf_dir)
+
+    def lang_counts(sf_dir):
+        import pandas as pd
+
+        def partial(df):
+            return df.groupby("lang", as_index=False).agg(n=("lang", "size"))
+
+        def final(g):
+            return pd.DataFrame([{"lang": g["lang"].iloc[0], "n": int(g["n"].sum())}])
+
+        return (
+            _rd(sf_dir, "documents", ["lang"])
+            .map_batches(partial, batch_format="pandas")
+            .groupby("lang")
+            .map_groups(final, batch_format="pandas")
+        )
+
+    # -------------------------- similarity search ---------------------
+    def _load_queries(sf_dir, k=5):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        df = t.to_pandas()
+        df = df[df["vec_id"] < k].sort_values("vec_id")
+        return {
+            "ids": df["vec_id"].to_numpy(dtype=np.int64),
+            "matrix": np.array(df["embedding"].tolist(), dtype=np.float64),
+        }
+
+    def ann_cosine_topk(sf_dir):
+        ds = _rd(sf_dir, "embeddings", ["vec_id", "embedding"])
+        out = ann_brute_topk(ds, _load_queries(sf_dir), k=5)
+        return out.select_columns(["query_id", "match_id", "rank"])
+
+    # -------------------------- relational ----------------------------
+    def q1(sf_dir):
+        return R.q1_lineitem(sf_dir)
+
+    def revenue_by_segment(sf_dir):
+        return R.revenue_by_segment(sf_dir)
+
+    def events_hourly(sf_dir):
+        return R.events_hourly(sf_dir)
+
+    def top_docs_by_tokens(sf_dir):
+        return R.top_docs_by_tokens(sf_dir)
+
+    # -------------------------- flagship ER (rows-only) ---------------
+    def er_clusters_q(sf_dir):
+        return er_clusters(_pages_path(sf_dir))
+
+    def er_pairs_q(sf_dir):
+        return er_pairs(_pages_path(sf_dir))
+
+    def multimodal_stub(sf_dir):
+        import ray.data as rd
+
+        pages = rd.read_parquet(_pages_path(sf_dir), columns=["url", "html"])
+        return multimodal_features(
+            pages.map_batches(
+                lambda t: pa.table({"url": t.column("url"), "payload": t.column("html")}),
+                batch_format="pyarrow",
+            )
+        )
+
+    return {
+        "fuzzy_selfjoin_part": fuzzy_selfjoin_part,
+        "fuzzy_selfjoin_customer": fuzzy_selfjoin_customer,
+        "fuzzy_vocab_pairs": fuzzy_vocab_pairs,
+        "fuzzy_lookup_parts": fuzzy_lookup_parts,
+        "fuzzy_join_vocab_partwords": fuzzy_join_vocab_partwords,
+        "prefix_search_tokens": prefix_search_tokens,
+        "exact_dedup_part": exact_dedup_part,
+        "minhash_neardup_docs": minhash_neardup_docs,
+        "simhash_pairs_docs": simhash_pairs_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "token_stats": token_stats,
+        "quality_docs": quality_docs,
+        "langid_docs": langid_docs,
+        "doc_fingerprints": doc_fingerprints,
+        "phonetic_part": phonetic_part,
+        "word_freq": word_freq,
+        "lang_counts": lang_counts,
+        "ann_cosine_topk": ann_cosine_topk,
+        "q1": q1,
+        "revenue_by_segment": revenue_by_segment,
+        "events_hourly": events_hourly,
+        "top_docs_by_tokens": top_docs_by_tokens,
+        "er_clusters": er_clusters_q,
+        "er_pairs": er_pairs_q,
+        "multimodal_stub": multimodal_stub,
+    }
 
 
+# ======================================================================
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    vocab = (
+        "SELECT DISTINCT t.tok FROM documents, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)"
+    )
+    return {
+        "fuzzy_selfjoin_part": """
+            WITH d AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS val_a, b.p_name AS val_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+            FROM d a JOIN d b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        "fuzzy_selfjoin_customer": """
+            WITH d AS (SELECT DISTINCT c_name FROM customer)
+            SELECT a.c_name AS val_a, b.c_name AS val_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+            FROM d a JOIN d b ON a.c_name < b.c_name
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "fuzzy_vocab_pairs": f"""
+            WITH v AS ({vocab})
+            SELECT a.tok AS val_a, b.tok AS val_b,
+                   CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS distance
+            FROM v a JOIN v b ON a.tok < b.tok
+            WHERE levenshtein(a.tok, b.tok) <= 2
+        """,
+        "fuzzy_lookup_parts": """
+            WITH d AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS query,
+                   string_agg(DISTINCT CAST(b.p_partkey AS VARCHAR), ','
+                              ORDER BY CAST(b.p_partkey AS VARCHAR)) AS values,
+                   CAST(count(DISTINCT b.p_name) AS BIGINT) AS n_matches,
+                   CAST(min(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_distance
+            FROM d a JOIN part b ON levenshtein(a.p_name, b.p_name) <= 1
+            GROUP BY a.p_name
+        """,
+        "fuzzy_join_vocab_partwords": f"""
+            WITH v AS ({vocab}),
+                 w AS (SELECT DISTINCT t.tok AS w FROM part,
+                       unnest(regexp_extract_all(lower(p_name), '[a-z0-9]+')) AS t(tok))
+            SELECT v.tok AS left_val, w.w AS right_val,
+                   CAST(levenshtein(v.tok, w.w) AS BIGINT) AS distance
+            FROM v JOIN w ON levenshtein(v.tok, w.w) <= 1
+        """,
+        "prefix_search_tokens": f"""
+            WITH v AS ({vocab}),
+                 p AS (SELECT DISTINCT substr(tok, 1, 3) AS pre FROM v WHERE length(tok) >= 3)
+            SELECT p.pre AS prefix, v.tok AS term
+            FROM p JOIN v ON v.tok LIKE p.pre || '%'
+        """,
+        "exact_dedup_part": """
+            SELECT p.* FROM part p
+            JOIN (SELECT p_name, min(p_partkey) AS mk FROM part GROUP BY p_name) m
+              ON p.p_partkey = m.mk
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_distinct_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "word_freq": """
+            SELECT t.tok AS token, CAST(count(*) AS BIGINT) AS freq
+            FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
+            GROUP BY t.tok HAVING count(*) >= 2
+        """,
+        "lang_counts": "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang",
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+                 s AS (SELECT q.vec_id AS query_id, e.vec_id AS match_id,
+                              list_cosine_similarity(q.embedding, e.embedding) AS sim
+                       FROM q CROSS JOIN embeddings e)
+            SELECT query_id, match_id,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id) AS BIGINT) AS rank
+            FROM s
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id) <= 5
+        """,
+        "q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+                   round(sum(l_discount) / count(*), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_segment": """
+            SELECT c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS total_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "top_docs_by_tokens": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+            FROM documents
+            ORDER BY n_tokens DESC, doc_id
+            LIMIT 10
+        """,
+    }

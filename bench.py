@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: the flagship ER pipeline (pages -> blocking -> automaton scoring ->
+clusters) on the deterministic synthetic corpus matched to $GRAFT_SF_DIR's
+scale, plus representative operator pipelines over the $GRAFT_SF_DIR tables.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "pages": N, "pages_per_sec": ..., "candidate_pairs": N}
+
+``--scaling`` runs the headline pipeline in two fresh processes
+(num_cpus=8 and num_cpus=32) on the same input and reports both throughputs
+plus scaling efficiency (the N -> 4N cluster-size proxy for this sandbox).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf() -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as em
+
+    from liblevenshtein_rust_ray.pipelines.entity_resolution import er_pairs, er_clusters
+
+    sf = _sf()
+    pages_path = em._pages_path(SF_DIR)  # generates/caches the corpus
+
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    warm = rd.read_parquet(pages_path).count()
+
+    timings: dict[str, float] = {}
+
+    # headline: full ER pipeline (count() consumes the stream)
+    t0 = time.perf_counter()
+    pairs = er_pairs(pages_path).materialize()
+    n_pairs = pairs.count()
+    t_pairs = time.perf_counter() - t0
+    timings["er_pairs"] = round(t_pairs, 3)
+
+    t0 = time.perf_counter()
+    from liblevenshtein_rust_ray.stages.cluster import connected_components
+
+    n_clustered = connected_components(pairs).count()
+    timings["er_cluster"] = round(time.perf_counter() - t0, 3)
+    headline = timings["er_pairs"] + timings["er_cluster"]
+
+    # operator pipelines over the provided tables
+    qs = em.queries()
+    for name in ["q1", "word_freq", "fuzzy_selfjoin_part", "ann_cosine_topk",
+                 "minhash_neardup_docs", "token_stats"]:
+        t0 = time.perf_counter()
+        out = qs[name](SF_DIR)
+        if hasattr(out, "count"):
+            out.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "er_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "pages": warm,
+        "pages_per_sec": round(warm / headline, 1) if headline else None,
+        "candidate_pairs": n_pairs,
+        "clustered_urls": n_clustered,
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    thr_lo = lo["pages"] / lo["value"]
+    thr_hi = hi["pages"] / hi["value"]
+    eff = (thr_hi / thr_lo) / (32 / 8)
+    print(json.dumps({
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "pages_per_sec_8": round(thr_lo, 1),
+        "pages_per_sec_32": round(thr_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

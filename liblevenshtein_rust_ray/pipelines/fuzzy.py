@@ -1,0 +1,195 @@
+"""Generic fuzzy-matching pipelines over arbitrary string columns.
+
+* ``fuzzy_self_join``  — all DISTINCT-value pairs within edit distance n.
+  Complete (no recall loss): blocking is by length bucket with an edge rule
+  that guarantees any pair with |len_a - len_b| <= n co-blocks, and the
+  per-block automaton is exact.  This is the engine's distance-join operator;
+  the DuckDB oracle is a cross join with ``levenshtein()``.
+* ``fuzzy_join``       — two-sided: for each left value, all right values
+  within n (per-block trie of the right side, automaton per left value) —
+  the reference's ``Transducer::query`` lifted to a join
+  (/root/reference/src/transducer/mod.rs:360-388).
+* ``fuzzy_lookup_agg`` — FuzzyMultiMap semantics: fuzzy lookup then
+  aggregate the union of matched payloads per query
+  (/root/reference/src/cache/multimap.rs:210-340).
+"""
+
+import pandas as pd
+import pyarrow as pa
+
+from ..kernel import STANDARD, build_trie
+from ..kernel.query import query as kernel_query
+
+_LEN_BUCKET = 16
+
+
+def _len_keys(s: str, n: int) -> list[int]:
+    """Complete co-blocking for pairs with length difference <= n:
+    emit len//W, plus (len//W - 1) when len % W < n (see proof in
+    stages/blocking.py — the longer string reaches down into the shorter's
+    bucket)."""
+    b = len(s) // _LEN_BUCKET
+    out = [b]
+    if len(s) % _LEN_BUCKET < n and b > 0:
+        out.append(b - 1)
+    return out
+
+
+def _distinct(ds, col: str):
+    return (
+        ds.select_columns([col])
+        .groupby(col)
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD):
+    """Dataset[(val_a, val_b, distance)] over distinct values of ``col``,
+    val_a < val_b, distance <= n."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_pylist()
+        out_b, out_v = [], []
+        for v in vals:
+            if v is None:
+                continue
+            for b in _len_keys(v, n):
+                out_b.append(b)
+                out_v.append(v)
+        return pa.table({"bucket": pa.array(out_b, type=pa.int32()),
+                         "val": pa.array(out_v, type=pa.string())})
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(set(g["val"]))
+        a_out, b_out, d_out = [], [], []
+        if len(vals) > 1:
+            trie = build_trie(vals)
+            for q in vals:
+                for cand in kernel_query(trie, q, n, algorithm):
+                    if cand.term > q:
+                        a_out.append(q)
+                        b_out.append(cand.term)
+                        d_out.append(cand.distance)
+        return pd.DataFrame(
+            {"val_a": pd.Series(a_out, dtype="object"),
+             "val_b": pd.Series(b_out, dtype="object"),
+             "distance": pd.Series(d_out, dtype="int64")}
+        )
+
+    pairs = (
+        _distinct(ds, col)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(score, batch_format="pandas")
+    )
+    # a pair can appear in two buckets (edge rule) — exact dedup
+    return pairs.groupby(["val_a", "val_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def fuzzy_join(left, right, left_col: str, right_col: str, n: int = 2,
+               algorithm: str = STANDARD):
+    """Dataset[(left_val, right_val, distance)]: distinct left values matched
+    against distinct right values within edit distance n."""
+
+    def explode(side: str, col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            vals = t.column(col).to_pylist()
+            out_b, out_v, out_s = [], [], []
+            for v in vals:
+                if v is None:
+                    continue
+                for b in _len_keys(v, n):
+                    out_b.append(b)
+                    out_v.append(v)
+                    out_s.append(side)
+            return pa.table({"bucket": pa.array(out_b, type=pa.int32()),
+                             "val": pa.array(out_v, type=pa.string()),
+                             "side": pa.array(out_s, type=pa.string())})
+        return fn
+
+    tagged = _distinct(left, left_col).map_batches(
+        explode("l", left_col), batch_format="pyarrow"
+    ).union(
+        _distinct(right, right_col).map_batches(
+            explode("r", right_col), batch_format="pyarrow"
+        )
+    )
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        lvals = sorted(set(g.loc[g["side"] == "l", "val"]))
+        rvals = sorted(set(g.loc[g["side"] == "r", "val"]))
+        a_out, b_out, d_out = [], [], []
+        if lvals and rvals:
+            trie = build_trie(rvals)
+            for q in lvals:
+                for cand in kernel_query(trie, q, n, algorithm):
+                    a_out.append(q)
+                    b_out.append(cand.term)
+                    d_out.append(cand.distance)
+        return pd.DataFrame(
+            {"left_val": pd.Series(a_out, dtype="object"),
+             "right_val": pd.Series(b_out, dtype="object"),
+             "distance": pd.Series(d_out, dtype="int64")}
+        )
+
+    pairs = tagged.groupby("bucket").map_groups(score, batch_format="pandas")
+    return pairs.groupby(["left_val", "right_val"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def fuzzy_lookup_agg(queries, dictionary, query_col: str, term_col: str,
+                     value_col: str, n: int = 1, algorithm: str = STANDARD):
+    """FuzzyMultiMap: per query, the sorted-distinct union of payload values
+    of ALL dictionary terms within distance n, comma-joined (plus match
+    count and min distance) — mirrors union-semantics multimap lookups."""
+    import ray
+
+    # dictionary term -> sorted distinct values, broadcast (small side)
+    dict_df = (
+        dictionary.select_columns([term_col, value_col])
+        .to_pandas()
+        .dropna()
+    )
+    term_values: dict[str, set] = {}
+    for t, v in zip(dict_df[term_col], dict_df[value_col]):
+        term_values.setdefault(t, set()).add(str(v))
+    ref = ray.put(term_values)
+
+    class Lookup:
+        def __init__(self):
+            self.tv = None
+            self.trie = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.tv is None:
+                self.tv = ray.get(ref)
+                self.trie = build_trie(sorted(self.tv))
+            out_q, out_v, out_c, out_d = [], [], [], []
+            for q in batch.column(query_col).to_pylist():
+                if q is None:
+                    continue
+                vals: set = set()
+                cnt = 0
+                mind = None
+                for cand in kernel_query(self.trie, q, n, algorithm):
+                    vals |= self.tv[cand.term]
+                    cnt += 1
+                    if mind is None or cand.distance < mind:
+                        mind = cand.distance
+                out_q.append(q)
+                out_v.append(",".join(sorted(vals)))
+                out_c.append(cnt)
+                out_d.append(-1 if mind is None else mind)
+            return pa.table(
+                {
+                    "query": pa.array(out_q, type=pa.string()),
+                    "values": pa.array(out_v, type=pa.string()),
+                    "n_matches": pa.array(out_c, type=pa.int64()),
+                    "min_distance": pa.array(out_d, type=pa.int64()),
+                }
+            )
+
+    return _distinct(queries, query_col).map_batches(Lookup(), batch_format="pyarrow")

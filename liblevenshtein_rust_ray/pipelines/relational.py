@@ -1,0 +1,217 @@
+"""Relational pipelines over the TPC-H-ish tables — the general
+data-processing surface (aggregation with partial pre-agg, broadcast join,
+top-k, windowed events, word frequency).
+
+Numeric note: monetary aggregates are rounded onto the decimal grid the true
+value lies on (input data has fixed decimal precision), making float sums
+hash-comparable against the DuckDB oracle regardless of summation order.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.tokenize import tokenize
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ----------------------------------------------------------------------
+def q1_lineitem(sf_dir: str):
+    """TPC-H Q1-shaped aggregate: per (returnflag, linestatus) sums/avgs.
+    Partial aggregation inside map_batches (one row per group per batch),
+    then a tiny groupby over partials — the pre-aggregate pattern."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= cutoff]
+        if df.empty:
+            return pd.DataFrame(
+                columns=[
+                    "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                    "sum_disc_price", "sum_charge", "sum_disc", "count_order",
+                ]
+            )
+        disc_price = df["l_extendedprice"] * (1 - df["l_discount"])
+        charge = disc_price * (1 + df["l_tax"])
+        g = df.assign(disc_price=disc_price, charge=charge).groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False
+        )
+        out = g.agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_charge=("charge", "sum"),
+            sum_disc=("l_discount", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        row = {
+            "l_returnflag": g["l_returnflag"].iloc[0],
+            "l_linestatus": g["l_linestatus"].iloc[0],
+            "sum_qty": round(g["sum_qty"].sum(), 2),
+            "sum_base_price": round(g["sum_base_price"].sum(), 2),
+            "sum_disc_price": round(g["sum_disc_price"].sum(), 4),
+            "sum_charge": round(g["sum_charge"].sum(), 6),
+            "avg_disc": round(g["sum_disc"].sum() / g["count_order"].sum(), 6),
+            "count_order": int(g["count_order"].sum()),
+        }
+        return pd.DataFrame([row])
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# ----------------------------------------------------------------------
+def revenue_by_segment(sf_dir: str):
+    """orders ⋈ customer (broadcast small side) → per-mktsegment order count
+    + total revenue.  The customer table is ray.put once; each batch does a
+    numpy/dict lookup — no shuffle join."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_of = dict(zip(cust["c_custkey"].astype("int64"), cust["c_mktsegment"]))
+    ref = ray.put(seg_of)
+
+    class Join:
+        def __init__(self):
+            self.seg = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self.seg is None:
+                self.seg = ray.get(ref)
+            df = df.copy()
+            df["c_mktsegment"] = df["o_custkey"].map(self.seg)
+            g = df.groupby("c_mktsegment", as_index=False).agg(
+                n_orders=("o_orderkey", "size"),
+                total_price=("o_totalprice", "sum"),
+            )
+            return g
+
+    partials = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(Join(), batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "c_mktsegment": g["c_mktsegment"].iloc[0],
+                    "n_orders": int(g["n_orders"].sum()),
+                    "total_price": round(g["total_price"].sum(), 2),
+                }
+            ]
+        )
+
+    return partials.groupby("c_mktsegment").map_groups(final, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type: count + rounded value sum.
+    The window is a pure row function (epoch-hour), so this is partial-agg +
+    groupby like any other aggregate — the streaming-shaped pattern from
+    ray_guide.md."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # normalize to µs explicitly — pandas>=2 preserves the Arrow unit, so
+        # astype(int64) would be µs or ns depending on the source
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        df["hour_bucket"] = us // 3_600_000_000
+        return df.groupby(["event_type", "hour_bucket"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": g["event_type"].iloc[0],
+                    "hour_bucket": int(g["hour_bucket"].iloc[0]),
+                    "n_events": int(g["n_events"].sum()),
+                    "sum_value": round(g["sum_value"].sum(), 6),
+                }
+            ]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "hour_bucket"])
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# ----------------------------------------------------------------------
+def word_freq(sf_dir: str, min_freq: int = 2):
+    """Token frequency over documents (the BigTxtCorpus word->count analogue,
+    /root/reference/src/corpus/parser.rs:58-127).  Partial counts per batch,
+    tiny groupby over (token, partial_count)."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for x in t.column("text").to_pylist():
+            for tok in tokenize(x or ""):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), type=pa.string()),
+                "c": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [{"token": g["token"].iloc[0], "freq": int(g["c"].sum())}]
+        )
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("token").map_groups(
+        final, batch_format="pandas"
+    )
+    if min_freq > 1:
+        out = out.map_batches(
+            lambda t: t.filter(pa.compute.greater_equal(t.column("freq"), min_freq)),
+            batch_format="pyarrow",
+        )
+    return out
+
+
+# ----------------------------------------------------------------------
+def top_docs_by_tokens(sf_dir: str, k: int = 10):
+    """Top-k documents by token count (sort + limit with deterministic
+    tie-break on doc_id)."""
+    from ..stages.textstats import token_stats_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        token_stats_batch, batch_format="pyarrow"
+    )
+    return (
+        ds.select_columns(["doc_id", "n_tokens"])
+        .sort(["n_tokens", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
