@@ -199,19 +199,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return R.word_freq(sf_dir)
 
     def lang_counts(sf_dir):
-        import pandas as pd
+        from ray.data.aggregate import Sum
 
         def partial(df):
             return df.groupby("lang", as_index=False).agg(n=("lang", "size"))
-
-        def final(g):
-            return pd.DataFrame([{"lang": g["lang"].iloc[0], "n": int(g["n"].sum())}])
 
         return (
             _rd(sf_dir, "documents", ["lang"])
             .map_batches(partial, batch_format="pandas")
             .groupby("lang")
-            .map_groups(final, batch_format="pandas")
+            .aggregate(Sum("n", alias_name="n"))
         )
 
     # -------------------------- similarity search ---------------------

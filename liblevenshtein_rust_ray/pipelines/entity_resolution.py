@@ -53,33 +53,35 @@ def er_pairs(
     fp = f"{fingerprint}|x{EXTRACTOR_VERSION}|d{max_distance}|{algorithm}"
 
     def compute():
+        from .context import configure_data_context
+        from ..stages.grouped import bucketed_group_apply, bucketed_apply
+        from ..stages.scorer import _empty_edges
+
+        configure_data_context()
         ds = read_pages(source)
         ds = ds.map_batches(extract_batch, batch_format="pyarrow")
         ds = ds.map_batches(blocking_keys_batch, batch_format="pyarrow")
-        kwargs = {}
-        if scorer_concurrency:
-            kwargs["concurrency"] = scorer_concurrency
         scorer = BlockScorer(
             max_distance=max_distance,
             algorithm=algorithm,
             emit_all_pairs=emit_all_pairs,
         )
-
-        def score_block(group):
-            return scorer(group)
-
-        pairs = ds.groupby("block_key").map_groups(
-            score_block,
-            batch_format="pandas",
-            **kwargs,
+        # bucketed group-apply: one map_groups call per coarse bucket, C-path
+        # pandas groupby inside, singleton blocks pruned before any Python
+        pairs = bucketed_group_apply(
+            ds,
+            "block_key",
+            scorer,
+            n_buckets=64,
+            min_group_size=2,
+            empty_result=_empty_edges(),
         )
         # the same canonical pair arrives via several bands: exact dedup by
-        # (url_a, url_b), keep the smallest distance
-        return (
-            pairs.groupby(["url_a", "url_b"])
-            .map_groups(
-                lambda g: g.sort_values("distance").head(1), batch_format="pandas"
-            )
+        # (url_a, url_b), keep the smallest distance (vectorized per bucket)
+        return bucketed_apply(
+            pairs,
+            ["url_a", "url_b"],
+            lambda df: df.groupby(["url_a", "url_b"], as_index=False)["distance"].min(),
         )
 
     return ck.run_stage("pairs", fp, compute)

@@ -36,10 +36,11 @@ def _len_keys(s: str, n: int) -> list[int]:
 
 
 def _distinct(ds, col: str):
-    return (
-        ds.select_columns([col])
-        .groupby(col)
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    # vectorized distinct: per-bucket pandas drop_duplicates (C path)
+    from ..stages.grouped import bucketed_apply
+
+    return bucketed_apply(
+        ds.select_columns([col]), col, lambda df: df.drop_duplicates(col)
     )
 
 
@@ -76,15 +77,19 @@ def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD):
              "distance": pd.Series(d_out, dtype="int64")}
         )
 
+    from ..stages.grouped import bucketed_apply
+
     pairs = (
         _distinct(ds, col)
         .map_batches(explode, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(score, batch_format="pandas")
     )
-    # a pair can appear in two buckets (edge rule) — exact dedup
-    return pairs.groupby(["val_a", "val_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # a pair can appear in two buckets (edge rule) — exact dedup (C path)
+    return bucketed_apply(
+        pairs,
+        ["val_a", "val_b"],
+        lambda df: df.groupby(["val_a", "val_b"], as_index=False)["distance"].min(),
     )
 
 
@@ -134,9 +139,13 @@ def fuzzy_join(left, right, left_col: str, right_col: str, n: int = 2,
              "distance": pd.Series(d_out, dtype="int64")}
         )
 
+    from ..stages.grouped import bucketed_apply
+
     pairs = tagged.groupby("bucket").map_groups(score, batch_format="pandas")
-    return pairs.groupby(["left_val", "right_val"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return bucketed_apply(
+        pairs,
+        ["left_val", "right_val"],
+        lambda df: df.groupby(["left_val", "right_val"], as_index=False)["distance"].min(),
     )
 
 

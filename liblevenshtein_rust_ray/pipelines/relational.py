@@ -185,13 +185,12 @@ def word_freq(sf_dir: str, min_freq: int = 2):
             }
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            [{"token": g["token"].iloc[0], "freq": int(g["c"].sum())}]
-        )
+    from ray.data.aggregate import Sum
 
-    out = ds.map_batches(partial, batch_format="pyarrow").groupby("token").map_groups(
-        final, batch_format="pandas"
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="freq"))
     )
     if min_freq > 1:
         out = out.map_batches(

@@ -1,59 +1,69 @@
-"""Distributed connected components over matched pairs (transitive
-clustering) — hash-partitioned min-label propagation with Ray Data groupbys
-only (no driver-side union-find, no mutable global state; SURVEY.md §7.1
-step 6).
+"""Transitive clustering over matched pairs (connected components).
 
-Round structure (2 shuffles per round, O(diameter) rounds — the scorer emits
-star edges so real diameters are tiny):
+Two execution paths behind one API:
 
-1. ``groupby(node)`` over labels ∪ edge-endpoints: each node's group holds
-   its current label and its neighbors; emit the label to itself and to
-   every neighbor.
-2. ``groupby(node)`` over the messages: new label = lexicographic min;
-   ``changed`` flags drive termination (sum over the round's output — a
-   count aggregate, no full materialization to the driver).
+* ``driver`` — when the EDGE set is small (≤ ``driver_threshold`` edges,
+  default 2M ≈ a few hundred MB of strings), stream the edges to the driver
+  and run classic union-find.  Edges are the SCORER's output — orders of
+  magnitude smaller than the corpus — so this is the right call for
+  small-to-medium runs (the guide's "union-find on the driver only if the
+  candidate set is provably small").
+* ``distributed`` — hash-partitioned min-label propagation with ONLY
+  C-path operations per round (no per-node Python):
+  bucketed pandas merge for message passing, built-in Min aggregate for the
+  combine, and a global label-signature sum for termination.  2 shuffles
+  per round, O(component diameter) rounds; the scorer's star edges keep
+  diameters tiny.
 
-The deterministic min-label rule (smallest url) makes cluster ids stable
-across runs and parallelism levels.
+``mode="auto"`` counts edges once (the pair Dataset is materialized anyway)
+and picks a path.  Both produce identical output: ``(url, cluster_id)``
+with cluster_id = lexicographically smallest member url — deterministic
+across runs, partitionings and paths.
 """
 
 import pandas as pd
+import pyarrow as pa
+
+from ..functions.simhash import hash64
 
 
-def _propagate(group: pd.DataFrame) -> pd.DataFrame:
-    """Stage 1 kernel: group = one node's label row(s) + its edge rows."""
-    node = group["node"].iloc[0]
-    labels = group["label"].dropna()
-    label = labels.min() if len(labels) else node
-    neighbors = group["neighbor"].dropna().unique()
-    nodes = [node]
-    nodes.extend(neighbors)
-    return pd.DataFrame({"node": nodes, "candidate": [label] * len(nodes)})
+# ----------------------------------------------------------------------
+def _driver_cc(pairs) -> pd.DataFrame:
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # deterministic: smaller string wins
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    nodes = set()
+    for batch in pairs.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for a, b in zip(batch.column("url_a").to_pylist(), batch.column("url_b").to_pylist()):
+            nodes.add(a)
+            nodes.add(b)
+            union(a, b)
+    out = sorted(nodes)
+    return pd.DataFrame({"url": out, "cluster_id": [find(x) for x in out]})
 
 
-def _combine(group: pd.DataFrame) -> pd.DataFrame:
-    """Stage 2 kernel: min over candidates; old label is the self-candidate
-    carried via the label row (node's own previous label)."""
-    node = group["node"].iloc[0]
-    new = group["candidate"].min()
-    old = group["old"].dropna()
-    old = old.iloc[0] if len(old) else None
-    return pd.DataFrame(
-        {"node": [node], "label": [new], "changed": [1 if new != old else 0]}
-    )
+# ----------------------------------------------------------------------
+def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64):
+    import ray.data as rd
 
-
-def connected_components(pairs, max_rounds: int = 15):
-    """``pairs``: Dataset with ``url_a``/``url_b`` → Dataset
-    ``(url, cluster_id)`` where cluster_id is the lexicographically smallest
-    url in the component.  Only matched nodes appear (unmatched pages are
-    implicitly their own singleton cluster — at 10^12 docs the label table
-    must stay proportional to the EDGE set, not the corpus)."""
-    import pyarrow as pa
-
-    def to_edges(batch: pa.Table) -> pa.Table:
-        a = batch.column("url_a").to_pylist()
-        b = batch.column("url_b").to_pylist()
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t.column("url_a").to_pylist()
+        b = t.column("url_b").to_pylist()
         return pa.table(
             {
                 "node": pa.array(a + b, type=pa.string()),
@@ -61,58 +71,91 @@ def connected_components(pairs, max_rounds: int = 15):
             }
         )
 
-    # both-direction edge list; small relative to the corpus → materialize
-    # once so per-round re-execution doesn't re-run the whole upstream
-    # pipeline (ray_guide.md: materialize only small, reused intermediates)
+    from .grouped import bucketed_apply
+
+    # Edge list both directions; small vs corpus → safe to pin.
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
 
-    def init_labels(batch: pa.Table) -> pa.Table:
-        nodes = batch.column("node")
-        return pa.table({"node": nodes, "label": nodes})
+    def init_labels(df):
+        out = df.groupby("node", as_index=False)["neighbor"].min()
+        out["label"] = out[["node", "neighbor"]].min(axis=1)
+        return out[["node", "label"]]
 
-    labels = (
-        edges.map_batches(init_labels, batch_format="pyarrow")
-        .groupby("node")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-        .materialize()
-    )
+    labels = bucketed_apply(edges, "node", init_labels, n_buckets).materialize()
 
+    def signature(lab) -> int:
+        def part(t: pa.Table) -> pa.Table:
+            s = 0
+            for n, l in zip(t.column("node").to_pylist(), t.column("label").to_pylist()):
+                s = (s + hash64(f"{n}\x00{l}")) % (1 << 61)
+            return pa.table({"s": pa.array([s], type=pa.int64())})
+
+        return int(lab.map_batches(part, batch_format="pyarrow").sum("s")) % (1 << 61)
+
+    sig = signature(labels)
     for _round in range(max_rounds):
-        lab = labels.map_batches(
-            lambda t: t.append_column("neighbor", pa.nulls(t.num_rows, pa.string())),
-            batch_format="pyarrow",
-        )
-        edg = edges.map_batches(
-            lambda t: t.append_column("label", pa.nulls(t.num_rows, pa.string())).select(
-                ["node", "label", "neighbor"]
-            ),
-            batch_format="pyarrow",
-        )
-        msgs = lab.select_columns(["node", "label", "neighbor"]).union(edg)
-        stage1 = msgs.groupby("node").map_groups(_propagate, batch_format="pandas")
+        # message pass: per bucket, pandas-merge labels onto edges (C path).
+        # "" marks the absent column (urls are never empty) so the union
+        # schema stays plain string throughout.
+        lab_tagged = labels.map_batches(
+            lambda df: df.assign(neighbor=""), batch_format="pandas"
+        ).select_columns(["node", "label", "neighbor"])
+        edg_tagged = edges.map_batches(
+            lambda df: df.assign(label=""), batch_format="pandas"
+        ).select_columns(["node", "label", "neighbor"])
 
-        old = labels.map_batches(
-            lambda t: pa.table(
-                {
-                    "node": t.column("node"),
-                    "candidate": t.column("label"),
-                    "old": t.column("label"),
-                }
-            ),
-            batch_format="pyarrow",
+        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__bucket"] = (
+                pd.util.hash_pandas_object(df["node"], index=False) % n_buckets
+            ).astype("int32")
+            return df
+
+        def bucket_messages(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g[g["label"] != ""][["node", "label"]]
+            edg = g[g["neighbor"] != ""][["node", "neighbor"]]
+            msgs = edg.merge(lab, on="node", how="inner")[["neighbor", "label"]]
+            msgs.columns = ["node", "label"]
+            out = pd.concat([lab, msgs], ignore_index=True)
+            out["label"] = out["label"].astype(str)
+            return out
+
+        candidates = (
+            lab_tagged.union(edg_tagged)
+            .map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(bucket_messages, batch_format="pandas")
         )
-        s1 = stage1.map_batches(
-            lambda t: t.append_column("old", pa.nulls(t.num_rows, pa.string())),
-            batch_format="pyarrow",
-        )
-        merged = old.union(s1).groupby("node").map_groups(_combine, batch_format="pandas")
-        merged = merged.materialize()
-        changed = merged.sum("changed")
-        labels = merged.drop_columns(["changed"]).materialize()
-        if not changed:
+        labels = bucketed_apply(
+            candidates,
+            "node",
+            lambda df: df.groupby("node", as_index=False)["label"].min(),
+            n_buckets,
+        ).materialize()
+        new_sig = signature(labels)
+        if new_sig == sig:
             break
+        sig = new_sig
 
     return labels.map_batches(
         lambda t: pa.table({"url": t.column("node"), "cluster_id": t.column("label")}),
         batch_format="pyarrow",
     )
+
+
+# ----------------------------------------------------------------------
+def connected_components(
+    pairs,
+    max_rounds: int = 15,
+    mode: str = "auto",
+    driver_threshold: int = 2_000_000,
+):
+    """``pairs``: Dataset with url_a/url_b → Dataset (url, cluster_id).
+    Only matched nodes appear; unmatched pages are implicit singletons (at
+    10^12 docs the label table must scale with the EDGE set, not the
+    corpus)."""
+    import ray.data as rd
+
+    if mode == "driver" or (mode == "auto" and pairs.count() <= driver_threshold):
+        return rd.from_pandas(_driver_cc(pairs))
+    return _distributed_cc(pairs, max_rounds)

@@ -35,15 +35,14 @@ def exact_dedup(ds, text_col: str, id_col: str):
         )
         return t.append_column("__content_hash", hs)
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    from .grouped import bucketed_apply
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("__content_hash")
-        .map_groups(keep_first, batch_format="pandas")
-        .drop_columns(["__content_hash"])
-    )
+    def keep_min_id(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(id_col).drop_duplicates("__content_hash", keep="first")
+
+    return bucketed_apply(
+        ds.map_batches(add_hash, batch_format="pyarrow"), "__content_hash", keep_min_id
+    ).drop_columns(["__content_hash"])
 
 
 # ----------------------------------------------------------------------
@@ -97,14 +96,17 @@ def minhash_lsh_pairs(
                     j_out.append(est)
         return pd.DataFrame({"id_a": a_out, "id_b": b_out, "jaccard": j_out})
 
+    from .grouped import bucketed_apply
+
     cand = (
         ds.map_batches(sign, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
     )
-    return (
-        cand.groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    return bucketed_apply(
+        cand,
+        ["id_a", "id_b"],
+        lambda df: df.groupby(["id_a", "id_b"], as_index=False)["jaccard"].max(),
     )
 
 
@@ -154,13 +156,17 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3, n_bands:
                     h_out.append(h)
         return pd.DataFrame({"id_a": a_out, "id_b": b_out, "hamming": h_out})
 
+    from .grouped import bucketed_apply
+
     cand = (
         ds.map_batches(sign, batch_format="pyarrow").groupby("bucket").map_groups(
             verify, batch_format="pandas"
         )
     )
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return bucketed_apply(
+        cand,
+        ["id_a", "id_b"],
+        lambda df: df.groupby(["id_a", "id_b"], as_index=False)["hamming"].min(),
     )
 
 

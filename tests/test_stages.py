@@ -130,7 +130,8 @@ def test_scorer_empty_and_single():
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_connected_components():
+@pytest.mark.parametrize("mode", ["driver", "distributed"])
+def test_connected_components(mode):
     import ray.data as rd
 
     from liblevenshtein_rust_ray.stages.cluster import connected_components
@@ -142,8 +143,30 @@ def test_connected_components():
             {"url_a": "x", "url_b": "y", "distance": 0},
         ]
     )
-    out = connected_components(pairs).to_pandas()
+    out = connected_components(pairs, mode=mode).to_pandas()
     lab = dict(zip(out["url"], out["cluster_id"]))
     assert lab["a"] == lab["b"] == lab["c"] == "a"
     assert lab["x"] == lab["y"] == "x"
     assert len(out) == 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components_modes_agree():
+    import random
+
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.cluster import connected_components
+
+    rng = random.Random(3)
+    # random chain/star mixture over 120 nodes
+    edges = []
+    for i in range(0, 120, 4):
+        base = f"n{i:03d}"
+        for j in range(1, 4):
+            if rng.random() < 0.8:
+                edges.append({"url_a": base, "url_b": f"n{i + j:03d}", "distance": 1})
+    pairs = rd.from_items(edges)
+    a = connected_components(pairs, mode="driver").to_pandas().sort_values("url").reset_index(drop=True)
+    b = connected_components(pairs, mode="distributed").to_pandas().sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
