@@ -102,6 +102,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         part = _rd(sf_dir, "part", ["p_partkey", "p_name"])
         return F.fuzzy_lookup_agg(part, part, "p_name", "p_name", "p_partkey", n=1)
 
+    def fuzzy_topk_part(sf_dir):
+        """Ordered/ranked fuzzy matches: 3 nearest other part names, d<=2."""
+        return F.fuzzy_topk(_rd(sf_dir, "part", ["p_name"]), "p_name", k=3, n=2)
+
+    def fuzzy_lookup_parts_filtered(sf_dir):
+        """Value-filter pushdown (query_filtered): only even partkeys."""
+        part = _rd(sf_dir, "part", ["p_partkey", "p_name"])
+        return F.fuzzy_lookup_agg(
+            part, part, "p_name", "p_name", "p_partkey", n=1,
+            value_pred=lambda v: int(v) % 2 == 0,
+        )
+
+    def substring_search_docs(sf_dir):
+        """Approximate substring scan (suffix-automaton capability):
+        occurrences of 'custoner' (typo of 'customer') within document text,
+        edit distance <= 1."""
+        return F.substring_search(
+            _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+            pattern="custoner", n=1,
+        )
+
+    def fuzzy_vocab_pairs_leet(sf_dir):
+        """Restricted-substitution fuzzy pairs: vocabulary tokens within
+        d<=1 when leet-speak substitutions (o/0, l/1, ...) are free."""
+        from liblevenshtein_rust_ray.kernel.substitution import leet_speak
+
+        return F.fuzzy_self_join(_vocab_ds(sf_dir), "tok", n=1, subst=leet_speak())
+
     def fuzzy_join_vocab_partwords(sf_dir):
         """Two-sided fuzzy join: document vocabulary x part-name words, d<=1."""
         from liblevenshtein_rust_ray.functions.tokenize import tokenize
@@ -264,7 +292,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_selfjoin_customer": fuzzy_selfjoin_customer,
         "fuzzy_vocab_pairs": fuzzy_vocab_pairs,
         "fuzzy_lookup_parts": fuzzy_lookup_parts,
+        "fuzzy_lookup_parts_filtered": fuzzy_lookup_parts_filtered,
+        "fuzzy_topk_part": fuzzy_topk_part,
         "fuzzy_join_vocab_partwords": fuzzy_join_vocab_partwords,
+        "fuzzy_vocab_pairs_leet": fuzzy_vocab_pairs_leet,
+        "substring_search_docs": substring_search_docs,
         "prefix_search_tokens": prefix_search_tokens,
         "exact_dedup_part": exact_dedup_part,
         "minhash_neardup_docs": minhash_neardup_docs,
@@ -325,6 +357,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_distance
             FROM d a JOIN part b ON levenshtein(a.p_name, b.p_name) <= 1
             GROUP BY a.p_name
+        """,
+        "fuzzy_lookup_parts_filtered": """
+            WITH d AS (SELECT DISTINCT p_name FROM part),
+                 e AS (SELECT * FROM part WHERE p_partkey % 2 = 0)
+            SELECT a.p_name AS query,
+                   COALESCE(string_agg(DISTINCT CAST(b.p_partkey AS VARCHAR), ','
+                            ORDER BY CAST(b.p_partkey AS VARCHAR)), '') AS values,
+                   CAST(count(DISTINCT b.p_name) AS BIGINT) AS n_matches,
+                   CAST(COALESCE(min(levenshtein(a.p_name, b.p_name)), -1) AS BIGINT) AS min_distance
+            FROM d a LEFT JOIN e b ON levenshtein(a.p_name, b.p_name) <= 1
+            GROUP BY a.p_name
+        """,
+        "fuzzy_topk_part": """
+            WITH d AS (SELECT DISTINCT p_name FROM part),
+                 s AS (SELECT a.p_name AS query, b.p_name AS "match",
+                              CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+                       FROM d a JOIN d b ON a.p_name <> b.p_name
+                       WHERE levenshtein(a.p_name, b.p_name) <= 2)
+            SELECT query, "match", distance,
+                   CAST(row_number() OVER (PARTITION BY query ORDER BY distance, "match") AS BIGINT) AS rank
+            FROM s
+            QUALIFY row_number() OVER (PARTITION BY query ORDER BY distance, "match") <= 3
         """,
         "fuzzy_join_vocab_partwords": f"""
             WITH v AS ({vocab}),

@@ -44,9 +44,10 @@ def _distinct(ds, col: str):
     )
 
 
-def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD):
+def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD, subst=None):
     """Dataset[(val_a, val_b, distance)] over distinct values of ``col``,
-    val_a < val_b, distance <= n."""
+    val_a < val_b, distance <= n.  ``subst`` grants zero-cost substitutions
+    (kernel.substitution presets)."""
 
     def explode(t: pa.Table) -> pa.Table:
         vals = t.column(col).to_pylist()
@@ -66,7 +67,7 @@ def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD):
         if len(vals) > 1:
             trie = build_trie(vals)
             for q in vals:
-                for cand in kernel_query(trie, q, n, algorithm):
+                for cand in kernel_query(trie, q, n, algorithm, subst=subst):
                     if cand.term > q:
                         a_out.append(q)
                         b_out.append(cand.term)
@@ -90,6 +91,11 @@ def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD):
         pairs,
         ["val_a", "val_b"],
         lambda df: df.groupby(["val_a", "val_b"], as_index=False)["distance"].min(),
+        empty_result=pd.DataFrame(
+            {"val_a": pd.Series(dtype="object"),
+             "val_b": pd.Series(dtype="object"),
+             "distance": pd.Series(dtype="int64")}
+        ),
     )
 
 
@@ -146,14 +152,108 @@ def fuzzy_join(left, right, left_col: str, right_col: str, n: int = 2,
         pairs,
         ["left_val", "right_val"],
         lambda df: df.groupby(["left_val", "right_val"], as_index=False)["distance"].min(),
+        empty_result=pd.DataFrame(
+            {"left_val": pd.Series(dtype="object"),
+             "right_val": pd.Series(dtype="object"),
+             "distance": pd.Series(dtype="int64")}
+        ),
     )
 
 
+def fuzzy_topk(ds, col: str, k: int = 3, n: int = 2, algorithm: str = STANDARD):
+    """Per distinct value: its k nearest OTHER distinct values within
+    distance n, ranked (distance asc, value lexicographic) — the
+    ``query_ordered``/``query_ranked`` + limit surface
+    (/root/reference/src/transducer/ordered_query.rs:64-340) as a join.
+
+    Output: (query, match, distance, rank).  Partial top-k per length
+    bucket, global merge per query (small: <= k rows per bucket)."""
+    import pandas as pd
+
+    from ..stages.grouped import bucketed_apply
+
+    def explode(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_pylist()
+        out_b, out_v = [], []
+        for v in vals:
+            if v is None:
+                continue
+            for b in _len_keys(v, n):
+                out_b.append(b)
+                out_v.append(v)
+        return pa.table({"bucket": pa.array(out_b, type=pa.int32()),
+                         "val": pa.array(out_v, type=pa.string())})
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        from ..kernel.query import ordered_query
+
+        vals = sorted(set(g["val"]))
+        q_out, m_out, d_out = [], [], []
+        if len(vals) > 1:
+            trie = build_trie(vals)
+            for q in vals:
+                got = [c for c in ordered_query(trie, q, n, algorithm) if c.term != q]
+                for cand in got[:k]:
+                    q_out.append(q)
+                    m_out.append(cand.term)
+                    d_out.append(cand.distance)
+        return pd.DataFrame({"query": pd.Series(q_out, dtype="object"),
+                             "match": pd.Series(m_out, dtype="object"),
+                             "distance": pd.Series(d_out, dtype="int64")})
+
+    partial = (
+        _distinct(ds, col)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(score, batch_format="pandas")
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["query", "match"])
+        df = df.sort_values(["query", "distance", "match"])
+        df["rank"] = df.groupby("query").cumcount() + 1
+        return df[df["rank"] <= k]
+
+    return bucketed_apply(partial, "query", merge)
+
+
+def substring_search(ds, text_col: str, id_col: str, pattern: str, n: int = 1):
+    """Approximate substring occurrences of ``pattern`` in each document
+    (suffix-automaton capability as a map_batches stage): one output row per
+    document with at least one match, carrying the best (distance, end)."""
+    from ..kernel.substring import best_substring_match
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids, dists, ends = [], [], []
+        for i, x in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+            got = best_substring_match(pattern, x or "", n)
+            if got is not None:
+                ids.append(i)
+                dists.append(got[0])
+                ends.append(got[1])
+        return pa.table({
+            id_col: pa.array(ids),
+            "distance": pa.array(dists, type=pa.int64()),
+            "match_end": pa.array(ends, type=pa.int64()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
 def fuzzy_lookup_agg(queries, dictionary, query_col: str, term_col: str,
-                     value_col: str, n: int = 1, algorithm: str = STANDARD):
+                     value_col: str, n: int = 1, algorithm: str = STANDARD,
+                     value_pred=None):
     """FuzzyMultiMap: per query, the sorted-distinct union of payload values
     of ALL dictionary terms within distance n, comma-joined (plus match
-    count and min distance) — mirrors union-semantics multimap lookups."""
+    count and min distance) — mirrors union-semantics multimap lookups.
+
+    ``value_pred`` is the value-filter pushdown of
+    ``Transducer::query_filtered`` (/root/reference/src/transducer/mod.rs:548-564):
+    failing values are pruned from the dictionary BEFORE the trie is built
+    (a term with no surviving values disappears entirely), so filtered
+    branches are never traversed — the reference prunes during traversal;
+    pruning the broadcast dictionary gives the same visible semantics one
+    step earlier."""
     import ray
 
     # dictionary term -> sorted distinct values, broadcast (small side)
@@ -164,6 +264,8 @@ def fuzzy_lookup_agg(queries, dictionary, query_col: str, term_col: str,
     )
     term_values: dict[str, set] = {}
     for t, v in zip(dict_df[term_col], dict_df[value_col]):
+        if value_pred is not None and not value_pred(v):
+            continue
         term_values.setdefault(t, set()).add(str(v))
     ref = ray.put(term_values)
 

@@ -61,14 +61,41 @@ def bucketed_group_apply(
             return empty_result if empty_result is not None else _schema_probe(fn, bucket, key_cols)
         return pd.concat(outs, ignore_index=True)
 
-    return (
+    out = (
         ds.map_batches(add_bucket, batch_format="pandas")
         .groupby("__bucket")
         .map_groups(apply_bucket, batch_format="pandas")
     )
+    return _with_schema_sentinel(out, empty_result)
 
 
-def bucketed_apply(ds, key_cols, bucket_fn, n_buckets: int = 64):
+def _with_schema_sentinel(out, empty_result: pd.DataFrame | None):
+    """A groupby over zero groups yields a schema-less empty dataset; union a
+    typed 0-row ARROW block so downstream consumers (schema(), to_pandas,
+    write_parquet) always see the column set."""
+    if empty_result is None:
+        return out
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    def arrow_type(dtype):
+        if dtype == object:
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(dtype))
+
+    schema = pa.schema(
+        [(c, arrow_type(empty_result[c].dtype)) for c in empty_result.columns]
+    )
+    sentinel = pa.table(
+        {c: pa.array([], type=schema.field(c).type) for c in empty_result.columns},
+        schema=schema,
+    )
+    return out.union(rd.from_arrow(sentinel))
+
+
+def bucketed_apply(ds, key_cols, bucket_fn, n_buckets: int = 64,
+                   empty_result: pd.DataFrame | None = None):
     """Vectorized cousin of :func:`bucketed_group_apply`: ``bucket_fn`` gets
     the WHOLE bucket DataFrame and does its own (pandas C) grouping —
     e.g. ``df.groupby(keys, as_index=False)[col].min()``.  Total Python
@@ -86,11 +113,12 @@ def bucketed_apply(ds, key_cols, bucket_fn, n_buckets: int = 64):
     def apply_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         return bucket_fn(bucket.drop(columns="__bucket"))
 
-    return (
+    out = (
         ds.map_batches(add_bucket, batch_format="pandas")
         .groupby("__bucket")
         .map_groups(apply_bucket, batch_format="pandas")
     )
+    return _with_schema_sentinel(out, empty_result)
 
 
 def _schema_probe(fn, bucket: pd.DataFrame, key_cols) -> pd.DataFrame:
