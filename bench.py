@@ -57,8 +57,13 @@ def main() -> None:
     sf = _sf()
     pages_path = em._pages_path(SF_DIR)  # generates/caches the corpus
 
-    # warm the page cache so we measure compute + shuffle, not first disk read
+    # warm the page cache AND the worker pool (process startup + library
+    # imports in each worker are one-time session costs, not steady-state
+    # throughput): run the full pipeline over a tiny slice first
     warm = rd.read_parquet(pages_path).count()
+    er_pairs(
+        rd.read_parquet(pages_path).limit(4096).repartition(NUM_CPUS * 2)
+    ).count()
 
     timings: dict[str, float] = {}
 

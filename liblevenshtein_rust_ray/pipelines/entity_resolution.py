@@ -47,35 +47,55 @@ def er_pairs(
     emit_all_pairs: bool = False,
     checkpoints: CheckpointManager | None = None,
     fingerprint: str = "",
+    engine: str = "vectorized",
 ):
-    """Pages -> canonical deduped candidate edges (url_a, url_b, distance)."""
+    """Pages -> canonical deduped candidate edges (url_a, url_b, distance).
+
+    ``engine="vectorized"`` (default) scores each hash bucket of blocks with
+    the numpy banded-DP kernel (the reference's SIMD distance-matrix path);
+    ``engine="automaton"`` runs the per-block trie + automaton traversal —
+    the two are output-identical (pinned by tests) and the automaton path
+    remains the reference-parity/restricted-substitution engine."""
     ck = checkpoints or CheckpointManager("", enabled=False)
-    fp = f"{fingerprint}|x{EXTRACTOR_VERSION}|d{max_distance}|{algorithm}"
+    fp = f"{fingerprint}|x{EXTRACTOR_VERSION}|d{max_distance}|{algorithm}|{engine}"
 
     def compute():
         from .context import configure_data_context
         from ..stages.grouped import bucketed_group_apply, bucketed_apply
-        from ..stages.scorer import _empty_edges
+        from ..stages.scorer import _empty_edges, score_bucket_vectorized
 
         configure_data_context()
         ds = read_pages(source)
         ds = ds.map_batches(extract_batch, batch_format="pyarrow")
         ds = ds.map_batches(blocking_keys_batch, batch_format="pyarrow")
-        scorer = BlockScorer(
-            max_distance=max_distance,
-            algorithm=algorithm,
-            emit_all_pairs=emit_all_pairs,
-        )
-        # bucketed group-apply: one map_groups call per coarse bucket, C-path
-        # pandas groupby inside, singleton blocks pruned before any Python
-        pairs = bucketed_group_apply(
-            ds,
-            "block_key",
-            scorer,
-            n_buckets=64,
-            min_group_size=2,
-            empty_result=_empty_edges(),
-        )
+        if engine == "vectorized" and not emit_all_pairs:
+            # one Python dispatch per bucket; all pair scoring in one
+            # vectorized kernel call per bucket
+            pairs = bucketed_apply(
+                ds,
+                "block_key",
+                lambda df: score_bucket_vectorized(
+                    df, max_distance=max_distance, algorithm=algorithm
+                ),
+                n_buckets=64,
+                empty_result=_empty_edges(),
+            )
+        else:
+            scorer = BlockScorer(
+                max_distance=max_distance,
+                algorithm=algorithm,
+                emit_all_pairs=emit_all_pairs,
+            )
+            # bucketed group-apply: one map_groups call per coarse bucket,
+            # C-path pandas groupby inside, singletons pruned before Python
+            pairs = bucketed_group_apply(
+                ds,
+                "block_key",
+                scorer,
+                n_buckets=64,
+                min_group_size=2,
+                empty_result=_empty_edges(),
+            )
         # the same canonical pair arrives via several bands: exact dedup by
         # (url_a, url_b), keep the smallest distance (vectorized per bucket)
         return bucketed_apply(

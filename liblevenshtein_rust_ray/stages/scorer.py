@@ -141,3 +141,110 @@ class BlockScorer:
 def score_block_pandas(group: pd.DataFrame, **kwargs) -> pd.DataFrame:
     """Function wrapper for quick use in ``map_groups`` without an actor."""
     return BlockScorer(**kwargs)(group)
+
+
+# ======================================================================
+# Vectorized bucket scorer — the production path.
+#
+# The automaton path above is exact but pays Python per traversal step; at
+# blocking-key granularity groups average a handful of rows, so per-group
+# Python work dominates.  ``score_bucket_vectorized`` instead processes a
+# WHOLE hash bucket of blocks with pandas C groupbys + ONE call into the
+# numpy banded-DP kernel (kernel.vectorized — the reference's SIMD
+# distance-matrix capability, src/distance/simd.rs), with semantics
+# identical to BlockScorer: distance-0 stars for identical strings,
+# representative edges across distinct strings, simhash-view salting for
+# oversized blocks.  Parity is pinned by tests/test_stages.py.
+# ======================================================================
+def score_bucket_vectorized(
+    bucket: pd.DataFrame,
+    max_distance: int = 2,
+    algorithm: str = STANDARD,
+    max_block_strings: int = 512,
+    emit_all_pairs: bool = False,
+    subst=None,
+) -> pd.DataFrame:
+    """(block_key, url, key_string) rows -> canonical edges for the bucket."""
+    import numpy as np
+
+    from ..kernel.vectorized import batch_distances
+
+    n = max_distance
+    du = bucket.drop_duplicates(["block_key", "key_string", "url"]).copy()
+    # lexicographic url rank as int id: groupwise min/max stay on the C path
+    # (object-dtype groupby.min falls back to per-group Python — fatal at
+    # hundreds of thousands of groups)
+    uniq_urls, uid = np.unique(du["url"].to_numpy(), return_inverse=True)
+    du["url"] = uid.astype(np.int64)
+
+    # --- distance-0 stars: k urls sharing (block, string) -> k-1 edges ---
+    rep = du.groupby(["block_key", "key_string"], sort=False)["url"].transform("min")
+    star = du["url"].to_numpy() != rep.to_numpy()
+    edges0 = pd.DataFrame(
+        {
+            "url_a": uniq_urls[rep.to_numpy()[star]],
+            "url_b": uniq_urls[du["url"].to_numpy()[star]],
+            "distance": np.zeros(int(star.sum()), dtype="int32"),
+        }
+    )
+
+    # --- distinct strings per block with their representative url ---------
+    dd = du.groupby(["block_key", "key_string"], as_index=False, sort=False)["url"].min()
+    sizes = dd.groupby("block_key", sort=False)["key_string"].transform("size")
+    small = dd[sizes <= max_block_strings]
+    big = dd[sizes > max_block_strings]
+    if len(big):
+        # in-group salting: two rotated 8-bit simhash views per string —
+        # near-identical strings agree on most bits, so a true pair shares
+        # at least one view bucket w.h.p. (same rule as BlockScorer._subdivide)
+        salted = []
+        for view, shift in enumerate((24, 52)):
+            b = big.copy()
+            b["block_key"] = [
+                f"{k}#s{view}|{(simhash64(char_ngrams(s, 3)) >> shift) & 0xFF:02x}"
+                for k, s in zip(b["block_key"], b["key_string"])
+            ]
+            salted.append(b)
+        dd = pd.concat([small, *salted], ignore_index=True)
+    else:
+        dd = small
+
+    # --- candidate pairs: block self-join, canonical order, length filter -
+    m = dd.merge(dd, on="block_key", suffixes=("_a", "_b"))
+    m = m[m["key_string_a"] < m["key_string_b"]]
+    if len(m):
+        la = m["key_string_a"].str.len()
+        lb = m["key_string_b"].str.len()
+        m = m[(la - lb).abs() <= n]
+    if len(m):
+        # one distance per unique string pair in the bucket; the smaller
+        # string is the automaton-side query (BlockScorer order)
+        up = m[["key_string_a", "key_string_b"]].drop_duplicates()
+        d = batch_distances(
+            up["key_string_a"].tolist(), up["key_string_b"].tolist(), n, algorithm, subst
+        )
+        up = up.assign(distance=d)
+        up = up[up["distance"] <= n]
+        m = m.merge(up, on=["key_string_a", "key_string_b"])
+        ua = m["url_a"].to_numpy()
+        ub = m["url_b"].to_numpy()
+        lo = np.minimum(ua, ub)
+        hi = np.maximum(ua, ub)
+        keep = lo != hi
+        edges1 = pd.DataFrame(
+            {
+                "url_a": uniq_urls[lo[keep]],
+                "url_b": uniq_urls[hi[keep]],
+                "distance": m["distance"].to_numpy()[keep].astype("int32"),
+            }
+        )
+    else:
+        edges1 = _empty_edges()
+
+    out = pd.concat([edges0, edges1], ignore_index=True)
+    if not len(out):
+        return _empty_edges()
+    # same pair can arrive from several blocks/salt views in this bucket
+    out = out.groupby(["url_a", "url_b"], as_index=False)["distance"].min()
+    out["distance"] = out["distance"].astype("int32")
+    return out

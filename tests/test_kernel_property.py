@@ -98,3 +98,56 @@ def test_prefix_mode_equals_prefix_dp_scan(terms, q, n):
             # (not necessarily optimal) prefix-alignment cost
             if t in got:
                 assert best <= got[t] <= n
+
+
+# ----------------------------------------------------------------------
+# Vectorized banded-DP kernel (kernel.vectorized) ≡ per-pair DP oracle —
+# the numpy analogue of the reference's SIMD distance matrix
+# (src/distance/simd.rs), clamped at n+1.
+# ----------------------------------------------------------------------
+pairlists = st.lists(
+    st.tuples(
+        st.text(alphabet="abcé", min_size=0, max_size=12),
+        st.text(alphabet="abcé", min_size=0, max_size=12),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(pairs=pairlists, n=st.integers(min_value=0, max_value=3), alg=st.sampled_from(ALGORITHMS))
+def test_batch_distances_equal_dp(pairs, n, alg):
+    from liblevenshtein_rust_ray.kernel.vectorized import batch_distances
+
+    dp = distance_fn(alg)
+    qs = [a for a, _ in pairs]
+    ts = [b for _, b in pairs]
+    got = batch_distances(qs, ts, n, alg)
+    for (a, b), g in zip(pairs, got):
+        assert int(g) == min(dp(a, b), n + 1), (a, b, n, alg)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.text(alphabet="aol01", max_size=8), st.text(alphabet="aol01", max_size=8)),
+        min_size=1,
+        max_size=20,
+    ),
+    n=st.integers(min_value=0, max_value=2),
+)
+def test_batch_distances_subst_equals_automaton(pairs, n):
+    """Restricted substitutions (standard algorithm): vectorized cost ≡
+    single-term automaton query with the same substitution set."""
+    from liblevenshtein_rust_ray.kernel.substitution import leet_speak
+    from liblevenshtein_rust_ray.kernel.vectorized import batch_distances
+
+    sub = leet_speak()
+    qs = [a for a, _ in pairs]
+    ts = [b for _, b in pairs]
+    got = batch_distances(qs, ts, n, "standard", subst=sub)
+    for (a, b), g in zip(pairs, got):
+        hits = list(query(build_trie([b]), a, n, "standard", subst=sub))
+        want = hits[0].distance if hits else n + 1
+        assert int(g) == want, (a, b, n)

@@ -170,3 +170,54 @@ def test_connected_components_modes_agree():
     a = connected_components(pairs, mode="driver").to_pandas().sort_values("url").reset_index(drop=True)
     b = connected_components(pairs, mode="distributed").to_pandas().sort_values("url").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_vectorized_bucket_scorer_parity():
+    """score_bucket_vectorized ≡ BlockScorer per block + global pair dedup,
+    including identical-string stars, representative edges, and salting."""
+    import numpy as np
+    import pandas as pd
+
+    from liblevenshtein_rust_ray.stages.scorer import BlockScorer, score_bucket_vectorized
+
+    rng = np.random.default_rng(11)
+    alpha = list("abcdef ")
+    rows = []
+    for b in range(30):
+        base = "".join(rng.choice(alpha, size=12))
+        for i in range(int(rng.integers(1, 9))):
+            s = list(base)
+            for _ in range(int(rng.integers(0, 3))):
+                s[int(rng.integers(0, len(s)))] = str(rng.choice(alpha))
+            rows.append({"block_key": f"b{b}", "url": f"u{rng.integers(0, 500):03d}",
+                         "key_string": "".join(s)})
+    df = pd.DataFrame(rows)
+
+    sc = BlockScorer()
+    outs = [sc(g) for _, g in df.groupby("block_key") if len(g) >= 2]
+    outs = [o for o in outs if len(o)]
+    auto = (
+        pd.concat(outs, ignore_index=True)
+        .groupby(["url_a", "url_b"], as_index=False)["distance"].min()
+        if outs else pd.DataFrame(columns=["url_a", "url_b", "distance"])
+    )
+    vec = score_bucket_vectorized(df)
+    a = set(map(tuple, auto.values.tolist()))
+    v = set(map(tuple, vec.values.tolist()))
+    assert a == v
+
+
+def test_vectorized_scorer_salting_parity():
+    """Oversized blocks go through the same two-view simhash salting."""
+    import pandas as pd
+
+    from liblevenshtein_rust_ray.stages.scorer import BlockScorer, score_bucket_vectorized
+
+    strings = [f"shared prefix string number {i:04d}" for i in range(40)]
+    df = pd.DataFrame(
+        {"block_key": "big", "url": [f"u{i:03d}" for i in range(40)], "key_string": strings}
+    )
+    sc = BlockScorer(max_block_strings=8)
+    auto = sc(df).groupby(["url_a", "url_b"], as_index=False)["distance"].min()
+    vec = score_bucket_vectorized(df, max_block_strings=8)
+    assert set(map(tuple, auto.values.tolist())) == set(map(tuple, vec.values.tolist()))
