@@ -88,11 +88,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out = sorted({tok for x in t.column("text").to_pylist() for tok in tokenize(x or "")})
             return pa.table({"tok": pa.array(out, type=pa.string())})
 
-        return (
-            _rd(sf_dir, "documents", ["text"])
-            .map_batches(toks, batch_format="pyarrow")
-            .groupby("tok")
-            .map_groups(lambda g: g.head(1), batch_format="pandas")
+        from liblevenshtein_rust_ray.stages.grouped import bucketed_apply
+
+        return bucketed_apply(
+            _rd(sf_dir, "documents", ["text"]).map_batches(toks, batch_format="pyarrow"),
+            "tok",
+            lambda df: df.drop_duplicates("tok"),
         )
 
     def fuzzy_vocab_pairs(sf_dir):
@@ -426,8 +427,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
                    round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
                    round(sum(l_discount) / count(*), 6) AS avg_disc,
                    CAST(count(*) AS BIGINT) AS count_order
             FROM lineitem

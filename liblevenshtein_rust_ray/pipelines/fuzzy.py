@@ -21,6 +21,36 @@ from ..kernel import STANDARD, build_trie
 from ..kernel.query import query as kernel_query
 
 _LEN_BUCKET = 16
+# blocks whose (length-filtered) pair count stays under this use the numpy
+# banded-DP kernel (kernel.vectorized — the SIMD distance-matrix path);
+# larger blocks keep the trie+automaton traversal, whose pruning wins
+# asymptotically (README.md:901: 100-1000x over naive scans on large dicts)
+_VEC_MAX_PAIRS = 2_000_000
+
+
+def _vec_self_pairs(vals: list, n: int, algorithm: str, subst=None):
+    """All (i<j) pairs of sorted ``vals`` within distance n, or None when the
+    candidate count exceeds _VEC_MAX_PAIRS (caller falls back to automaton).
+    Returns (val_a, val_b, distance) lists; the smaller string is the
+    automaton-side query, matching the trie path exactly."""
+    import numpy as np
+
+    from ..kernel.vectorized import batch_distances
+
+    k = len(vals)
+    lens = np.fromiter((len(v) for v in vals), np.int64, count=k)
+    ii, jj = np.triu_indices(k, 1)
+    m = np.abs(lens[ii] - lens[jj]) <= n
+    ii, jj = ii[m], jj[m]
+    if ii.size > _VEC_MAX_PAIRS:
+        return None
+    d = batch_distances([vals[i] for i in ii], [vals[j] for j in jj], n, algorithm, subst)
+    keep = d <= n
+    return (
+        [vals[i] for i in ii[keep]],
+        [vals[j] for j in jj[keep]],
+        d[keep].tolist(),
+    )
 
 
 def _len_keys(s: str, n: int) -> list[int]:
@@ -65,13 +95,17 @@ def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD, subst=N
         vals = sorted(set(g["val"]))
         a_out, b_out, d_out = [], [], []
         if len(vals) > 1:
-            trie = build_trie(vals)
-            for q in vals:
-                for cand in kernel_query(trie, q, n, algorithm, subst=subst):
-                    if cand.term > q:
-                        a_out.append(q)
-                        b_out.append(cand.term)
-                        d_out.append(cand.distance)
+            vec = _vec_self_pairs(vals, n, algorithm, subst)
+            if vec is not None:
+                a_out, b_out, d_out = vec
+            else:
+                trie = build_trie(vals)
+                for q in vals:
+                    for cand in kernel_query(trie, q, n, algorithm, subst=subst):
+                        if cand.term > q:
+                            a_out.append(q)
+                            b_out.append(cand.term)
+                            d_out.append(cand.distance)
         return pd.DataFrame(
             {"val_a": pd.Series(a_out, dtype="object"),
              "val_b": pd.Series(b_out, dtype="object"),
@@ -129,16 +163,32 @@ def fuzzy_join(left, right, left_col: str, right_col: str, n: int = 2,
     )
 
     def score(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from ..kernel.vectorized import batch_distances
+
         lvals = sorted(set(g.loc[g["side"] == "l", "val"]))
         rvals = sorted(set(g.loc[g["side"] == "r", "val"]))
         a_out, b_out, d_out = [], [], []
         if lvals and rvals:
-            trie = build_trie(rvals)
-            for q in lvals:
-                for cand in kernel_query(trie, q, n, algorithm):
-                    a_out.append(q)
-                    b_out.append(cand.term)
-                    d_out.append(cand.distance)
+            if len(lvals) * len(rvals) <= _VEC_MAX_PAIRS:
+                llen = np.fromiter((len(v) for v in lvals), np.int64, count=len(lvals))
+                rlen = np.fromiter((len(v) for v in rvals), np.int64, count=len(rvals))
+                ii, jj = np.nonzero(np.abs(llen[:, None] - rlen[None, :]) <= n)
+                d = batch_distances(
+                    [lvals[i] for i in ii], [rvals[j] for j in jj], n, algorithm
+                )
+                keep = d <= n
+                a_out = [lvals[i] for i in ii[keep]]
+                b_out = [rvals[j] for j in jj[keep]]
+                d_out = d[keep].tolist()
+            else:
+                trie = build_trie(rvals)
+                for q in lvals:
+                    for cand in kernel_query(trie, q, n, algorithm):
+                        a_out.append(q)
+                        b_out.append(cand.term)
+                        d_out.append(cand.distance)
         return pd.DataFrame(
             {"left_val": pd.Series(a_out, dtype="object"),
              "right_val": pd.Series(b_out, dtype="object"),
@@ -190,6 +240,16 @@ def fuzzy_topk(ds, col: str, k: int = 3, n: int = 2, algorithm: str = STANDARD):
         vals = sorted(set(g["val"]))
         q_out, m_out, d_out = [], [], []
         if len(vals) > 1:
+            vec = _vec_self_pairs(vals, n, algorithm)
+            if vec is not None:
+                # symmetric distances: emit both directions, then the
+                # ordered-query rank rule (distance asc, term lexicographic)
+                a, b, d = vec
+                df = pd.DataFrame({"query": a + b, "match": b + a,
+                                   "distance": d + d})
+                df = df.sort_values(["query", "distance", "match"])
+                df = df.groupby("query", sort=False).head(k)
+                return df.astype({"distance": "int64"})
             trie = build_trie(vals)
             for q in vals:
                 got = [c for c in ordered_query(trie, q, n, algorithm) if c.term != q]

@@ -71,8 +71,8 @@ def q1_lineitem(sf_dir: str):
             "l_linestatus": g["l_linestatus"].iloc[0],
             "sum_qty": round(g["sum_qty"].sum(), 2),
             "sum_base_price": round(g["sum_base_price"].sum(), 2),
-            "sum_disc_price": round(g["sum_disc_price"].sum(), 4),
-            "sum_charge": round(g["sum_charge"].sum(), 6),
+            "sum_disc_price": round(g["sum_disc_price"].sum(), 2),
+            "sum_charge": round(g["sum_charge"].sum(), 2),
             "avg_disc": round(g["sum_disc"].sum() / g["count_order"].sum(), 6),
             "count_order": int(g["count_order"].sum()),
         }
