@@ -185,6 +185,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", threshold=0.5
         )
 
+    def embedding_neardup(sf_dir):
+        """Exact embedding-cosine near-dup pairs (brute-force baseline;
+        LSH sign-bucket variant is the scale path, see embedding_neardup_lsh)."""
+        out = D.embedding_neardup_pairs(
+            _rd(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            "embedding", "vec_id", threshold=0.42, method="exact",
+        )
+        return out.select_columns(["id_a", "id_b"])
+
+    def embedding_neardup_lsh(sf_dir):
+        return D.embedding_neardup_pairs(
+            _rd(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            "embedding", "vec_id", threshold=0.42, method="lsh",
+        )
+
     # -------------------------- text analysis -------------------------
     def token_stats(sf_dir):
         return _rd(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -227,6 +242,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def word_freq(sf_dir):
         return R.word_freq(sf_dir)
 
+    def scoped_completion(sf_dir):
+        """Contextual-engine capability: per-scope prefix completion over the
+        union of the scope's and its ancestors' terms.  Scope tree derived
+        from part: brand scopes under manufacturer scopes; wide parts
+        (p_size > 25) are registered at the manufacturer level."""
+        import ray.data as rd
+        from liblevenshtein_rust_ray.pipelines.scoped import scoped_fuzzy_complete
+
+        part = _rd(sf_dir, "part", ["p_name", "p_brand", "p_size"])
+
+        def to_terms(t: pa.Table) -> pa.Table:
+            names = t.column("p_name").to_pylist()
+            brands = t.column("p_brand").to_pylist()
+            sizes = t.column("p_size").to_pylist()
+            s_out, t_out = [], []
+            for nm, br, sz in zip(names, brands, sizes):
+                mfgr = "Mfgr#" + br[6]
+                s_out.append(br)
+                t_out.append(nm)
+                if sz is not None and sz > 25:
+                    s_out.append(mfgr)
+                    t_out.append(nm)
+            return pa.table({"scope": pa.array(s_out, type=pa.string()),
+                             "term": pa.array(t_out, type=pa.string())})
+
+        # scope tree: every brand -> its manufacturer -> root (None); the
+        # tree is metadata-sized, read driver-side from the brand column
+        import pyarrow.parquet as _pq
+
+        pb = _pq.read_table(f"{sf_dir}/part.parquet", columns=["p_brand"])
+        tree = {}
+        for br in set(pb.column("p_brand").to_pylist()):
+            m = "Mfgr#" + br[6]
+            tree[br] = m
+            tree[m] = None
+        terms = part.map_batches(to_terms, batch_format="pyarrow")
+        return scoped_fuzzy_complete(terms, tree, prefix_len=4, n=0)
+
+    def fuzzy_selfjoin_part_transposition(sf_dir):
+        """OSA/transposition algorithm variant (reference Table 7.1); DuckDB's
+        damerau_levenshtein is unrestricted Damerau, not OSA, so rows-only."""
+        return F.fuzzy_self_join(_rd(sf_dir, "part", ["p_name"]), "p_name", n=2,
+                                 algorithm="transposition")
+
+    def fuzzy_selfjoin_part_merge_split(sf_dir):
+        """Merge-and-split algorithm variant (reference Table 8.1); rows-only."""
+        return F.fuzzy_self_join(_rd(sf_dir, "part", ["p_name"]), "p_name", n=2,
+                                 algorithm="merge_and_split")
+
+    def er_pairs_transposition(sf_dir):
+        return er_pairs(_pages_path(sf_dir), algorithm="transposition")
+
     def lang_counts(sf_dir):
         from ray.data.aggregate import Sum
 
@@ -256,6 +323,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _rd(sf_dir, "embeddings", ["vec_id", "embedding"])
         out = ann_brute_topk(ds, _load_queries(sf_dir), k=5)
         return out.select_columns(["query_id", "match_id", "rank"])
+
+    def ann_lsh_topk_q(sf_dir):
+        """LSH-bucketed ANN (the scale path; approximate, rows-only —
+        recall vs the brute-force baseline is pinned in tests)."""
+        from liblevenshtein_rust_ray.stages.similarity import ann_lsh_topk
+
+        ds = _rd(sf_dir, "embeddings", ["vec_id", "embedding"])
+        return ann_lsh_topk(ds, _load_queries(sf_dir), k=5)
 
     # -------------------------- relational ----------------------------
     def q1(sf_dir):
@@ -303,6 +378,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup_docs": minhash_neardup_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
+        "embedding_neardup": embedding_neardup,
+        "embedding_neardup_lsh": embedding_neardup_lsh,
+        "scoped_completion": scoped_completion,
+        "fuzzy_selfjoin_part_transposition": fuzzy_selfjoin_part_transposition,
+        "fuzzy_selfjoin_part_merge_split": fuzzy_selfjoin_part_merge_split,
+        "er_pairs_transposition": er_pairs_transposition,
+        "ann_lsh_topk": ann_lsh_topk_q,
         "token_stats": token_stats,
         "quality_docs": quality_docs,
         "langid_docs": langid_docs,
@@ -399,6 +481,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.* FROM part p
             JOIN (SELECT p_name, min(p_partkey) AS mk FROM part GROUP BY p_name) m
               ON p.p_partkey = m.mk
+        """,
+        "ngram_jaccard_docs": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                       FROM documents),
+                 s AS (SELECT doc_id,
+                              CASE WHEN len(toks) = 0 THEN []
+                                   WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                                   ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                                       FOR i IN range(1, len(toks) - 1)])
+                              END AS sh
+                       FROM t),
+                 p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                              len(list_intersect(a.sh, b.sh)) AS c,
+                              len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+                       FROM s a JOIN s b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   CASE WHEN u = 0 THEN 1.0 ELSE c / u END AS jaccard
+            FROM p WHERE (CASE WHEN u = 0 THEN 1.0 ELSE c / u END) >= 0.5
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+        """,
+        "quality_docs": """
+            WITH t AS (SELECT doc_id, text,
+                              regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE len(regexp_extract_all(text, '[^\\w\\s]')) / length(text)
+                   END AS punct_ratio,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE len(list_filter(toks, x -> list_contains(
+                          ['the','a','an','and','or','of','to','in','is','are','was',
+                           'were','be','been','for','on','with','as','at','by','it',
+                           'this','that','from','not','have','has','had','but','they',
+                           'you','we','he','she','его','der','die','das','le','la',
+                           'les','un','une','et','en','de','du','dans','est','sont'],
+                          x))) / len(toks)
+                   END AS stopword_ratio,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                             / len(toks)
+                   END AS mean_token_len
+            FROM t
+        """,
+        "scoped_completion": """
+            WITH bt AS (SELECT p_brand AS scope, p_name AS term FROM part),
+                 mt AS (SELECT 'Mfgr#' || substr(p_brand, 7, 1) AS scope, p_name AS term
+                        FROM part WHERE p_size > 25),
+                 tree AS (SELECT DISTINCT p_brand AS scope,
+                                 'Mfgr#' || substr(p_brand, 7, 1) AS parent
+                          FROM part),
+                 vis AS (SELECT scope, term FROM bt
+                         UNION ALL
+                         SELECT tree.scope, mt.term FROM mt JOIN tree ON mt.scope = tree.parent
+                         UNION ALL
+                         SELECT scope, term FROM mt),
+                 v AS (SELECT DISTINCT scope, term FROM vis),
+                 p AS (SELECT DISTINCT scope, substr(term, 1, 4) AS prefix
+                       FROM v WHERE length(term) >= 4)
+            SELECT p.scope, p.prefix, v.term, CAST(0 AS BIGINT) AS distance
+            FROM p JOIN v ON v.scope = p.scope AND v.term LIKE p.prefix || '%'
         """,
         "token_stats": """
             SELECT doc_id,

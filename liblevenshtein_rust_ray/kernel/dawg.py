@@ -164,6 +164,21 @@ class Dawg:
             stack.extend(n.edges.values())
         return len(seen)
 
+    def iter_terms(self):
+        """Enumerate all accepted terms in sorted order (the reference's
+        ``DictionaryIterator`` / ``iter_terms``, src/dictionary/iterator.rs:190).
+        DAG sharing is fine: traversal is by path, not by node identity."""
+
+        def walk(node, prefix):
+            if node.final:
+                yield _join(prefix)
+            for u in sorted(node.edges):
+                prefix.append(u)
+                yield from walk(node.edges[u], prefix)
+                prefix.pop()
+
+        yield from walk(self.root, [])
+
 
 def _units(term):
     """Iterate character units: codepoints for str, byte ints for bytes."""

@@ -172,40 +172,165 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3, n_bands:
 
 # ----------------------------------------------------------------------
 def ngram_jaccard_pairs(ds, text_col: str, id_col: str, threshold: float = 0.5, k: int = 3):
-    """Exact n-gram (token-shingle) Jaccard pairs: LSH candidates first, then
-    EXACT set Jaccard verify (so results are threshold-exact for pairs the
-    LSH surfaces; band parameters chosen so P(miss at s>=threshold) < 1e-3)."""
+    """EXACT token-k-shingle Jaccard pairs via a distributed inverted-index
+    join — no LSH approximation, no driver-side collect:
 
-    def add_shingleset(t: pa.Table) -> pa.Table:
+    1. explode each doc's DISTINCT shingles to ``(shingle, id, set_size)``;
+    2. groupby(shingle): every co-occurring id pair, canonical id_a < id_b;
+    3. groupby(id_a, id_b): the pair's row count IS |A ∩ B| (each shared
+       shingle contributes exactly one row), so
+       ``jaccard = c / (|A| + |B| - c)`` — exact, filtered at threshold.
+
+    Any pair with jaccard > 0 shares a shingle, so step 2 loses nothing.
+    Skew note (100 TB): a shingle shared by f docs emits f(f-1)/2 rows;
+    stop-shingles should be prefix-filtered upstream (a doc pair relying
+    only on shingles of document frequency > 1/threshold can't reach a
+    high threshold anyway, so dropping ultra-hot shingles first is the
+    standard prefix-filter optimization — not applied at test scale)."""
+
+    def explode_shingles(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
         texts = t.column(text_col).to_pylist()
-        sets = [sorted(set(shingles(tokenize(x or ""), k))) for x in texts]
+        out_s, out_i, out_n = [], [], []
+        for i, x in zip(ids, texts):
+            sh = set(shingles(tokenize(x or ""), k))
+            for s in sh:
+                out_s.append(s)
+                out_i.append(i)
+                out_n.append(len(sh))
         return pa.table(
             {
-                "id": t.column(id_col),
-                "shingles": pa.array(sets, type=pa.list_(pa.string())),
+                "shingle": pa.array(out_s, type=pa.string()),
+                "id": pa.array(out_i),
+                "set_size": pa.array(out_n, type=pa.int64()),
             }
         )
 
-    shs = ds.map_batches(add_shingleset, batch_format="pyarrow")
-    cand = minhash_lsh_pairs(ds, text_col, id_col, threshold=threshold * 0.7)
+    def pairs_in_group(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = bucket.merge(bucket, on="shingle", suffixes=("_a", "_b"))
+        m = m[m["id_a"] < m["id_b"]]
+        return m[["id_a", "id_b", "set_size_a", "set_size_b"]]
 
-    # broadcast the (small) shingle sets of candidate ids for exact verify;
-    # candidates are rare by construction so a driver-side collect of the
-    # candidate id set is bounded — documented assumption
-    cand_df = cand.to_pandas()
-    if len(cand_df) == 0:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    need = set(cand_df["id_a"]) | set(cand_df["id_b"])
-    sets = {}
-    for batch in shs.iter_batches(batch_format="pyarrow"):
-        for i, s in zip(batch.column("id").to_pylist(), batch.column("shingles").to_pylist()):
-            if i in need:
-                sets[i] = set(s)
-    out = []
-    for a, b in zip(cand_df["id_a"], cand_df["id_b"]):
-        sa, sb = sets[a], sets[b]
-        union = len(sa | sb)
-        j = (len(sa & sb) / union) if union else 1.0
-        if j >= threshold:
-            out.append((a, b, j))
-    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["id_a", "id_b", "set_size_a", "set_size_b"], as_index=False).size()
+        c = g["size"].to_numpy()
+        union = g["set_size_a"].to_numpy() + g["set_size_b"].to_numpy() - c
+        j = np.where(union > 0, c / np.maximum(union, 1), 1.0)
+        out = g.assign(jaccard=j)[["id_a", "id_b", "jaccard"]]
+        return out[out["jaccard"] >= threshold]
+
+    from .grouped import bucketed_apply
+
+    ex = ds.map_batches(explode_shingles, batch_format="pyarrow")
+    cand = bucketed_apply(ex, "shingle", pairs_in_group)
+    return bucketed_apply(
+        cand,
+        ["id_a", "id_b"],
+        combine,
+        empty_result=pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        ),
+    )
+
+
+# ----------------------------------------------------------------------
+def embedding_neardup_pairs(
+    ds, vec_col: str, id_col: str, threshold: float = 0.9, method: str = "exact",
+    n_planes: int = 8,
+):
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    ``method="exact"``: broadcast the (normalized) full matrix once via
+    ``ray.put``, then each batch does ONE numpy matmul against it — the
+    brute-force baseline, oracle-checkable against SQL.  Fine while the
+    matrix fits a worker (N·dim·8 bytes); beyond that use ``method="lsh"``:
+    random-hyperplane sign buckets (pairs agreeing on all ``n_planes`` signs
+    co-group; recall degrades gracefully with angle) with exact verify
+    inside buckets — the scale path, approximate by construction."""
+    import ray
+
+    def load_matrix():
+        df = ds.select_columns([id_col, vec_col]).to_pandas()
+        ids = df[id_col].to_numpy()
+        order = np.argsort(ids)
+        m = np.array(df[vec_col].tolist(), dtype=np.float64)[order]
+        return ids[order], _norm_rows(m)
+
+    def _norm_rows(m):
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.maximum(nrm, 1e-12)
+
+    if method == "exact":
+        ids, mat = load_matrix()
+        ref = ray.put((ids, mat))
+
+        def score(t: pa.Table) -> pa.Table:
+            all_ids, all_m = ray.get(ref)
+            bid = np.asarray(t.column(id_col).to_pylist())
+            bm = _norm_rows(np.array(t.column(vec_col).to_pylist(), dtype=np.float64))
+            sims = bm @ all_m.T
+            bi, aj = np.nonzero(sims >= threshold)
+            ia, ib = bid[bi], all_ids[aj]
+            keep = ia < ib  # canonical, also drops self-pairs
+            return pa.table(
+                {
+                    "id_a": pa.array(ia[keep].tolist(), type=pa.int64()),
+                    "id_b": pa.array(ib[keep].tolist(), type=pa.int64()),
+                    "cosine": pa.array(sims[bi, aj][keep], type=pa.float64()),
+                }
+            )
+
+        return ds.select_columns([id_col, vec_col]).map_batches(
+            score, batch_format="pyarrow"
+        )
+
+    # ---- LSH sign-bucket path ----------------------------------------
+    # multi-table amplification: L independent tables of k hyperplanes;
+    # a pair co-buckets if ALL k signs agree in AT LEAST ONE table.  For a
+    # pair at angle θ, hit prob = 1-(1-(1-θ/π)^k)^L — sized for the
+    # near-duplicate regime (cosine >= ~0.85); low-threshold searches
+    # should use method="exact".
+    n_tables = 16
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        m = _norm_rows(np.array(t.column(vec_col).to_pylist(), dtype=np.float64))
+        rng = np.random.default_rng(1234)
+        out_bucket, out_idx = [], []
+        for table_id in range(n_tables):
+            planes = rng.standard_normal((m.shape[1], n_planes))
+            bits = (m @ planes) > 0
+            keys = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+            out_bucket.extend((np.int64(table_id) << 32 | keys).tolist())
+            out_idx.extend(range(m.shape[0]))
+        ids = t.column(id_col).to_pylist()
+        vecs = t.column(vec_col).to_pylist()
+        return pa.table(
+            {
+                "bucket": pa.array(out_bucket, type=pa.int64()),
+                "id": pa.array([ids[i] for i in out_idx]),
+                "vec": pa.array([vecs[i] for i in out_idx]),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = g.sort_values("id")
+        ids = g["id"].to_numpy()
+        m = _norm_rows(np.array(g["vec"].tolist(), dtype=np.float64))
+        sims = m @ m.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, 1))
+        return pd.DataFrame(
+            {"id_a": ids[ii], "id_b": ids[jj], "cosine": sims[ii, jj]}
+        )
+
+    from .grouped import bucketed_apply
+
+    cand = ds.map_batches(bucketize, batch_format="pyarrow")
+    pairs = cand.groupby("bucket").map_groups(verify, batch_format="pandas")
+    return bucketed_apply(
+        pairs,
+        ["id_a", "id_b"],
+        lambda df: df.groupby(["id_a", "id_b"], as_index=False)["cosine"].max(),
+    )
