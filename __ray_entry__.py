@@ -47,7 +47,10 @@ def _pages_path(sf_dir: str) -> str:
 # ======================================================================
 def entry() -> Any:
     """Flagship: pages -> blocking -> automaton scoring -> clusters."""
+    from liblevenshtein_rust_ray.pipelines.context import configure_data_context
     from liblevenshtein_rust_ray.pipelines.entity_resolution import er_clusters
+
+    configure_data_context()
 
     return er_clusters(_pages_path("/root/testdata/sf0.001"))
 
@@ -56,6 +59,9 @@ def entry() -> Any:
 # queries — each callable: sf_dir -> Dataset | DataFrame | pa.Table
 # ======================================================================
 def queries() -> dict[str, Callable[[str], Any]]:
+    from liblevenshtein_rust_ray.pipelines.context import configure_data_context
+
+    configure_data_context()
     from liblevenshtein_rust_ray.pipelines import relational as R
     from liblevenshtein_rust_ray.pipelines import fuzzy as F
     from liblevenshtein_rust_ray.pipelines.entity_resolution import er_clusters, er_pairs

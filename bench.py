@@ -47,7 +47,9 @@ def main() -> None:
 
     ctx = rd.DataContext.get_current()
     ctx.enable_progress_bars = False
-    ctx.execution_options.verbose_progress = False
+    from liblevenshtein_rust_ray.pipelines.context import configure_data_context
+
+    configure_data_context()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as em

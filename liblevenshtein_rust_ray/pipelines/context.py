@@ -9,6 +9,7 @@ only DataContext execution knobs, never ray.init.
 
 
 def configure_data_context() -> None:
+    import ray
     import ray.data as rd
 
     ctx = rd.DataContext.get_current()
@@ -19,3 +20,13 @@ def configure_data_context() -> None:
     # shuffle and get the same win from vectorized bucketed aggregation
     # (stages/grouped.py) instead.
     ctx.execution_options.verbose_progress = False
+    # Block-count discipline: Ray's default read_op_min_num_blocks=200
+    # splits small reads into hundreds of tiny blocks, and a downstream
+    # sort-shuffle then creates (in_blocks x out_partitions) intermediate
+    # objects — measured 4x end-to-end on the ER pipeline at sf0.1 (32s vs
+    # 8s).  Use a FIXED split count (independent of the session's core
+    # count) so the same job has the same physical plan at every cluster
+    # size — the cluster-scaling comparison is then resources-only, as on a
+    # real N- vs 4N-node cluster reading the same input splits;
+    # target_max_block_size (128 MiB) still re-splits genuinely large reads.
+    ctx.read_op_min_num_blocks = 64

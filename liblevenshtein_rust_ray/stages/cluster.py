@@ -29,32 +29,47 @@ from ..functions.simhash import hash64
 
 # ----------------------------------------------------------------------
 def _driver_cc(pairs) -> pd.DataFrame:
-    parent: dict[str, str] = {}
+    """Vectorized union-find on the driver: urls -> sorted-rank int codes
+    (so min code == lexicographically smallest member), then min-label
+    propagation with pointer jumping — O(log diameter) numpy passes, no
+    per-edge Python.  scipy's csgraph is used when available."""
+    import numpy as np
 
-    def find(x: str) -> str:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
+    a_parts, b_parts = [], []
+    for batch in pairs.iter_batches(batch_format="pyarrow", batch_size=262144):
+        a_parts.append(batch.column("url_a").to_numpy(zero_copy_only=False))
+        b_parts.append(batch.column("url_b").to_numpy(zero_copy_only=False))
+    if not a_parts:
+        return pd.DataFrame({"url": pd.Series(dtype="object"),
+                             "cluster_id": pd.Series(dtype="object")})
+    both = np.concatenate(a_parts + b_parts)
+    uniq, codes = np.unique(both, return_inverse=True)
+    n_edges = len(both) // 2
+    ea, eb = codes[:n_edges], codes[n_edges:]
+    n = len(uniq)
 
-    def union(a: str, b: str) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # deterministic: smaller string wins
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
+    try:
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components as _scc
 
-    nodes = set()
-    for batch in pairs.iter_batches(batch_format="pyarrow", batch_size=65536):
-        for a, b in zip(batch.column("url_a").to_pylist(), batch.column("url_b").to_pylist()):
-            nodes.add(a)
-            nodes.add(b)
-            union(a, b)
-    out = sorted(nodes)
-    return pd.DataFrame({"url": out, "cluster_id": [find(x) for x in out]})
+        g = coo_matrix((np.ones(n_edges, dtype=np.int8), (ea, eb)), shape=(n, n))
+        _, comp = _scc(g, directed=False)
+        # min-url representative per component
+        rep = np.full(comp.max() + 1 if n else 0, n, dtype=np.int64)
+        np.minimum.at(rep, comp, np.arange(n))
+        label = rep[comp]
+    except ImportError:
+        label = np.arange(n, dtype=np.int64)
+        while True:
+            m = np.minimum(label[ea], label[eb])
+            before = label.copy()
+            np.minimum.at(label, ea, m)
+            np.minimum.at(label, eb, m)
+            label = np.minimum(label, label[label])  # pointer jumping
+            if np.array_equal(label, before):
+                break
+
+    return pd.DataFrame({"url": uniq, "cluster_id": uniq[label]})
 
 
 # ----------------------------------------------------------------------
