@@ -18,9 +18,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.minhash import minhash_signature, minhash_bands, jaccard_estimate
-from ..functions.simhash import simhash64, simhash_bands, hamming64, hash64
+from ..functions.minhash import minhash_signature, minhash_bands, jaccard_estimate  # noqa: F401
+from ..functions.simhash import simhash64, simhash_bands, hamming64, hash64  # noqa: F401
 from ..functions.tokenize import tokenize, shingles, char_ngrams
+
+# byte-wise popcount lookup table for vectorized 64-bit Hamming distance
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 # ----------------------------------------------------------------------
@@ -82,31 +85,43 @@ def minhash_lsh_pairs(
             }
         )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("id").sort_values("id")
-        ids = g["id"].to_numpy()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
-        a_out, b_out, j_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = jaccard_estimate(sigs[i], sigs[j])
-                if est >= threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    j_out.append(est)
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "jaccard": j_out})
+    _empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "jaccard": pd.Series(dtype="float64")}
+    )
+
+    def pairs_in_hashbucket(df: pd.DataFrame) -> pd.DataFrame:
+        # whole hash-bucket of band-buckets at once: pandas C merge forms
+        # the candidate pairs, one numpy pass scores every pair's signature
+        # agreement (vs per-band-bucket Python dispatch — most band buckets
+        # are singletons, and dispatch dominated wall time)
+        df = df.drop_duplicates(["bucket", "id"])
+        m = df.merge(df, on="bucket", suffixes=("_a", "_b"))
+        m = m[m["id_a"] < m["id_b"]].drop_duplicates(["id_a", "id_b"])
+        if not len(m):
+            return _empty
+        A = np.frombuffer(b"".join(m["sig_a"]), dtype=np.uint64).reshape(len(m), -1)
+        B = np.frombuffer(b"".join(m["sig_b"]), dtype=np.uint64).reshape(len(m), -1)
+        est = (A == B).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame(
+            {"id_a": m["id_a"].to_numpy()[keep], "id_b": m["id_b"].to_numpy()[keep],
+             "jaccard": est[keep]}
+        )
 
     from .grouped import bucketed_apply
 
-    cand = (
-        ds.map_batches(sign, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+    cand = bucketed_apply(
+        ds.map_batches(sign, batch_format="pyarrow"),
+        "bucket",
+        pairs_in_hashbucket,
+        empty_result=_empty,
     )
     return bucketed_apply(
         cand,
         ["id_a", "id_b"],
         lambda df: df.groupby(["id_a", "id_b"], as_index=False)["jaccard"].max(),
+        empty_result=_empty,
     )
 
 
@@ -142,31 +157,40 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3, n_bands:
             }
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("id").sort_values("id")
-        ids = g["id"].to_numpy()
-        shs = g["simhash"].to_numpy()
-        a_out, b_out, h_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                h = hamming64(int(shs[i]), int(shs[j]))
-                if h <= max_hamming:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    h_out.append(h)
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "hamming": h_out})
+    _empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "hamming": pd.Series(dtype="int64")}
+    )
+
+    def verify_hashbucket(df: pd.DataFrame) -> pd.DataFrame:
+        # pairs across the whole hash-bucket via C merge; vectorized XOR +
+        # byte-LUT popcount for the Hamming verify
+        df = df.drop_duplicates(["bucket", "id"])
+        m = df.merge(df, on="bucket", suffixes=("_a", "_b"))
+        m = m[m["id_a"] < m["id_b"]].drop_duplicates(["id_a", "id_b"])
+        if not len(m):
+            return _empty
+        x = m["simhash_a"].to_numpy().astype(np.uint64) ^ m["simhash_b"].to_numpy().astype(np.uint64)
+        h = _POPCNT8[x.view(np.uint8).reshape(len(m), 8)].sum(axis=1).astype(np.int64)
+        keep = h <= max_hamming
+        return pd.DataFrame(
+            {"id_a": m["id_a"].to_numpy()[keep], "id_b": m["id_b"].to_numpy()[keep],
+             "hamming": h[keep]}
+        )
 
     from .grouped import bucketed_apply
 
-    cand = (
-        ds.map_batches(sign, batch_format="pyarrow").groupby("bucket").map_groups(
-            verify, batch_format="pandas"
-        )
+    cand = bucketed_apply(
+        ds.map_batches(sign, batch_format="pyarrow"),
+        "bucket",
+        verify_hashbucket,
+        empty_result=_empty,
     )
     return bucketed_apply(
         cand,
         ["id_a", "id_b"],
         lambda df: df.groupby(["id_a", "id_b"], as_index=False)["hamming"].min(),
+        empty_result=_empty,
     )
 
 
