@@ -300,6 +300,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def er_pairs_transposition(sf_dir):
         return er_pairs(_pages_path(sf_dir), algorithm="transposition")
 
+    def fuzzy_selfjoin_part_universal(sf_dir):
+        """Same pairs as fuzzy_selfjoin_part, scored by the PARAMETRIC
+        universal automaton A∀_n (kernel.universal — query-independent
+        precomputed tables, reference src/transducer/universal/): the
+        distance is extracted by probing n'=0..2.  Shares the levenshtein
+        SQL oracle with the trie/banded-DP engines — three independent
+        implementations, one answer."""
+        import numpy as np
+        from liblevenshtein_rust_ray.kernel.universal import universal_automaton
+
+        def score(df):
+            import pandas as pd
+
+            vals = sorted(set(df["p_name"].dropna()))
+            ua = universal_automaton(2)
+            a_out, b_out, d_out = [], [], []
+            for i, a in enumerate(vals):
+                for b in vals[i + 1:]:
+                    if abs(len(a) - len(b)) > 2:
+                        continue
+                    d = ua.distance(a, b, cap=2)
+                    if d <= 2:
+                        a_out.append(a)
+                        b_out.append(b)
+                        d_out.append(d)
+            return pd.DataFrame({"val_a": a_out, "val_b": b_out,
+                                 "distance": pd.Series(d_out, dtype="int64")})
+
+        return (
+            _rd(sf_dir, "part", ["p_name"])
+            .repartition(1)
+            .map_batches(score, batch_format="pandas", batch_size=None)
+        )
+
+    # -------------------- windowed event operators --------------------
+    def sessions_user(sf_dir):
+        from liblevenshtein_rust_ray.stages.windows import sessionize
+
+        return sessionize(_rd(sf_dir, "events", ["user_id", "ts"]),
+                          "user_id", "ts", gap_seconds=1800)
+
+    def sliding_events(sf_dir):
+        from liblevenshtein_rust_ray.stages.windows import sliding_window_agg
+
+        out = sliding_window_agg(
+            _rd(sf_dir, "events", ["ts", "event_type", "value"]),
+            "ts", "value", width_s=7200, slide_s=3600, group_col="event_type",
+        )
+
+        def fin(df):
+            df = df.copy()
+            df["sum_value"] = df["sum_value"].round(6)
+            return df
+
+        return out.map_batches(fin, batch_format="pandas")
+
+    def asof_click_error(sf_dir):
+        """Backward as-of join: each click event matched to the latest
+        preceding error event of the same user (matched rows only)."""
+        from liblevenshtein_rust_ray.stages.windows import asof_join
+
+        ev = _rd(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+        clicks = ev.filter(lambda r: r["event_type"] == "click").select_columns(
+            ["event_id", "ts", "user_id", "value"]
+        )
+        errors = ev.filter(lambda r: r["event_type"] == "error").select_columns(
+            ["ts", "user_id", "value"]
+        )
+        out = asof_join(clicks, errors, "user_id", "ts", ["value"])
+
+        def fin(df):
+            return df[df["ts_right"].notna()]
+
+        return out.map_batches(fin, batch_format="pandas")
+
     def lang_counts(sf_dir):
         from ray.data.aggregate import Sum
 
@@ -390,6 +465,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_selfjoin_part_transposition": fuzzy_selfjoin_part_transposition,
         "fuzzy_selfjoin_part_merge_split": fuzzy_selfjoin_part_merge_split,
         "er_pairs_transposition": er_pairs_transposition,
+        "fuzzy_selfjoin_part_universal": fuzzy_selfjoin_part_universal,
+        "sessions_user": sessions_user,
+        "sliding_events": sliding_events,
+        "asof_click_error": asof_click_error,
         "ann_lsh_topk": ann_lsh_topk_q,
         "token_stats": token_stats,
         "quality_docs": quality_docs,
@@ -568,6 +647,50 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t.tok HAVING count(*) >= 2
         """,
         "lang_counts": "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang",
+        "fuzzy_selfjoin_part_universal": """
+            WITH d AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS val_a, b.p_name AS val_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+            FROM d a JOIN d b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        "sessions_user": """
+            WITH d AS (SELECT user_id, ts,
+                              CASE WHEN lag(ts) OVER w IS NULL
+                                   OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                                   THEN 1 ELSE 0 END AS brk
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+                 s AS (SELECT user_id, ts,
+                              sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                             ROWS UNBOUNDED PRECEDING) AS sid
+                       FROM d)
+            SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
+        "sliding_events": """
+            WITH e AS (SELECT event_type AS grp,
+                              epoch_us(ts) // 1000000 AS sec, value
+                       FROM events),
+                 x AS (SELECT grp, sec, value,
+                              ((sec - k * 3600) // 3600) * 3600 AS window_start
+                       FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS k)
+                       WHERE sec >= ((sec - k * 3600) // 3600) * 3600
+                         AND sec <  ((sec - k * 3600) // 3600) * 3600 + 7200)
+            SELECT window_start, grp,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM x GROUP BY window_start, grp
+        """,
+        "asof_click_error": """
+            SELECT l.event_id, l.ts, l.user_id, l.value,
+                   r.ts AS ts_right, r.value AS value_right
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
                  s AS (SELECT q.vec_id AS query_id, e.vec_id AS match_id,
