@@ -413,6 +413,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _rd(sf_dir, "embeddings", ["vec_id", "embedding"])
         return ann_lsh_topk(ds, _load_queries(sf_dir), k=5)
 
+    def ann_ivf_topk_q(sf_dir):
+        """IVF centroid-partitioned ANN (approximate scale path)."""
+        from liblevenshtein_rust_ray.stages.similarity import ann_ivf_topk
+
+        ds = _rd(sf_dir, "embeddings", ["vec_id", "embedding"])
+        return ann_ivf_topk(ds, _load_queries(sf_dir), k=5)
+
+    def spelling_recall_q(sf_dir):
+        """Corpus-validation analogue: recall of fuzzy join over generated
+        misspellings (must be 1.0 — typos are within n by construction)."""
+        from liblevenshtein_rust_ray.pipelines.spelling import spelling_recall
+
+        return spelling_recall(_vocab_ds(sf_dir), "tok", n=2, per_word=2)
+
     # -------------------------- relational ----------------------------
     def q1(sf_dir):
         return R.q1_lineitem(sf_dir)
@@ -470,6 +484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_events": sliding_events,
         "asof_click_error": asof_click_error,
         "ann_lsh_topk": ann_lsh_topk_q,
+        "ann_ivf_topk": ann_ivf_topk_q,
+        "spelling_recall": spelling_recall_q,
         "token_stats": token_stats,
         "quality_docs": quality_docs,
         "langid_docs": langid_docs,

@@ -1,0 +1,125 @@
+"""CLI — the reference's command surface (query / convert / run) on Ray Data.
+
+Mirrors /root/reference/src/cli/commands.rs: ``query`` loads a dictionary
+(newline text or parquet term table — format auto-detected by extension,
+detect.rs:52-261) and runs an ordered fuzzy query; ``convert`` round-trips
+dictionaries between formats; ``run-er`` launches the flagship
+entity-resolution pipeline (the ``ray job submit`` entry point: the driver
+process runs this module, Ray Data distributes the stages).
+
+    python -m liblevenshtein_rust_ray query --dict words.txt --term tset -n 2
+    python -m liblevenshtein_rust_ray convert --input words.txt --output d.parquet
+    python -m liblevenshtein_rust_ray run-er --input pages/ --output clusters/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_terms(path: str) -> list[str]:
+    """Extension-dispatched dictionary load (detect.rs capability)."""
+    if path.endswith((".parquet", ".pq")):
+        import pyarrow.parquet as pq
+
+        return sorted(set(pq.read_table(path).column("term").to_pylist()))
+    with open(path, encoding="utf-8") as f:
+        return sorted({line.strip() for line in f if line.strip()})
+
+
+def cmd_query(args) -> int:
+    from .kernel import build_dawg, build_trie
+    from .kernel.query import ordered_query
+
+    terms = _load_terms(args.dict)
+    d = build_dawg(terms, presorted=True) if args.backend == "dawg" else build_trie(terms)
+    results = []
+    for cand in ordered_query(d, args.term, args.max_distance, args.algorithm,
+                              prefix_mode=args.prefix):
+        results.append({"term": cand.term, "distance": cand.distance})
+        if args.limit and len(results) >= args.limit:
+            break
+    print(json.dumps(results))
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from .kernel import build_trie
+    from .state.dictionary_io import write_dictionary
+
+    terms = _load_terms(args.input)
+    if args.output.endswith((".parquet", ".pq")):
+        write_dictionary(build_trie(terms), args.output)
+    else:
+        with open(args.output, "w", encoding="utf-8") as f:
+            f.write("\n".join(terms) + "\n")
+    print(json.dumps({"terms": len(terms), "output": args.output}))
+    return 0
+
+
+def cmd_run_er(args) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=args.address, include_dashboard=False,
+                 logging_level="ERROR")
+    from .pipelines.context import configure_data_context
+    from .pipelines.entity_resolution import er_pipeline
+    from .state.checkpoint import CheckpointManager
+
+    configure_data_context()
+    ck = (
+        CheckpointManager(args.checkpoint_dir)
+        if args.checkpoint_dir
+        else None
+    )
+    clusters = er_pipeline(
+        args.input,
+        out_dir=args.output,
+        max_distance=args.max_distance,
+        algorithm=args.algorithm,
+        checkpoints=ck,
+    )
+    n = clusters.count()
+    print(json.dumps({"clustered_urls": n, "output": args.output}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="liblevenshtein_rust_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query", help="fuzzy query a dictionary")
+    q.add_argument("--dict", required=True)
+    q.add_argument("--term", required=True)
+    q.add_argument("-n", "--max-distance", type=int, default=2)
+    q.add_argument("--algorithm", default="standard",
+                   choices=["standard", "transposition", "merge_and_split"])
+    q.add_argument("--backend", default="dawg", choices=["dawg", "trie"])
+    q.add_argument("--prefix", action="store_true")
+    q.add_argument("--limit", type=int, default=0)
+    q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser("convert", help="convert dictionary formats")
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.set_defaults(fn=cmd_convert)
+
+    r = sub.add_parser("run-er", help="run the entity-resolution pipeline")
+    r.add_argument("--input", required=True, help="pages parquet path/dir")
+    r.add_argument("--output", required=True, help="clusters parquet dir")
+    r.add_argument("-n", "--max-distance", type=int, default=2)
+    r.add_argument("--algorithm", default="standard")
+    r.add_argument("--checkpoint-dir", default="")
+    r.add_argument("--address", default="local")
+    r.set_defaults(fn=cmd_run_er)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

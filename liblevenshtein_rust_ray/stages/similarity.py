@@ -154,3 +154,97 @@ def ann_lsh_topk(ds, queries: dict, k: int = 5, n_planes: int = 8, probe_hamming
         return g[["query_id", "match_id", "rank", "sim"]]
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 7):
+    """Deterministic Lloyd's on normalized vectors (spherical k-means-lite)."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(sample)
+    cent = sample[rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ann_ivf_topk(ds, queries: dict, k: int = 5, n_clusters: int = 16,
+                 n_probe: int = 4, sample_size: int = 4096):
+    """IVF (inverted-file) ANN — the centroid-partitioned scale path:
+
+    1. driver fits spherical k-means centroids on a bounded SAMPLE of the
+       corpus (``ds.random_sample``-sized; deterministic seed);
+    2. centroids broadcast once; each query probes its ``n_probe`` nearest
+       centroids;
+    3. per batch, only rows assigned to a probed centroid are scored
+       against that query (numpy matmul), partial top-k, tiny merge.
+
+    Recall degrades with cluster truncation — the brute-force baseline is
+    the exactness oracle in tests.  At 100 TB the sample feeding k-means is
+    a fixed-size driver-side array; everything else streams."""
+    import ray
+
+    sample = []
+    remaining = sample_size
+    for b in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        sample.extend(b.column("embedding").to_pylist()[:remaining])
+        remaining = sample_size - len(sample)
+        if remaining <= 0:
+            break
+    cent = _kmeans(np.array(sample, dtype=np.float64), n_clusters)
+
+    qmat = _normalize(queries["matrix"].astype(np.float64))
+    probes = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]
+    ref = ray.put({**queries, "centroids": cent, "probes": probes})
+
+    class IvfTopK(_PartialTopK):
+        def _ensure(self):
+            if self.qids is None:
+                super()._ensure()
+                import ray as _r
+
+                obj = _r.get(self._ref)
+                self.cent = obj["centroids"]
+                self.probes = obj["probes"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            self._ensure()
+            ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            if mat.size == 0:
+                return pa.table({"query_id": pa.array([], type=pa.int64()),
+                                 "match_id": pa.array([], type=pa.int64()),
+                                 "sim": pa.array([], type=pa.float64())})
+            matn = _normalize(mat)
+            assign = np.argmax(matn @ self.cent.T, axis=1)
+            out_q, out_m, out_s = [], [], []
+            for qi in range(len(self.qids)):
+                sel = np.isin(assign, self.probes[qi])
+                if not sel.any():
+                    continue
+                row = matn[sel] @ self.qmat[qi]
+                sub_ids = ids[sel]
+                idx = np.lexsort((sub_ids, -row))[: self.k]
+                out_q.extend([self.qids[qi]] * len(idx))
+                out_m.extend(sub_ids[idx].tolist())
+                out_s.extend(row[idx].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "match_id": pa.array(out_m, type=pa.int64()),
+                    "sim": pa.array(out_s, type=pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(IvfTopK(ref, k), batch_format="pyarrow", batch_size=4096)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "match_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "match_id", "rank", "sim"]]
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

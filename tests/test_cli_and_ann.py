@@ -1,0 +1,69 @@
+"""CLI surface (query/convert), IVF ANN recall, spelling-recall pipeline."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+def test_cli_query_and_convert(tmp_path, capsys):
+    from liblevenshtein_rust_ray.cli import main
+
+    words = tmp_path / "words.txt"
+    words.write_text("test\nbest\nrest\ntesting\n")
+    assert main(["query", "--dict", str(words), "--term", "test", "-n", "1"]) == 0
+    got = json.loads(capsys.readouterr().out)
+    assert got == [
+        {"term": "test", "distance": 0},
+        {"term": "best", "distance": 1},
+        {"term": "rest", "distance": 1},
+    ]
+
+    pq_path = tmp_path / "dict.parquet"
+    assert main(["convert", "--input", str(words), "--output", str(pq_path)]) == 0
+    capsys.readouterr()
+    assert main(["query", "--dict", str(pq_path), "--term", "tes", "-n", "0",
+                 "--prefix", "--backend", "trie"]) == 0
+    got = json.loads(capsys.readouterr().out)
+    assert {g["term"] for g in got} == {"test", "testing"}
+
+
+def test_ann_ivf_recall(ray_session):
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.similarity import ann_brute_topk, ann_ivf_topk
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((10, 24))
+    rows = []
+    for c in range(10):
+        for j in range(30):
+            v = centers[c] + 0.1 * rng.standard_normal(24)
+            rows.append({"vec_id": c * 30 + j, "embedding": v.tolist()})
+    ds = rd.from_items(rows)
+    queries = {
+        "ids": np.arange(5, dtype=np.int64),
+        "matrix": np.array([rows[i * 30]["embedding"] for i in range(5)]),
+    }
+    brute = ann_brute_topk(ds, queries, k=5).to_pandas()
+    ivf = ann_ivf_topk(ds, queries, k=5, n_clusters=10, n_probe=3,
+                       sample_size=300).to_pandas()
+    b = {(q, m) for q, m in zip(brute["query_id"], brute["match_id"])}
+    v = {(q, m) for q, m in zip(ivf["query_id"], ivf["match_id"])}
+    assert len(v & b) / len(b) >= 0.9
+
+
+def test_spelling_recall_is_one(ray_session):
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.pipelines.spelling import spelling_recall
+
+    vocab = rd.from_items(
+        [{"tok": w} for w in
+         ["apple", "banana", "cherry", "orange", "grape", "melon", "papaya",
+          "kiwi", "mango", "plum", "apricot", "fig"]]
+    )
+    out = spelling_recall(vocab, "tok", n=2, per_word=3).to_pandas()
+    assert len(out) == 1
+    assert out["recall"].iloc[0] == 1.0
+    assert out["n_misspellings"].iloc[0] > 0
