@@ -130,12 +130,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pattern="custoner", n=1,
         )
 
-    def fuzzy_vocab_pairs_leet(sf_dir):
+    def fuzzy_vocab_pairs_subst(sf_dir):
         """Restricted-substitution fuzzy pairs: vocabulary tokens within
-        d<=1 when leet-speak substitutions (o/0, l/1, ...) are free."""
-        from liblevenshtein_rust_ray.kernel.substitution import leet_speak
+        d<=1 when phonetic_basic substitutions (f/p, c/k, c/s, s/z, a/e,
+        i/y) are free — the reference's SubstitutionSet presets
+        (substitution_set.rs:414-510; leet/qwerty/ocr are the same plumbing
+        with different pair tables)."""
+        from liblevenshtein_rust_ray.kernel.substitution import phonetic_basic
 
-        return F.fuzzy_self_join(_vocab_ds(sf_dir), "tok", n=1, subst=leet_speak())
+        return F.fuzzy_self_join(_vocab_ds(sf_dir), "tok", n=1, subst=phonetic_basic())
 
     def fuzzy_join_vocab_partwords(sf_dir):
         """Two-sided fuzzy join: document vocabulary x part-name words, d<=1."""
@@ -466,7 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_lookup_parts_filtered": fuzzy_lookup_parts_filtered,
         "fuzzy_topk_part": fuzzy_topk_part,
         "fuzzy_join_vocab_partwords": fuzzy_join_vocab_partwords,
-        "fuzzy_vocab_pairs_leet": fuzzy_vocab_pairs_leet,
+        "fuzzy_vocab_pairs_subst": fuzzy_vocab_pairs_subst,
         "substring_search_docs": substring_search_docs,
         "prefix_search_tokens": prefix_search_tokens,
         "exact_dedup_part": exact_dedup_part,
