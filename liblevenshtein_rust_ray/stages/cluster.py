@@ -99,13 +99,19 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64):
     labels = bucketed_apply(edges, "node", init_labels, n_buckets).materialize()
 
     def signature(lab) -> int:
-        def part(t: pa.Table) -> pa.Table:
-            s = 0
-            for n, l in zip(t.column("node").to_pylist(), t.column("label").to_pylist()):
-                s = (s + hash64(f"{n}\x00{l}")) % (1 << 61)
-            return pa.table({"s": pa.array([s], type=pa.int64())})
+        """Order-independent fingerprint of the label assignment: per-batch
+        vectorized row hashes (pandas siphash, fixed key — process-stable)
+        summed mod 2^61.  No per-row Python."""
 
-        return int(lab.map_batches(part, batch_format="pyarrow").sum("s")) % (1 << 61)
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(
+                df["node"].astype(str) + "\x00" + df["label"].astype(str),
+                index=False,
+            ).to_numpy(dtype="uint64")
+            s = int(h.sum(dtype="uint64") % (1 << 61))
+            return pd.DataFrame({"s": [s]})
+
+        return int(lab.map_batches(part, batch_format="pandas").sum("s")) % (1 << 61)
 
     sig = signature(labels)
     for _round in range(max_rounds):
