@@ -43,7 +43,14 @@ def _driver_cc(pairs) -> pd.DataFrame:
         return pd.DataFrame({"url": pd.Series(dtype="object"),
                              "cluster_id": pd.Series(dtype="object")})
     both = np.concatenate(a_parts + b_parts)
-    uniq, codes = np.unique(both, return_inverse=True)
+    # hash-factorize then rank only the uniques — much cheaper than
+    # np.unique's full sort of the duplicated edge array
+    inv, uniq = pd.factorize(both, sort=False)
+    order = np.argsort(uniq)
+    rank_of = np.empty(len(uniq), dtype=np.int64)
+    rank_of[order] = np.arange(len(uniq))
+    codes = rank_of[inv]
+    uniq = uniq[order]  # uniq[r] = r-th smallest url; min code ≡ min url
     n_edges = len(both) // 2
     ea, eb = codes[:n_edges], codes[n_edges:]
     n = len(uniq)
