@@ -303,6 +303,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def er_pairs_transposition(sf_dir):
         return er_pairs(_pages_path(sf_dir), algorithm="transposition")
 
+    def er_pairs_incremental_q(sf_dir):
+        """Dynamic-dictionary capability: 90/10 url-hash split of the corpus,
+        delta pages re-score only their blocks, merged with the base edges.
+        Equals the from-scratch run (pinned by tests)."""
+        import ray.data as rd
+        from liblevenshtein_rust_ray.functions.simhash import hash64
+        from liblevenshtein_rust_ray.pipelines.entity_resolution import (
+            er_pairs_incremental,
+        )
+
+        p = _pages_path(sf_dir)
+
+        def side(is_new):
+            def keep(t: pa.Table) -> pa.Table:
+                import numpy as np
+
+                mask = np.array(
+                    [(hash64(u) % 10 == 0) == is_new for u in t.column("url").to_pylist()]
+                )
+                return t.filter(pa.array(mask))
+
+            return rd.read_parquet(p).map_batches(keep, batch_format="pyarrow")
+
+        base = er_pairs(side(False))
+        return er_pairs_incremental(side(False), side(True), base_pairs=base)
+
     def fuzzy_selfjoin_part_universal(sf_dir):
         """Same pairs as fuzzy_selfjoin_part, scored by the PARAMETRIC
         universal automaton A∀_n (kernel.universal — query-independent
@@ -482,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_selfjoin_part_transposition": fuzzy_selfjoin_part_transposition,
         "fuzzy_selfjoin_part_merge_split": fuzzy_selfjoin_part_merge_split,
         "er_pairs_transposition": er_pairs_transposition,
+        "er_pairs_incremental": er_pairs_incremental_q,
         "fuzzy_selfjoin_part_universal": fuzzy_selfjoin_part_universal,
         "sessions_user": sessions_user,
         "sliding_events": sliding_events,

@@ -143,6 +143,72 @@ def er_pipeline(source, out_dir: str | None = None, output_partitions: int | Non
 
 
 # ----------------------------------------------------------------------
+def er_pairs_incremental(
+    old_source,
+    new_source,
+    base_pairs=None,
+    max_distance: int = 2,
+    algorithm: str = STANDARD,
+):
+    """Incremental update — the reference's dynamic-dictionary capability
+    (DynamicDawg insert/remove, /root/reference/src/dictionary/dynamic_dawg.rs)
+    in batch form (SURVEY.md §2.2): appending pages re-scores ONLY the
+    blocks that gained a member.
+
+    Both page sets flow through the same extract/blocking stages; inside
+    each hash bucket, blocks containing at least one NEW page are rescored
+    in full (old + new members), all other blocks are skipped.
+
+    Contract (pinned by tests): the merge with ``base_pairs`` is a
+    SUPERSET of the from-scratch edge set whose connected components are
+    IDENTICAL.  The possible extras are stale-representative aliases: when
+    a new page becomes a block's minimal url, base edges name the old
+    representative — which the rescored block's distance-0 star already
+    links to the new one, so clustering is unaffected."""
+    import pandas as pd
+
+    from .context import configure_data_context
+    from ..stages.grouped import bucketed_apply
+    from ..stages.scorer import _empty_edges, score_bucket_vectorized
+
+    configure_data_context()
+
+    def keyed(source, flag):
+        ds = read_pages(source)
+        ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+        ds = ds.map_batches(blocking_keys_batch, batch_format="pyarrow")
+
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__new"] = flag
+            return df
+
+        return ds.map_batches(tag, batch_format="pandas")
+
+    both = keyed(old_source, False).union(keyed(new_source, True))
+
+    def score_affected(df: pd.DataFrame) -> pd.DataFrame:
+        hot = df.loc[df["__new"], "block_key"].unique()
+        sub = df[df["block_key"].isin(set(hot))].drop(columns="__new")
+        if not len(sub):
+            return _empty_edges()
+        return score_bucket_vectorized(
+            sub, max_distance=max_distance, algorithm=algorithm
+        )
+
+    delta = bucketed_apply(
+        both, "block_key", score_affected, n_buckets=64, empty_result=_empty_edges()
+    )
+    merged = delta if base_pairs is None else base_pairs.union(delta)
+    return bucketed_apply(
+        merged,
+        ["url_a", "url_b"],
+        lambda df: df.groupby(["url_a", "url_b"], as_index=False)["distance"].min(),
+        empty_result=_empty_edges(),
+    )
+
+
+# ----------------------------------------------------------------------
 def evaluate_f1(clusters, labeled_pairs) -> dict:
     """Pairwise precision/recall/F1 of cluster co-membership against labeled
     within-entity pairs (FIXTURES.md §2; target >= 0.99).

@@ -115,3 +115,29 @@ def test_write_corpus_layout(tmp_path):
 
     pages, _ = generate_corpus(0.0001, seed=42)
     assert total == pages.num_rows
+
+
+def test_er_pairs_incremental_equals_full(corpus):
+    """Appending pages and re-scoring only affected blocks: the merged edge
+    set is a superset of the from-scratch run (extras are stale-
+    representative aliases) with IDENTICAL connected components
+    (dynamic-dictionary capability, SURVEY.md §2.2)."""
+    from liblevenshtein_rust_ray.stages.cluster import connected_components
+    from liblevenshtein_rust_ray.pipelines.entity_resolution import (
+        er_pairs,
+        er_pairs_incremental,
+    )
+
+    tab, _labeled = corpus
+    n = tab.num_rows
+    old_t, new_t = tab.slice(0, int(n * 0.9)), tab.slice(int(n * 0.9))
+
+    full = er_pairs(tab).materialize()
+    base = er_pairs(old_t)
+    inc = er_pairs_incremental(old_t, new_t, base_pairs=base).materialize()
+
+    key = lambda df: set(map(tuple, df[["url_a", "url_b", "distance"]].values.tolist()))
+    assert key(full.to_pandas()) <= key(inc.to_pandas())
+    ci = connected_components(inc).to_pandas().sort_values("url").reset_index(drop=True)
+    cf = connected_components(full).to_pandas().sort_values("url").reset_index(drop=True)
+    assert ci.equals(cf)
