@@ -38,8 +38,16 @@ def subsumes(lhs: Position, rhs: Position, algorithm: str, query_length: int) ->
         if s:
             if t:
                 return i == j
-            # lhs special, rhs normal: rhs must be at n errors and same index
-            return f == query_length and i == j
+            # lhs special, rhs normal: NEVER subsume.  The reference
+            # (position.rs:104-113, from C++ subsumes.cpp) allows it when
+            # f == query_length and i == j, but that is unsound: a special
+            # awaits q[i] and completes to (i+2, e), while the normal at
+            # max errors can still accept the exact tail q[j:] — e.g.
+            # query "cb", term "abcb", n=2: (0,2,special) would wrongly
+            # subsume (0,2,normal), whose match-match path is the ONLY
+            # accepting one.  Keeping both is conservative (never loses a
+            # match) and the automaton ≡ DP property test pins it.
+            return False
         if t:
             # lhs normal, rhs special: cannot subsume (transposition-in-progress
             # paths must stay alive; see reference position.rs:116-144)

@@ -32,14 +32,19 @@ from .algorithm import STANDARD, TRANSPOSITION, MERGE_AND_SPLIT
 
 
 def encode_strings(strings, reverse: bool = False):
-    """UTF-32 codepoint matrix (P, maxlen) uint32, zero-padded, + lengths."""
+    """Unit matrix (P, maxlen) uint32, zero-padded, + lengths: UTF-32
+    codepoints for ``str`` terms, raw bytes for ``bytes`` terms (the
+    reference's CharUnit axis, char_unit.rs:30-78)."""
     P = len(strings)
     lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=P)
     maxlen = int(lens.max()) if P else 0
     out = np.zeros((P, max(maxlen, 1)), dtype=np.uint32)
     for i, s in enumerate(strings):
         if s:
-            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            if isinstance(s, bytes):
+                cp = np.frombuffer(s, dtype=np.uint8).astype(np.uint32)
+            else:
+                cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
             out[i, : len(cp)] = cp[::-1] if reverse else cp
     return out, lens
 

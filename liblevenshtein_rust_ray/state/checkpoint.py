@@ -65,7 +65,6 @@ class CheckpointManager:
         ds = compute()
         ds.write_parquet(tmp_dir)
         os.replace(tmp_dir, out_dir)
-        rows = sum(1 for _ in ())  # filled from manifest-free count below
         out = rd.read_parquet(out_dir)
         rows = out.count()
         with open(self._manifest_path(stage) + ".tmp", "w") as f:

@@ -151,3 +151,39 @@ def test_batch_distances_subst_equals_automaton(pairs, n):
         hits = list(query(build_trie([b]), a, n, "standard", subst=sub))
         want = hits[0].distance if hits else n + 1
         assert int(g) == want, (a, b, n)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.binary(max_size=10), st.binary(max_size=10)),
+        min_size=1, max_size=20,
+    ),
+    n=st.integers(min_value=0, max_value=2),
+    alg=st.sampled_from(ALGORITHMS),
+)
+def test_batch_distances_bytes_mode(pairs, n, alg):
+    """Byte-unit terms (the reference's CharUnit axis) go through the same
+    banded kernel; oracle = DP over byte sequences."""
+    from liblevenshtein_rust_ray.kernel.vectorized import batch_distances
+
+    dp = distance_fn(alg)
+    qs = [a for a, _ in pairs]
+    ts = [b for _, b in pairs]
+    got = batch_distances(qs, ts, n, alg)
+    for (a, b), g in zip(pairs, got):
+        assert int(g) == min(dp(a, b), n + 1), (a, b, n, alg)
+
+
+def test_transposition_special_subsumption_regression():
+    """Pinned regression: the reference's special-subsumes-normal rule
+    (position.rs:104-113, f == query_length && i == j) kills the only
+    accepting path for query 'cb' vs term 'abcb' at n=2 — the special
+    (0,2,t) must NOT subsume the normal (0,2) whose match-match tail
+    accepts.  Found by the Hypothesis oracle; our rule keeps both."""
+    from liblevenshtein_rust_ray.kernel import build_trie
+    from liblevenshtein_rust_ray.kernel.query import query
+
+    for terms, q in [(["abcb"], "cb"), (["xyay"], "ay"), (["aé中é"], "中é")]:
+        got = {c.term: c.distance for c in query(build_trie(terms), q, 2, "transposition")}
+        assert got == {terms[0]: 2}
