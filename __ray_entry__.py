@@ -121,6 +121,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             value_pred=lambda v: int(v) % 2 == 0,
         )
 
+    def fuzzy_lookup_parts_valueset(sf_dir):
+        """query_by_value_set (reference mod.rs:607-623): fuzzy lookup
+        restricted to payloads in a broadcast value set (partkeys < 32)."""
+        part = _rd(sf_dir, "part", ["p_partkey", "p_name"])
+        allowed = set(range(32))
+        return F.fuzzy_lookup_agg(
+            part, part, "p_name", "p_name", "p_partkey", n=1,
+            value_pred=lambda v: int(v) in allowed,
+        )
+
     def substring_search_docs(sf_dir):
         """Approximate substring scan (suffix-automaton capability):
         occurrences of 'custoner' (typo of 'customer') within document text,
@@ -493,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_vocab_pairs": fuzzy_vocab_pairs,
         "fuzzy_lookup_parts": fuzzy_lookup_parts,
         "fuzzy_lookup_parts_filtered": fuzzy_lookup_parts_filtered,
+        "fuzzy_lookup_parts_valueset": fuzzy_lookup_parts_valueset,
         "fuzzy_topk_part": fuzzy_topk_part,
         "fuzzy_join_vocab_partwords": fuzzy_join_vocab_partwords,
         "fuzzy_vocab_pairs_subst": fuzzy_vocab_pairs_subst,
@@ -575,6 +586,17 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_lookup_parts_filtered": """
             WITH d AS (SELECT DISTINCT p_name FROM part),
                  e AS (SELECT * FROM part WHERE p_partkey % 2 = 0)
+            SELECT a.p_name AS query,
+                   COALESCE(string_agg(DISTINCT CAST(b.p_partkey AS VARCHAR), ','
+                            ORDER BY CAST(b.p_partkey AS VARCHAR)), '') AS values,
+                   CAST(count(DISTINCT b.p_name) AS BIGINT) AS n_matches,
+                   CAST(COALESCE(min(levenshtein(a.p_name, b.p_name)), -1) AS BIGINT) AS min_distance
+            FROM d a LEFT JOIN e b ON levenshtein(a.p_name, b.p_name) <= 1
+            GROUP BY a.p_name
+        """,
+        "fuzzy_lookup_parts_valueset": """
+            WITH d AS (SELECT DISTINCT p_name FROM part),
+                 e AS (SELECT * FROM part WHERE p_partkey < 32)
             SELECT a.p_name AS query,
                    COALESCE(string_agg(DISTINCT CAST(b.p_partkey AS VARCHAR), ','
                             ORDER BY CAST(b.p_partkey AS VARCHAR)), '') AS values,

@@ -3,8 +3,8 @@
 Two execution paths behind one API:
 
 * ``driver`` — when the EDGE set is small (≤ ``driver_threshold`` edges,
-  default 2M ≈ a few hundred MB of strings), stream the edges to the driver
-  and run classic union-find.  Edges are the SCORER's output — orders of
+  default 8M ≈ ~1 GB of url strings — the vectorized union-find handles
+  1.2M edges in ~1.5 s), stream the edges to the driver.  Edges are the SCORER's output — orders of
   magnitude smaller than the corpus — so this is the right call for
   small-to-medium runs (the guide's "union-find on the driver only if the
   candidate set is provably small").
@@ -176,7 +176,7 @@ def connected_components(
     pairs,
     max_rounds: int = 15,
     mode: str = "auto",
-    driver_threshold: int = 2_000_000,
+    driver_threshold: int = 8_000_000,
 ):
     """``pairs``: Dataset with url_a/url_b → Dataset (url, cluster_id).
     Only matched nodes appear; unmatched pages are implicit singletons (at
