@@ -100,6 +100,11 @@ def main() -> None:
             out.count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    if "--stats" in sys.argv:
+        # per-operator execution stats for the headline pipeline (the
+        # ds.stats() review loop) — stderr so stdout stays one JSON line
+        print(pairs.stats(), file=sys.stderr)
+
     result = {
         "metric": "er_pipeline_sec",
         "value": round(headline, 3),
