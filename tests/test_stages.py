@@ -221,3 +221,27 @@ def test_vectorized_scorer_salting_parity():
     auto = sc(df).groupby(["url_a", "url_b"], as_index=False)["distance"].min()
     vec = score_bucket_vectorized(df, max_block_strings=8)
     assert set(map(tuple, auto.values.tolist())) == set(map(tuple, vec.values.tolist()))
+
+
+def test_blocking_recall_property():
+    """Property: any >=3-token title and a <=2-edit perturbation of it share
+    at least one blocking key on the same host (recall by construction, not
+    probability — the flagship's completeness claim)."""
+    import random
+
+    from liblevenshtein_rust_ray.functions.typogen import TypoGenerator
+    from liblevenshtein_rust_ray.stages.blocking import keys_for_title
+
+    rng = random.Random(17)
+    alpha = "abcdefgh"
+    for trial in range(300):
+        n_tok = rng.randint(3, 7)
+        title = " ".join(
+            "".join(rng.choice(alpha) for _ in range(rng.randint(3, 10)))
+            for _ in range(n_tok)
+        )
+        g = TypoGenerator(seed=trial)
+        perturbed = g.generate_typos(title, rng.randint(0, 2))
+        ka = set(keys_for_title("host", title))
+        kb = set(keys_for_title("host", perturbed))
+        assert ka & kb, (title, perturbed)
