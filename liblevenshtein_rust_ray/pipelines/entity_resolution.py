@@ -69,17 +69,46 @@ def er_pairs(
         ds = ds.map_batches(extract_batch, batch_format="pyarrow")
         ds = ds.map_batches(blocking_keys_batch, batch_format="pyarrow")
         if engine == "vectorized" and not emit_all_pairs:
-            # one Python dispatch per bucket; all pair scoring in one
-            # vectorized kernel call per bucket
-            pairs = bucketed_apply(
-                ds,
-                "block_key",
-                lambda df: score_bucket_vectorized(
-                    df, max_distance=max_distance, algorithm=algorithm
-                ),
-                n_buckets=64,
-                empty_result=_empty_edges(),
-            )
+            if scorer_concurrency:
+                # stateful actor pool: per-actor universal-automaton tables
+                # + memo cache built once in __init__ (north-star shape)
+                import pandas as pd
+
+                from ..stages.grouped import _with_schema_sentinel
+                from ..stages.scorer import BucketScorerActor
+
+                def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+                    df = df.copy()
+                    h = pd.util.hash_pandas_object(df[["block_key"]], index=False)
+                    df["__bucket"] = (h % 64).astype("int32")
+                    return df
+
+                pairs = _with_schema_sentinel(
+                    ds.map_batches(add_bucket, batch_format="pandas")
+                    .groupby("__bucket")
+                    .map_groups(
+                        BucketScorerActor,
+                        fn_constructor_kwargs={
+                            "max_distance": max_distance,
+                            "algorithm": algorithm,
+                        },
+                        concurrency=scorer_concurrency,
+                        batch_format="pandas",
+                    ),
+                    _empty_edges(),
+                )
+            else:
+                # one Python dispatch per bucket; all pair scoring in one
+                # vectorized kernel call per bucket
+                pairs = bucketed_apply(
+                    ds,
+                    "block_key",
+                    lambda df: score_bucket_vectorized(
+                        df, max_distance=max_distance, algorithm=algorithm
+                    ),
+                    n_buckets=64,
+                    empty_result=_empty_edges(),
+                )
         else:
             scorer = BlockScorer(
                 max_distance=max_distance,

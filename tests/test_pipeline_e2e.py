@@ -141,3 +141,13 @@ def test_er_pairs_incremental_equals_full(corpus):
     ci = connected_components(inc).to_pandas().sort_values("url").reset_index(drop=True)
     cf = connected_components(full).to_pandas().sort_values("url").reset_index(drop=True)
     assert ci.equals(cf)
+
+
+def test_er_pairs_actor_pool_parity(corpus):
+    """scorer_concurrency engages a stateful actor pool (per-actor universal
+    tables + memo cache); output identical to the task path."""
+    tab, _ = corpus
+    task = er_pairs(tab).to_pandas()
+    act = er_pairs(tab, scorer_concurrency=2).to_pandas()
+    key = lambda df: set(map(tuple, df[["url_a", "url_b", "distance"]].values.tolist()))
+    assert key(task) == key(act)
