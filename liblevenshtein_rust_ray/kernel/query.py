@@ -87,22 +87,25 @@ def ordered_query(
     substring_mode: bool = False,
     subst=None,
     limit: int | None = None,
+    predicate=None,
 ) -> list[Candidate]:
     """All matches sorted (distance asc, term lexicographic) — the ordering
     contract of the reference's ``query_ordered`` (transducer/mod.rs:390-427).
-    ``limit`` truncates after ordering (``QueryBuilder::limit`` semantics)."""
-    out = sorted(
-        query(
-            dictionary,
-            query_term,
-            max_distance,
-            algorithm,
-            prefix_mode=prefix_mode,
-            substring_mode=substring_mode,
-            subst=subst,
-        ),
-        key=lambda c: (c.distance, c.term),
+    ``limit`` truncates after ordering (``QueryBuilder::limit`` semantics);
+    ``predicate(term) -> bool`` filters before the limit (the ordered-query
+    filter hook, ordered_query.rs:295)."""
+    hits = query(
+        dictionary,
+        query_term,
+        max_distance,
+        algorithm,
+        prefix_mode=prefix_mode,
+        substring_mode=substring_mode,
+        subst=subst,
     )
+    if predicate is not None:
+        hits = [c for c in hits if predicate(c.term)]
+    out = sorted(hits, key=lambda c: (c.distance, c.term))
     if limit is not None:
         out = out[:limit]
     return out

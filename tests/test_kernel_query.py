@@ -177,3 +177,13 @@ def test_dawg_query_equals_trie_query():
     for q in ["band", "cand", "bananna", "xyz"]:
         for alg in (STANDARD, TRANSPOSITION, MERGE_AND_SPLIT):
             assert qset(t, q, 2, alg) == qset(d, q, 2, alg)
+
+
+def test_ordered_query_predicate_filter():
+    """Filter hook applies before the limit (ordered_query.rs:295)."""
+    from liblevenshtein_rust_ray.kernel import build_trie
+    from liblevenshtein_rust_ray.kernel.query import ordered_query
+
+    trie = build_trie(["test", "best", "rest", "jest"])
+    got = ordered_query(trie, "test", 1, predicate=lambda t: t != "best", limit=2)
+    assert [(c.term, c.distance) for c in got] == [("test", 0), ("jest", 1)]

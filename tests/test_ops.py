@@ -142,3 +142,20 @@ def test_fuzzy_join_two_sided():
         ("merge", "merge"): 0,
         ("merge", "merges"): 1,
     }
+
+
+def test_multimodal_actor_pool(ray_session):
+    """concurrency engages the actor-pool form of the decode stage; output
+    identical to the task form."""
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.multimodal import multimodal_features
+
+    rows = [{"url": f"u{i}", "payload": bytes([i] * (i + 1))} for i in range(40)]
+    a = multimodal_features(rd.from_items(rows)).to_pandas().sort_values("url")
+    b = (
+        multimodal_features(rd.from_items(rows), concurrency=2)
+        .to_pandas()
+        .sort_values("url")
+    )
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))

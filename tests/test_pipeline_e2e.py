@@ -151,3 +151,21 @@ def test_er_pairs_actor_pool_parity(corpus):
     act = er_pairs(tab, scorer_concurrency=2).to_pandas()
     key = lambda df: set(map(tuple, df[["url_a", "url_b", "distance"]].values.tolist()))
     assert key(task) == key(act)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_er_pipeline_writes_partitioned_output(tmp_path, corpus):
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.pipelines.entity_resolution import er_pipeline
+
+    pages, _ = corpus
+    out_dir = str(tmp_path / "clusters")
+    clusters = er_pipeline(rd.from_arrow(pages), out_dir=out_dir, output_partitions=3)
+    files = glob.glob(f"{out_dir}/*.parquet")
+    assert len(files) >= 1
+    total = sum(pq.read_table(f).num_rows for f in files)
+    assert total == clusters.count() > 0
