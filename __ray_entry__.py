@@ -305,6 +305,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return F.fuzzy_self_join(_rd(sf_dir, "part", ["p_name"]), "p_name", n=2,
                                  algorithm="transposition")
 
+    def fuzzy_selfjoin_part_ocr(sf_dir):
+        """Weighted operation-set scoring (GeneralizedAutomaton/OperationSet
+        capability): OCR cost model (substitute/merge/split 0.5), pairs with
+        weighted distance <= 1.0; rows-only (weighted costs have no SQL
+        analogue)."""
+        import numpy as np
+        import pandas as pd
+        from liblevenshtein_rust_ray.kernel.operations import (
+            OperationSet,
+            batch_weighted_distances,
+        )
+
+        def score(df):
+            vals = sorted(set(df["p_name"].dropna()))
+            ii, jj = np.triu_indices(len(vals), 1)
+            d = batch_weighted_distances(
+                [vals[i] for i in ii], [vals[j] for j in jj], OperationSet.ocr()
+            )
+            keep = d <= 1.0
+            return pd.DataFrame(
+                {"val_a": [vals[i] for i in ii[keep]],
+                 "val_b": [vals[j] for j in jj[keep]],
+                 "weight": d[keep]}
+            )
+
+        return (
+            _rd(sf_dir, "part", ["p_name"])
+            .repartition(1)
+            .map_batches(score, batch_format="pandas", batch_size=None)
+        )
+
     def fuzzy_selfjoin_part_merge_split(sf_dir):
         """Merge-and-split algorithm variant (reference Table 8.1); rows-only."""
         return F.fuzzy_self_join(_rd(sf_dir, "part", ["p_name"]), "p_name", n=2,
@@ -518,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scoped_completion": scoped_completion,
         "fuzzy_selfjoin_part_transposition": fuzzy_selfjoin_part_transposition,
         "fuzzy_selfjoin_part_merge_split": fuzzy_selfjoin_part_merge_split,
+        "fuzzy_selfjoin_part_ocr": fuzzy_selfjoin_part_ocr,
         "er_pairs_transposition": er_pairs_transposition,
         "er_pairs_incremental": er_pairs_incremental_q,
         "fuzzy_selfjoin_part_universal": fuzzy_selfjoin_part_universal,

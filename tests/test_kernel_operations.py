@@ -1,0 +1,69 @@
+"""Weighted operation sets (kernel.operations) — the GeneralizedAutomaton /
+OperationSet cost-model capability, oracle-tested against a brute-force
+recursion and the unit-cost DP kernels."""
+
+import random
+
+import pytest
+
+from liblevenshtein_rust_ray.kernel.distance import (
+    standard_distance,
+    transposition_distance,
+)
+from liblevenshtein_rust_ray.kernel.operations import (
+    OperationSet,
+    batch_weighted_distances,
+    brute_force_distance,
+    weighted_distance,
+)
+
+
+def _rand_words(seed, n, alpha="abc", maxlen=5):
+    rng = random.Random(seed)
+    return [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, maxlen)))
+        for _ in range(n)
+    ]
+
+
+def test_unit_costs_match_standard_dp():
+    ops = OperationSet.standard()
+    for a, b in zip(_rand_words(1, 200), _rand_words(2, 200)):
+        assert weighted_distance(a, b, ops) == standard_distance(a, b)
+
+
+def test_unit_transpose_matches_osa_dp():
+    ops = OperationSet.transposition()
+    for a, b in zip(_rand_words(3, 200), _rand_words(4, 200)):
+        assert weighted_distance(a, b, ops) == transposition_distance(a, b)
+
+
+def test_weighted_matches_brute_force():
+    rng = random.Random(9)
+    for trial in range(120):
+        ops = OperationSet(
+            substitute=rng.choice([None, 0.5, 1.0, 2.0]),
+            insert=rng.choice([0.5, 1.0, 1.5]),
+            delete=rng.choice([0.5, 1.0, 1.5]),
+            transpose=rng.choice([None, 0.3, 1.0]),
+            merge=rng.choice([None, 0.4, 1.0]),
+            split=rng.choice([None, 0.4, 1.0]),
+        )
+        a, b = _rand_words(trial, 1, maxlen=4)[0], _rand_words(trial + 999, 1, maxlen=4)[0]
+        assert weighted_distance(a, b, ops) == pytest.approx(
+            brute_force_distance(a, b, ops)
+        )
+
+
+def test_disabled_ops_give_infinity():
+    ops = OperationSet(insert=None, substitute=None)
+    assert weighted_distance("", "a", ops) == float("inf")
+    assert weighted_distance("a", "a", ops) == 0.0
+
+
+def test_batch_wrapper():
+    ops = OperationSet.ocr()
+    qs, ts = ["rn", "abc"], ["m", "abc"]
+    got = batch_weighted_distances(qs, ts, ops, cap=1)
+    assert got[0] == 0.5  # merge rn -> m at OCR weight
+    assert got[1] == 0.0
