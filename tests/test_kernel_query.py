@@ -187,3 +187,42 @@ def test_ordered_query_predicate_filter():
     trie = build_trie(["test", "best", "rest", "jest"])
     got = ordered_query(trie, "test", 1, predicate=lambda t: t != "best", limit=2)
     assert [(c.term, c.distance) for c in got] == [("test", 0), ("jest", 1)]
+
+
+def test_prefix_mode_reference_semantics():
+    """Prefix distance = min errors among positions that consumed the FULL
+    query (reference state.rs:264-281).  Consequence shared with the
+    reference: an alignment that would end in trailing query deletions is
+    not reachable (deletions ride multi-char transitions on matching term
+    edges), so 'baa' does NOT prefix-match 'bb' at n=2 even though
+    levenshtein('baa','bb') == 2 — and the empty dictionary term never
+    prefix-matches a non-empty query."""
+    from liblevenshtein_rust_ray.kernel import build_trie
+    from liblevenshtein_rust_ray.kernel.query import query
+
+    trie = build_trie(["bb", "baab", "ba"])
+    got = {c.term: c.distance for c in query(trie, "baa", 2, prefix_mode=True)}
+    # 'baab': consume b,a,a exactly -> prefix distance 0; 'ba': b,a then no
+    # edge to consume the last 'a' -> insert-free? 'ba' ends before q does:
+    # the final 'a' of q can only be consumed via a term edge -> no match at
+    # distance 0/1; substitution paths give 'bb' nothing (see docstring)
+    assert got["baab"] == 0
+    assert "bb" not in got
+    empty_trie = build_trie(["", "x"])
+    got2 = {c.term: c.distance for c in query(empty_trie, "ab", 2, prefix_mode=True)}
+    assert "" not in got2
+
+
+def test_substring_mode_suffix_automaton_convention():
+    """Trie substring_mode uses min_distance (free QUERY suffix) — the
+    suffix-automaton convention (reference query.rs:147-156): the dictionary
+    is expected to hold suffixes, so 'term approximates a PREFIX of the
+    query' is the per-entry test.  'ab' matches query 'abb' at 0 (free
+    query tail); full substring-in-text search over raw text is
+    kernel.substring / pipelines.fuzzy.substring_search."""
+    from liblevenshtein_rust_ray.kernel import build_trie
+    from liblevenshtein_rust_ray.kernel.query import query
+
+    got = {c.term: c.distance
+           for c in query(build_trie(["ab", "zz"]), "abb", 0, substring_mode=True)}
+    assert got == {"ab": 0}
