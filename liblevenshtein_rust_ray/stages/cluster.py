@@ -177,6 +177,7 @@ def connected_components(
     max_rounds: int = 15,
     mode: str = "auto",
     driver_threshold: int = 8_000_000,
+    n_buckets: int = 64,
 ):
     """``pairs``: Dataset with url_a/url_b → Dataset (url, cluster_id).
     Only matched nodes appear; unmatched pages are implicit singletons (at
@@ -186,4 +187,4 @@ def connected_components(
 
     if mode == "driver" or (mode == "auto" and pairs.count() <= driver_threshold):
         return rd.from_pandas(_driver_cc(pairs))
-    return _distributed_cc(pairs, max_rounds)
+    return _distributed_cc(pairs, max_rounds, n_buckets=n_buckets)

@@ -143,7 +143,7 @@ def test_connected_components(mode):
             {"url_a": "x", "url_b": "y", "distance": 0},
         ]
     )
-    out = connected_components(pairs, mode=mode).to_pandas()
+    out = connected_components(pairs, mode=mode, n_buckets=4).to_pandas()
     lab = dict(zip(out["url"], out["cluster_id"]))
     assert lab["a"] == lab["b"] == lab["c"] == "a"
     assert lab["x"] == lab["y"] == "x"
@@ -168,7 +168,7 @@ def test_connected_components_modes_agree():
                 edges.append({"url_a": base, "url_b": f"n{i + j:03d}", "distance": 1})
     pairs = rd.from_items(edges)
     a = connected_components(pairs, mode="driver").to_pandas().sort_values("url").reset_index(drop=True)
-    b = connected_components(pairs, mode="distributed").to_pandas().sort_values("url").reset_index(drop=True)
+    b = connected_components(pairs, mode="distributed", n_buckets=4).to_pandas().sort_values("url").reset_index(drop=True)
     assert a.equals(b)
 
 
