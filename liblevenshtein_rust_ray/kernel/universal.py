@@ -1,43 +1,51 @@
 """Parametric universal Levenshtein automaton A^∀_n (Mitankin 2005; the
-reference's /root/reference/src/transducer/universal/automaton.rs:67-927).
+reference's /root/reference/src/transducer/universal/automaton.rs:67-927,
+position variants universal/position.rs:130-819).
 
 Unlike the per-query automaton (kernel.automaton), the universal automaton is
 built ONCE for a distance bound n and works for ANY word pair: its input is
 the sequence of characteristic bit-vectors of the candidate word against a
-sliding window of the query, so the transition table depends only on n.
-States are subsumption-reduced sets of RELATIVE positions ``(offset, errors)``
-with offset ∈ [-n, n] taken against the current input column.
+sliding window of the query, so the transition table depends only on
+``(n, algorithm)``.  States are subsumption-reduced sets of RELATIVE
+positions ``(offset, errors, is_special)`` with ``offset = i - j`` taken
+against the current input column; specials are transpositions-in-progress
+(the reference's I/M-typed universal positions).
 
 This is the broadcast-once scoring table of SURVEY.md §2.4: ``ray.put`` the
 ``UniversalAutomaton`` object and every scorer actor shares the same
-precomputed tables (they are tiny: |states| ≈ 15 for n=1, ≈ 80 for n=2).
+precomputed tables (tiny: 8 states at n=1 standard, 50 at n=2).
 
-``accepts(query, word)`` decides distance(query, word) <= n for the STANDARD
-algorithm; ``distance(query, word, cap)`` extracts the exact distance by
-probing n' = 0..cap (each probe is a table walk).  Cross-validated against
-the DP oracle by Hypothesis (tests/test_kernel_universal.py).
+``accepts(query, word)`` decides distance(query, word) <= n under the
+chosen algorithm (standard or transposition/OSA); ``distance(query, word,
+cap)`` extracts the exact distance by probing n' = 0..cap.  Cross-validated
+against the DP oracles by Hypothesis (tests/test_kernel_universal.py).
 """
 
 from functools import lru_cache
 
-from .distance import standard_distance  # noqa: F401 (oracle partner, for docs)
+from .algorithm import STANDARD, TRANSPOSITION
 
 
 class UniversalAutomaton:
-    """Precomputed transition tables for one distance bound ``n``.
+    """Precomputed transition tables for one ``(n, algorithm)``.
 
-    State encoding: frozenset of ``(offset, errors)`` — position ``i#e``
-    relative to input column ``j`` stored as ``offset = i - j`` (so the
-    window of query characters that matter for column ``j+1`` is
-    ``query[j-n : j+n+1]``, i.e. offsets ``-n .. n``).
+    Position encoding: ``(offset, errors, special)`` — ``i#e`` relative to
+    input column ``j`` as ``offset = i - j``; the window of query chars
+    that matter for a column is ``query[j-n : j+n+1]`` (slots 0..2n).
     """
 
-    def __init__(self, n: int):
+    def __init__(self, n: int, algorithm: str = STANDARD):
         if n < 0:
             raise ValueError("n must be >= 0")
+        if algorithm not in (STANDARD, TRANSPOSITION):
+            raise ValueError(
+                "universal tables are precomputed for standard/transposition; "
+                "merge_and_split uses the per-query automaton"
+            )
         self.n = n
+        self.algorithm = algorithm
         self.width = 2 * n + 1
-        init = frozenset({(0, 0)})  # 0#0; multi-char deletions live in the table
+        init = frozenset({(0, 0, False)})  # 0#0; multi-char deletions live in the table
         self._states = {init: 0}
         self._table: list[dict[tuple, int | None]] = []
         self._state_list = [init]
@@ -64,57 +72,74 @@ class UniversalAutomaton:
         self.start = 0
 
     # ------------------------------------------------------------------
+    def _subsumes(self, p, q) -> bool:
+        """Our (soundness-fixed) subsumption rules in relative coordinates:
+        standard formula for normal-normal; specials never subsume normals
+        and vice versa; special-special uses the adjusted formula."""
+        i, e, s = p
+        j, f, t = q
+        if e > f:
+            return False
+        if not s and not t:
+            return abs(i - j) <= f - e
+        if s and t:
+            adj = (i - j - 1) if j < i else (j - i + 1)
+            return adj <= f - e
+        return False
+
     def _reduce(self, positions):
-        """Subsumption-minimal frozenset: i#e subsumes j#f iff e < f and
-        |i - j| <= f - e (standard-algorithm rule)."""
         pos = set(positions)
         out = []
         for p in pos:
-            if any(
-                q != p and q[1] < p[1] and abs(q[0] - p[0]) <= p[1] - q[1]
-                for q in pos
-            ):
+            if any(q != p and self._subsumes(q, p) for q in pos):
                 continue
             out.append(p)
         return frozenset(out) if out else None
 
     def _step(self, state, cv):
-        """One input character (word char at column j, producing column
-        j+1).  ``cv[b]`` says whether that character equals
-        ``query[j + (b - n)]``; a SHORT cv means the query window is
-        truncated by the query's right boundary, so ``slot >= len(cv)``
-        ⟺ the position has consumed the whole query (only insertions
-        remain).  Offsets are ``i - j``; every transition consumes one word
-        char, so: match/substitute keep the offset, insert lowers it by 1,
-        a k-deletion block raises it by k (Schulz-Mihov Table 4.1 in
-        relative coordinates, reference transition.rs:176-245)."""
+        """One input character (word char at column j → column j+1).
+        ``cv[b]`` ⇔ that char equals ``query[j + (b - n)]``; short cv ⇔ the
+        window is truncated at the query's right boundary, so
+        ``slot >= len(cv)`` ⇔ the position consumed the whole query.
+        Offsets are ``i - j``: match/substitute keep the offset, insert
+        lowers by 1, a k-deletion block raises by k; a transposition starts
+        as a special at offset-1 when the NEXT window slot matches
+        (Table 7.1), and completes on its own slot's match two query chars
+        ahead (offset+1, errors unchanged)."""
         n = self.n
+        trans = self.algorithm == TRANSPOSITION
         nxt = []
-        for off, e in state:
-            slot = off + n  # window slot of query[i] for this position
+        for off, e, sp in state:
+            slot = off + n
+            if sp:
+                # transposition-in-progress: complete on q[i] or die
+                if 0 <= slot < len(cv) and cv[slot]:
+                    nxt.append((off + 1, e, False))
+                continue
             if slot < len(cv):
                 if cv[slot]:
-                    nxt.append((off, e))  # match
+                    nxt.append((off, e, False))  # match
                 elif e < n:
-                    nxt.append((off, e + 1))      # substitution
-                    nxt.append((off - 1, e + 1))  # insertion
+                    nxt.append((off, e + 1, False))      # substitution
+                    nxt.append((off - 1, e + 1, False))  # insertion
                     for k in range(1, len(cv) - slot):
                         if cv[slot + k] and e + k <= n:
-                            nxt.append((off + k, e + k))  # k deletions + match
+                            nxt.append((off + k, e + k, False))  # k dels + match
+                    if trans and slot + 1 < len(cv) and cv[slot + 1]:
+                        # saw q[i+1]; await q[i] (special, Table 7.1)
+                        nxt.append((off - 1, e + 1, True))
             else:
                 # query exhausted for this position: insertions only
                 if e < n:
-                    nxt.append((off - 1, e + 1))
-        kept = [(off, e) for off, e in nxt if -n <= off <= n and e <= n]
+                    nxt.append((off - 1, e + 1, False))
+        kept = [(o, e, s) for o, e, s in nxt if -n - 1 <= o <= n and e <= n]
         return self._reduce(kept)
 
     # ------------------------------------------------------------------
     def _cv(self, query: str, j: int, ch: str) -> tuple:
-        """Characteristic vector of word char ``ch`` (consumed at column
-        j, 0-based) against query window ``query[j-n .. j+n]``, truncated
-        at both query boundaries.  Slot b corresponds to query index
-        j + (b - n); out-of-range-left slots are kept (always 0) so slot
-        arithmetic stays aligned; the right boundary truncates."""
+        """Characteristic vector of word char ``ch`` (column j, 0-based)
+        against ``query[j-n .. j+n]``; left-out-of-range slots stay 0 to
+        keep alignment, the right boundary truncates."""
         n = self.n
         out = []
         for b in range(self.width):
@@ -125,7 +150,7 @@ class UniversalAutomaton:
         return tuple(out)
 
     def accepts(self, query: str, word: str) -> bool:
-        """distance(query, word) <= n under the standard algorithm."""
+        """distance(query, word) <= n under the configured algorithm."""
         n = self.n
         if abs(len(query) - len(word)) > n:
             return False
@@ -134,12 +159,10 @@ class UniversalAutomaton:
             sid = self._table[sid].get(self._cv(query, j, ch))
             if sid is None:
                 return False
-        # acceptance: some position i#e with i + (n - e) >= |query| and the
-        # remaining (|query| - i) insertions-to-match within budget:
-        # final cost = e + (|query| - i) where i = |word| + off
-        m = len(query)
-        w = len(word)
-        for off, e in self._state_list[sid]:
+        m, w = len(query), len(word)
+        for off, e, sp in self._state_list[sid]:
+            if sp:
+                continue  # in-progress transpositions never accept
             i = w + off
             if 0 <= i <= m and e + (m - i) <= n:
                 return True
@@ -150,7 +173,7 @@ class UniversalAutomaton:
         returns cap+1 when the distance exceeds cap."""
         cap = self.n if cap is None else cap
         for k in range(0, cap + 1):
-            if _get(k).accepts(query, word):
+            if _get(k, self.algorithm).accepts(query, word):
                 return k
         return cap + 1
 
@@ -159,11 +182,11 @@ class UniversalAutomaton:
         return len(self._state_list)
 
 
-@lru_cache(maxsize=8)
-def _get(n: int) -> "UniversalAutomaton":
-    return UniversalAutomaton(n)
+@lru_cache(maxsize=16)
+def _get(n: int, algorithm: str = STANDARD) -> "UniversalAutomaton":
+    return UniversalAutomaton(n, algorithm)
 
 
-def universal_automaton(n: int) -> UniversalAutomaton:
+def universal_automaton(n: int, algorithm: str = STANDARD) -> UniversalAutomaton:
     """Cached constructor — the broadcast object for scorer actors."""
-    return _get(n)
+    return _get(n, algorithm)

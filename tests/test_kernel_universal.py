@@ -47,3 +47,31 @@ def test_accepts_equals_dp(q, w, n):
 def test_distance_probe(q, w):
     ua = universal_automaton(2)
     assert ua.distance(q, w, cap=2) == min(standard_distance(q, w), 3)
+
+
+def test_transposition_variant_state_counts():
+    from liblevenshtein_rust_ray.kernel.universal import universal_automaton
+
+    assert universal_automaton(1, "transposition").state_count == 9
+    assert universal_automaton(2, "transposition").state_count == 79
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    q=st.text(alphabet="abcé", max_size=10),
+    w=st.text(alphabet="abcé", max_size=10),
+    n=st.integers(min_value=0, max_value=2),
+)
+def test_transposition_accepts_equals_osa_dp(q, w, n):
+    from liblevenshtein_rust_ray.kernel.distance import transposition_distance
+
+    ua = universal_automaton(n, "transposition")
+    assert ua.accepts(q, w) == (transposition_distance(q, w) <= n)
+
+
+def test_transposition_swap_cases():
+    ua = universal_automaton(1, "transposition")
+    assert ua.accepts("ab", "ba")            # one adjacent swap
+    assert not ua.accepts("abcd", "badc")    # two swaps > n=1
+    ua2 = universal_automaton(2, "transposition")
+    assert ua2.accepts("abcd", "badc")
