@@ -517,6 +517,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def er_pairs_q(sf_dir):
         return er_pairs(_pages_path(sf_dir))
 
+    def er_pairs_allpairs(sf_dir):
+        """The flagship ER pipeline (extract -> blocking -> automaton
+        scoring -> pair dedup) made SQL-oracle-checkable: pages synthesized
+        deterministically from the documents view (url from doc_id, title =
+        first 5 [a-z0-9]+ tokens of the text), ``emit_all_pairs=True`` so
+        the quadratic pair set matches the DuckDB join.  Oracle: url pairs
+        with levenshtein(title_a, title_b) <= 2 that share a blocking key
+        (identical title, or same host + a common title token)."""
+        import pandas as pd
+
+        docs = _rd(sf_dir, "documents", ["doc_id", "text"])
+        tok_re = re.compile(r"[a-z0-9]+")
+
+        def to_pages(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            texts = t.column("text").to_pylist()
+            urls, outs = [], []
+            for i, x in zip(ids, texts):
+                x = x or ""
+                title = " ".join(tok_re.findall(x.lower())[:5])
+                urls.append(f"https://h{i % 16:02d}.example.com/d{i}")
+                outs.append(f"{title}\n{x}")
+            n = len(ids)
+            return pa.table(
+                {
+                    "url": pa.array(urls, type=pa.string()),
+                    "warc_ts": pa.array([0] * n, type=pa.timestamp("us")),
+                    "html": pa.array([b""] * n, type=pa.binary()),
+                    "text": pa.array(outs, type=pa.string()),
+                    "lang": pa.array([""] * n, type=pa.string()),
+                }
+            )
+
+        pages = docs.map_batches(to_pages, batch_format="pyarrow")
+        out = er_pairs(pages, emit_all_pairs=True, max_block_strings=1_000_000)
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["distance"] = df["distance"].astype("int64")
+            return df
+
+        return out.map_batches(fin, batch_format="pandas")
+
     def multimodal_stub(sf_dir):
         import ray.data as rd
 
@@ -573,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_tokens": top_docs_by_tokens,
         "er_clusters": er_clusters_q,
         "er_pairs": er_pairs_q,
+        "er_pairs_allpairs": er_pairs_allpairs,
         "multimodal_stub": multimodal_stub,
     }
 
@@ -827,6 +871,24 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "er_pairs_allpairs": """
+            WITH p AS (SELECT doc_id,
+                              'https://h' || lpad(CAST(doc_id % 16 AS VARCHAR), 2, '0')
+                                || '.example.com/d' || CAST(doc_id AS VARCHAR) AS url,
+                              doc_id % 16 AS hostnum,
+                              regexp_extract_all(lower(text), '[a-z0-9]+')[1:5] AS toks
+                       FROM documents),
+                 t AS (SELECT url, hostnum, toks,
+                              array_to_string(toks, ' ') AS title
+                       FROM p WHERE len(toks) > 0)
+            SELECT a.url AS url_a, b.url AS url_b,
+                   CAST(levenshtein(a.title, b.title) AS BIGINT) AS distance
+            FROM t a JOIN t b ON a.url < b.url
+            WHERE levenshtein(a.title, b.title) <= 2
+              AND (a.title = b.title
+                   OR (a.hostnum = b.hostnum
+                       AND len(list_intersect(a.toks, b.toks)) > 0))
         """,
         "top_docs_by_tokens": """
             SELECT doc_id,

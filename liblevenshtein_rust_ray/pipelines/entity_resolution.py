@@ -48,46 +48,70 @@ def er_pairs(
     checkpoints: CheckpointManager | None = None,
     fingerprint: str = "",
     engine: str = "vectorized",
+    max_block_strings: int = 512,
 ):
     """Pages -> canonical deduped candidate edges (url_a, url_b, distance).
 
-    ``engine="vectorized"`` (default) scores each hash bucket of blocks with
-    the numpy banded-DP kernel (the reference's SIMD distance-matrix path);
+    ``engine="vectorized"`` (default) emits candidate string pairs per
+    block bucket, exchanges them by canonical string pair, and scores each
+    DISTINCT pair exactly once with the numpy banded-DP kernel (the
+    reference's SIMD distance-matrix path) — the same title pair co-occurs
+    under every shared-token blocking key, so scoring after the pair
+    exchange removes the ~3x duplicated DP the per-bucket path pays.  The
+    pair exchange subsumes the edge-dedup exchange (one key_string per url,
+    see stages/scorer.py), keeping the total at two exchanges.
     ``engine="automaton"`` runs the per-block trie + automaton traversal —
-    the two are output-identical (pinned by tests) and the automaton path
-    remains the reference-parity/restricted-substitution engine."""
+    output-identical (pinned by tests) and the reference-parity /
+    restricted-substitution engine."""
     ck = checkpoints or CheckpointManager("", enabled=False)
     fp = f"{fingerprint}|x{EXTRACTOR_VERSION}|d{max_distance}|{algorithm}|{engine}"
 
     def compute():
         from .context import configure_data_context
         from ..stages.grouped import bucketed_group_apply, bucketed_apply
-        from ..stages.scorer import _empty_edges, score_bucket_vectorized
+        from ..stages.scorer import (
+            _empty_candidates,
+            _empty_edges,
+            candidate_pairs_bucket,
+            score_candidates_bucket,
+        )
 
         configure_data_context()
         ds = read_pages(source)
         ds = ds.map_batches(extract_batch, batch_format="pyarrow")
         ds = ds.map_batches(blocking_keys_batch, batch_format="pyarrow")
         if engine == "vectorized" and not emit_all_pairs:
+            # phase A: per block-bucket star edges + unscored candidates
+            cand = bucketed_apply(
+                ds,
+                "block_key",
+                lambda df: candidate_pairs_bucket(
+                    df, max_distance=max_distance, max_block_strings=max_block_strings
+                ),
+                n_buckets=64,
+                empty_result=_empty_candidates(),
+            )
+            # phase B: exchange on the string pair, score each distinct
+            # pair once, dedup url pairs (global — one key_string per url)
             if scorer_concurrency:
                 # stateful actor pool: per-actor universal-automaton tables
-                # + memo cache built once in __init__ (north-star shape)
+                # built once in __init__ (north-star shape)
                 import pandas as pd
 
                 from ..stages.grouped import _with_schema_sentinel
-                from ..stages.scorer import BucketScorerActor
+                from ..stages.scorer import CandidateScorerActor
 
                 def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
                     df = df.copy()
-                    h = pd.util.hash_pandas_object(df[["block_key"]], index=False)
+                    h = pd.util.hash_pandas_object(df[["s_a", "s_b"]], index=False)
                     df["__bucket"] = (h % 64).astype("int32")
                     return df
 
-                pairs = _with_schema_sentinel(
-                    ds.map_batches(add_bucket, batch_format="pandas")
+                return _with_schema_sentinel(
+                    cand.map_batches(add_bucket, batch_format="pandas")
                     .groupby("__bucket")
                     .map_groups(
-                        BucketScorerActor,
+                        CandidateScorerActor,
                         fn_constructor_kwargs={
                             "max_distance": max_distance,
                             "algorithm": algorithm,
@@ -97,34 +121,31 @@ def er_pairs(
                     ),
                     _empty_edges(),
                 )
-            else:
-                # one Python dispatch per bucket; all pair scoring in one
-                # vectorized kernel call per bucket
-                pairs = bucketed_apply(
-                    ds,
-                    "block_key",
-                    lambda df: score_bucket_vectorized(
-                        df, max_distance=max_distance, algorithm=algorithm
-                    ),
-                    n_buckets=64,
-                    empty_result=_empty_edges(),
-                )
-        else:
-            scorer = BlockScorer(
-                max_distance=max_distance,
-                algorithm=algorithm,
-                emit_all_pairs=emit_all_pairs,
-            )
-            # bucketed group-apply: one map_groups call per coarse bucket,
-            # C-path pandas groupby inside, singletons pruned before Python
-            pairs = bucketed_group_apply(
-                ds,
-                "block_key",
-                scorer,
+            return bucketed_apply(
+                cand,
+                ["s_a", "s_b"],
+                lambda df: score_candidates_bucket(
+                    df, max_distance=max_distance, algorithm=algorithm
+                ),
                 n_buckets=64,
-                min_group_size=2,
                 empty_result=_empty_edges(),
             )
+        scorer = BlockScorer(
+            max_distance=max_distance,
+            algorithm=algorithm,
+            emit_all_pairs=emit_all_pairs,
+            max_block_strings=max_block_strings,
+        )
+        # bucketed group-apply: one map_groups call per coarse bucket,
+        # C-path pandas groupby inside, singletons pruned before Python
+        pairs = bucketed_group_apply(
+            ds,
+            "block_key",
+            scorer,
+            n_buckets=64,
+            min_group_size=2,
+            empty_result=_empty_edges(),
+        )
         # the same canonical pair arrives via several bands: exact dedup by
         # (url_a, url_b), keep the smallest distance (vectorized per bucket)
         return bucketed_apply(

@@ -75,17 +75,27 @@ class BlockScorer:
 
         out_a, out_b, out_d = [], [], []
 
-        # distance-0 stars for identical strings
+        # distance-0 edges for identical strings: star to the min url by
+        # default (linear); full quadratic pair set in emit_all_pairs mode
+        # (small-scale parity / SQL-oracle mode)
         for s, us in by_string.items():
             if len(us) > 1:
-                seen = set()
-                rep = us[0]
-                for u in us[1:]:
-                    if u not in seen:
-                        seen.add(u)
-                        out_a.append(rep)
-                        out_b.append(u)
-                        out_d.append(0)
+                if self.emit_all_pairs:
+                    ud = sorted(set(us))
+                    for i in range(len(ud)):
+                        for j in range(i + 1, len(ud)):
+                            out_a.append(ud[i])
+                            out_b.append(ud[j])
+                            out_d.append(0)
+                else:
+                    seen = set()
+                    rep = us[0]
+                    for u in us[1:]:
+                        if u not in seen:
+                            seen.add(u)
+                            out_a.append(rep)
+                            out_b.append(u)
+                            out_d.append(0)
 
         distinct = sorted(by_string)
         if len(distinct) > 1:
@@ -190,6 +200,27 @@ class BucketScorerActor:
 # representative edges across distinct strings, simhash-view salting for
 # oversized blocks.  Parity is pinned by tests/test_stages.py.
 # ======================================================================
+def _salt_oversized(dd: pd.DataFrame, max_block_strings: int) -> pd.DataFrame:
+    """In-group salting: blocks whose distinct-string count exceeds the cap
+    are subdivided by two rotated 8-bit simhash views — near-identical
+    strings agree on most bits, so a true pair shares at least one view
+    bucket w.h.p. (same rule as BlockScorer._subdivide)."""
+    sizes = dd.groupby("block_key", sort=False)["key_string"].transform("size")
+    small = dd[sizes <= max_block_strings]
+    big = dd[sizes > max_block_strings]
+    if not len(big):
+        return small
+    salted = []
+    for view, shift in enumerate((24, 52)):
+        b = big.copy()
+        b["block_key"] = [
+            f"{k}#s{view}|{(simhash64(char_ngrams(s, 3)) >> shift) & 0xFF:02x}"
+            for k, s in zip(b["block_key"], b["key_string"])
+        ]
+        salted.append(b)
+    return pd.concat([small, *salted], ignore_index=True)
+
+
 def score_bucket_vectorized(
     bucket: pd.DataFrame,
     max_distance: int = 2,
@@ -224,24 +255,7 @@ def score_bucket_vectorized(
 
     # --- distinct strings per block with their representative url ---------
     dd = du.groupby(["block_key", "key_string"], as_index=False, sort=False)["url"].min()
-    sizes = dd.groupby("block_key", sort=False)["key_string"].transform("size")
-    small = dd[sizes <= max_block_strings]
-    big = dd[sizes > max_block_strings]
-    if len(big):
-        # in-group salting: two rotated 8-bit simhash views per string —
-        # near-identical strings agree on most bits, so a true pair shares
-        # at least one view bucket w.h.p. (same rule as BlockScorer._subdivide)
-        salted = []
-        for view, shift in enumerate((24, 52)):
-            b = big.copy()
-            b["block_key"] = [
-                f"{k}#s{view}|{(simhash64(char_ngrams(s, 3)) >> shift) & 0xFF:02x}"
-                for k, s in zip(b["block_key"], b["key_string"])
-            ]
-            salted.append(b)
-        dd = pd.concat([small, *salted], ignore_index=True)
-    else:
-        dd = small
+    dd = _salt_oversized(dd, max_block_strings)
 
     # --- candidate pairs: block self-join, canonical order, length filter -
     m = dd.merge(dd, on="block_key", suffixes=("_a", "_b"))
@@ -282,3 +296,158 @@ def score_bucket_vectorized(
     out = out.groupby(["url_a", "url_b"], as_index=False)["distance"].min()
     out["distance"] = out["distance"].astype("int32")
     return out
+
+
+# ======================================================================
+# Exchange-deduped scoring (the er_pairs default since round 2).
+#
+# ``score_bucket_vectorized`` dedups string pairs WITHIN one hash bucket,
+# but the same title pair co-occurs under several blocking keys (one per
+# shared token) that hash to DIFFERENT buckets, so the banded-DP kernel
+# re-scored each distinct pair ~3x.  The split below scores every distinct
+# string pair exactly ONCE globally, with the same total exchange count:
+#
+#   phase A (per block-bucket)  ``candidate_pairs_bucket``:
+#       distance-0 star rows + UNSCORED candidate rows, keyed by the
+#       canonical string pair (s_a <= s_b);
+#   exchange on (s_a, s_b)      co-locates every occurrence of a pair;
+#   phase B (per pair-bucket)   ``score_candidates_bucket``:
+#       one DP call per distinct pair, then url-pair dedup.
+#
+# The url-pair dedup inside phase B is GLOBAL, not partial, because each
+# url carries exactly one key_string (its extracted title), so an
+# unordered url pair determines its unordered string pair — all of its
+# occurrences land in the same pair bucket.  That invariant lets the pair
+# exchange REPLACE the old edge-dedup exchange instead of adding a third.
+# ======================================================================
+CANDIDATE_COLUMNS = ["s_a", "s_b", "url_a", "url_b", "distance"]
+
+
+def _empty_candidates() -> pd.DataFrame:
+    return pd.DataFrame({"s_a": pd.Series(dtype="object"),
+                         "s_b": pd.Series(dtype="object"),
+                         "url_a": pd.Series(dtype="object"),
+                         "url_b": pd.Series(dtype="object"),
+                         "distance": pd.Series(dtype="int32")})
+
+
+def candidate_pairs_bucket(
+    bucket: pd.DataFrame,
+    max_distance: int = 2,
+    max_block_strings: int = 512,
+) -> pd.DataFrame:
+    """Phase A: (block_key, url, key_string) rows -> star edges
+    (``distance=0``) plus unscored candidate rows (``distance=-1``), each
+    keyed by its canonical string pair."""
+    import numpy as np
+
+    n = max_distance
+    du = bucket.drop_duplicates(["block_key", "key_string", "url"]).copy()
+    uniq_urls, uid = np.unique(du["url"].to_numpy(), return_inverse=True)
+    du["url"] = uid.astype(np.int64)
+
+    # distance-0 stars: k urls sharing (block, string) -> k-1 edges
+    rep = du.groupby(["block_key", "key_string"], sort=False)["url"].transform("min")
+    star = du["url"].to_numpy() != rep.to_numpy()
+    s_star = du["key_string"].to_numpy()[star]
+    stars = pd.DataFrame(
+        {
+            "s_a": s_star,
+            "s_b": s_star,
+            "url_a": uniq_urls[rep.to_numpy()[star]],
+            "url_b": uniq_urls[du["url"].to_numpy()[star]],
+            "distance": np.zeros(int(star.sum()), dtype="int32"),
+        }
+    ).drop_duplicates(["url_a", "url_b"])
+
+    dd = du.groupby(["block_key", "key_string"], as_index=False, sort=False)["url"].min()
+    dd = _salt_oversized(dd, max_block_strings)
+
+    m = dd.merge(dd, on="block_key", suffixes=("_a", "_b"))
+    m = m[m["key_string_a"] < m["key_string_b"]]
+    if len(m):
+        la = m["key_string_a"].str.len()
+        lb = m["key_string_b"].str.len()
+        m = m[(la - lb).abs() <= n]
+    if len(m):
+        ua = m["url_a"].to_numpy()
+        ub = m["url_b"].to_numpy()
+        lo = np.minimum(ua, ub)
+        hi = np.maximum(ua, ub)
+        keep = lo != hi
+        cand = pd.DataFrame(
+            {
+                "s_a": m["key_string_a"].to_numpy()[keep],
+                "s_b": m["key_string_b"].to_numpy()[keep],
+                "url_a": uniq_urls[lo[keep]],
+                "url_b": uniq_urls[hi[keep]],
+                "distance": np.full(int(keep.sum()), -1, dtype="int32"),
+            }
+        ).drop_duplicates(["url_a", "url_b"])
+    else:
+        cand = _empty_candidates()
+
+    out = pd.concat([stars, cand], ignore_index=True)
+    if not len(out):
+        return _empty_candidates()
+    out["distance"] = out["distance"].astype("int32")
+    return out
+
+
+def score_candidates_bucket(
+    bucket: pd.DataFrame,
+    max_distance: int = 2,
+    algorithm: str = STANDARD,
+    subst=None,
+) -> pd.DataFrame:
+    """Phase B: one pair-keyed bucket of candidate rows -> canonical edges;
+    each distinct string pair hits the DP kernel exactly once."""
+    from ..kernel.vectorized import batch_distances
+
+    n = max_distance
+    stars = bucket[bucket["distance"] >= 0]
+    cand = bucket[bucket["distance"] < 0]
+    parts = []
+    if len(stars):
+        parts.append(stars[["url_a", "url_b", "distance"]])
+    if len(cand):
+        cand = cand.drop_duplicates(["url_a", "url_b"])
+        up = cand[["s_a", "s_b"]].drop_duplicates()
+        d = batch_distances(up["s_a"].tolist(), up["s_b"].tolist(), n, algorithm, subst)
+        up = up.assign(__d=d)
+        up = up[up["__d"] <= n]
+        scored = cand.merge(up, on=["s_a", "s_b"])
+        if len(scored):
+            scored = scored.assign(distance=scored["__d"].astype("int32"))
+            parts.append(scored[["url_a", "url_b", "distance"]])
+    if not parts:
+        return _empty_edges()
+    out = pd.concat(parts, ignore_index=True)
+    # global url-pair dedup (see module comment: one key_string per url =>
+    # every occurrence of this url pair is in this bucket)
+    out = out.groupby(["url_a", "url_b"], as_index=False)["distance"].min()
+    out["distance"] = out["distance"].astype("int32")
+    return out
+
+
+class CandidateScorerActor:
+    """Actor-pool form of phase B (the DP-heavy stage): ``__init__`` runs
+    once per actor and holds the parametric universal-automaton tables
+    (kernel.universal, SURVEY.md §2.4) — the broadcast-once scoring state;
+    ``__call__`` scores one pair-keyed bucket.  Output identical to
+    :func:`score_candidates_bucket` (pinned by tests)."""
+
+    def __init__(self, max_distance: int = 2, algorithm: str = STANDARD):
+        from ..kernel.universal import universal_automaton
+
+        self.max_distance = max_distance
+        self.algorithm = algorithm
+        self.universal = universal_automaton(min(max_distance, 3))
+
+    def __call__(self, bucket: pd.DataFrame) -> pd.DataFrame:
+        out = score_candidates_bucket(
+            bucket.drop(columns="__bucket", errors="ignore"),
+            max_distance=self.max_distance,
+            algorithm=self.algorithm,
+        )
+        return out if len(out) else _empty_edges()
