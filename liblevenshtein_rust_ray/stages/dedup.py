@@ -25,6 +25,20 @@ from ..functions.tokenize import tokenize, shingles, char_ngrams
 # byte-wise popcount lookup table for vectorized 64-bit Hamming distance
 _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
+# per-process cache of seeded LSH hyperplane tables (built once per worker,
+# not per batch): (dim, n_planes, n_tables) -> list of (dim, n_planes) arrays
+_LSH_PLANES_CACHE: dict = {}
+
+
+def _lsh_planes(dim: int, n_planes: int, n_tables: int):
+    key = (dim, n_planes, n_tables)
+    if key not in _LSH_PLANES_CACHE:
+        rng = np.random.default_rng(1234)
+        _LSH_PLANES_CACHE[key] = [
+            rng.standard_normal((dim, n_planes)) for _ in range(n_tables)
+        ]
+    return _LSH_PLANES_CACHE[key]
+
 
 # ----------------------------------------------------------------------
 def exact_dedup(ds, text_col: str, id_col: str):
@@ -57,6 +71,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     n_bands: int = 32,
     shingle_k: int = 3,
+    max_bucket: int = 256,
 ):
     """Near-duplicate candidate pairs via MinHash LSH, verified with the
     signature Jaccard estimate >= ``threshold``.
@@ -64,6 +79,11 @@ def minhash_lsh_pairs(
     Shape: map_batches (signatures + band keys, explode) → groupby(band
     bucket) → within-bucket candidate pairs (each bucket is tiny by LSH
     construction) → groupby(pair) dedup.
+
+    Identical signatures collapse to a star (rep = min id) and buckets over
+    ``max_bucket`` distinct signatures are salted — the emitted edge set is
+    connectivity-equivalent to the full clique set (pinned by tests) and
+    bounded O(bucket) instead of O(bucket^2) under duplicate floods.
     """
 
     def sign(t: pa.Table) -> pa.Table:
@@ -94,20 +114,56 @@ def minhash_lsh_pairs(
         # whole hash-bucket of band-buckets at once: pandas C merge forms
         # the candidate pairs, one numpy pass scores every pair's signature
         # agreement (vs per-band-bucket Python dispatch — most band buckets
-        # are singletons, and dispatch dominated wall time)
+        # are singletons, and dispatch dominated wall time).
+        #
+        # Hot-bucket bound (the 100-TB rule, same pattern as the ER scorer):
+        # 1. identical signatures collapse to a distance-0 STAR (estimate
+        #    1.0 >= any threshold) — a flood of f exact/near-exact
+        #    duplicates emits f-1 rows, not f^2/2;
+        # 2. a bucket still holding > max_bucket distinct signatures is
+        #    salted by two extra signature bands — true near-dup pairs
+        #    agree on most permutation values, so they co-land in at least
+        #    one view w.h.p.  Cross-signature edges connect representatives
+        #    (min id per signature), transitively equivalent for clustering.
         df = df.drop_duplicates(["bucket", "id"])
-        m = df.merge(df, on="bucket", suffixes=("_a", "_b"))
+        rep = df.groupby(["bucket", "sig"], sort=False)["id"].transform("min")
+        member = df["id"].to_numpy()
+        star = member != rep.to_numpy()
+        stars = pd.DataFrame(
+            {"id_a": rep.to_numpy()[star], "id_b": member[star],
+             "jaccard": np.ones(int(star.sum()))}
+        ).drop_duplicates(["id_a", "id_b"])
+
+        dd = df.groupby(["bucket", "sig"], as_index=False, sort=False)["id"].min()
+        sizes = dd.groupby("bucket", sort=False)["sig"].transform("size")
+        small = dd[sizes <= max_bucket]
+        big = dd[sizes > max_bucket]
+        if len(big):
+            salted = []
+            for view, byte_ix in enumerate((3, 28)):
+                b = big.copy()
+                b["bucket"] = [
+                    f"{k}#v{view}|{s[byte_ix % len(s)]:02x}"
+                    for k, s in zip(b["bucket"], b["sig"])
+                ]
+                salted.append(b)
+            dd = pd.concat([small, *salted], ignore_index=True)
+        else:
+            dd = small
+
+        m = dd.merge(dd, on="bucket", suffixes=("_a", "_b"))
         m = m[m["id_a"] < m["id_b"]].drop_duplicates(["id_a", "id_b"])
         if not len(m):
-            return _empty
+            return stars if len(stars) else _empty
         A = np.frombuffer(b"".join(m["sig_a"]), dtype=np.uint64).reshape(len(m), -1)
         B = np.frombuffer(b"".join(m["sig_b"]), dtype=np.uint64).reshape(len(m), -1)
         est = (A == B).mean(axis=1)
         keep = est >= threshold
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"id_a": m["id_a"].to_numpy()[keep], "id_b": m["id_b"].to_numpy()[keep],
              "jaccard": est[keep]}
         )
+        return pd.concat([stars, out], ignore_index=True) if len(stars) else out
 
     from .grouped import bucketed_apply
 
@@ -126,9 +182,12 @@ def minhash_lsh_pairs(
 
 
 # ----------------------------------------------------------------------
-def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3, n_bands: int | None = None):
+def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
+                  n_bands: int | None = None, max_bucket: int = 256):
     """SimHash near-dup: band-bucket groupby then Hamming-distance verify
-    (<= ``max_hamming``).
+    (<= ``max_hamming``).  Identical simhashes collapse to a star; buckets
+    over ``max_bucket`` distinct hashes are salted (connectivity-preserving,
+    bounds duplicate floods to O(bucket) edges).
 
     Completeness by pigeonhole: with ``n_bands > max_hamming`` equal bands of
     the 64-bit simhash, any pair within ``max_hamming`` bit flips shares at
@@ -164,19 +223,51 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3, n_bands:
 
     def verify_hashbucket(df: pd.DataFrame) -> pd.DataFrame:
         # pairs across the whole hash-bucket via C merge; vectorized XOR +
-        # byte-LUT popcount for the Hamming verify
+        # byte-LUT popcount for the Hamming verify.
+        #
+        # Hot-bucket bound (same pattern as the ER scorer): identical
+        # simhashes collapse to a hamming-0 STAR; buckets over
+        # ``max_bucket`` distinct simhashes are salted by two rotated 8-bit
+        # views of the full hash (near pairs agree on most bits, so they
+        # co-land in at least one view w.h.p.).
         df = df.drop_duplicates(["bucket", "id"])
-        m = df.merge(df, on="bucket", suffixes=("_a", "_b"))
+        rep = df.groupby(["bucket", "simhash"], sort=False)["id"].transform("min")
+        member = df["id"].to_numpy()
+        star = member != rep.to_numpy()
+        stars = pd.DataFrame(
+            {"id_a": rep.to_numpy()[star], "id_b": member[star],
+             "hamming": np.zeros(int(star.sum()), dtype=np.int64)}
+        ).drop_duplicates(["id_a", "id_b"])
+
+        dd = df.groupby(["bucket", "simhash"], as_index=False, sort=False)["id"].min()
+        sizes = dd.groupby("bucket", sort=False)["simhash"].transform("size")
+        small = dd[sizes <= max_bucket]
+        big = dd[sizes > max_bucket]
+        if len(big):
+            salted = []
+            for view, shift in enumerate((24, 52)):
+                b = big.copy()
+                b["bucket"] = [
+                    f"{k}#v{view}|{(int(s) >> shift) & 0xFF:02x}"
+                    for k, s in zip(b["bucket"], b["simhash"])
+                ]
+                salted.append(b)
+            dd = pd.concat([small, *salted], ignore_index=True)
+        else:
+            dd = small
+
+        m = dd.merge(dd, on="bucket", suffixes=("_a", "_b"))
         m = m[m["id_a"] < m["id_b"]].drop_duplicates(["id_a", "id_b"])
         if not len(m):
-            return _empty
+            return stars if len(stars) else _empty
         x = m["simhash_a"].to_numpy().astype(np.uint64) ^ m["simhash_b"].to_numpy().astype(np.uint64)
         h = _POPCNT8[x.view(np.uint8).reshape(len(m), 8)].sum(axis=1).astype(np.int64)
         keep = h <= max_hamming
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"id_a": m["id_a"].to_numpy()[keep], "id_b": m["id_b"].to_numpy()[keep],
              "hamming": h[keep]}
         )
+        return pd.concat([stars, out], ignore_index=True) if len(stars) else out
 
     from .grouped import bucketed_apply
 
@@ -195,58 +286,117 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3, n_bands:
 
 
 # ----------------------------------------------------------------------
-def ngram_jaccard_pairs(ds, text_col: str, id_col: str, threshold: float = 0.5, k: int = 3):
+def ngram_jaccard_pairs(ds, text_col: str, id_col: str, threshold: float = 0.5,
+                        k: int = 3, max_df: int | None = None):
     """EXACT token-k-shingle Jaccard pairs via a distributed inverted-index
     join — no LSH approximation, no driver-side collect:
 
-    1. explode each doc's DISTINCT shingles to ``(shingle, id, set_size)``;
-    2. groupby(shingle): every co-occurring id pair, canonical id_a < id_b;
-    3. groupby(id_a, id_b): the pair's row count IS |A ∩ B| (each shared
+    1. groupby(set-hash): docs with IDENTICAL shingle sets collapse to one
+       representative (min id) carrying the member-id list — a flood of f
+       exact duplicates costs the index ONE entry per shingle instead of f
+       (the hot-shingle f^2 killer at 100 TB is duplicate floods);
+    2. explode each representative's DISTINCT shingles to
+       ``(shingle, id, set_size, members)``;
+    3. groupby(shingle): every co-occurring rep pair (canonical
+       id_a <= id_b; the diagonal row survives for multi-member groups —
+       it carries the group's internal pairs);
+    4. groupby(id_a, id_b): the pair's row count IS |A ∩ B| (each shared
        shingle contributes exactly one row), so
-       ``jaccard = c / (|A| + |B| - c)`` — exact, filtered at threshold.
+       ``jaccard = c / (|A| + |B| - c)`` — exact, filtered at threshold;
+       then rep pairs expand to member pairs (every member shares its
+       rep's set, so the jaccard transfers verbatim).  Output is the full
+       exact pair set — identical to the naive join, oracle-pinned.
 
-    Any pair with jaccard > 0 shares a shingle, so step 2 loses nothing.
-    Skew note (100 TB): a shingle shared by f docs emits f(f-1)/2 rows;
-    stop-shingles should be prefix-filtered upstream (a doc pair relying
-    only on shingles of document frequency > 1/threshold can't reach a
-    high threshold anyway, so dropping ultra-hot shingles first is the
-    standard prefix-filter optimization — not applied at test scale)."""
+    ``max_df`` (optional, APPROXIMATE scale mode): shingle groups with more
+    than ``max_df`` distinct sets are dropped from the index — the standard
+    stop-shingle prefix filter.  Counts then undercount pairs whose overlap
+    includes hot shingles (jaccard becomes a lower bound), so recall
+    degrades for pairs relying on stop-shingles; leave ``None`` for the
+    exact contract."""
 
-    def explode_shingles(t: pa.Table) -> pa.Table:
+    def sets_batch(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
         texts = t.column(text_col).to_pylist()
-        out_s, out_i, out_n = [], [], []
+        out_h, out_i, out_s = [], [], []
         for i, x in zip(ids, texts):
-            sh = set(shingles(tokenize(x or ""), k))
-            for s in sh:
-                out_s.append(s)
-                out_i.append(i)
-                out_n.append(len(sh))
+            sh = sorted(set(shingles(tokenize(x or ""), k)))
+            if not sh:
+                continue  # empty sets never reach the index (as before)
+            out_h.append(hash64("\x00".join(sh)))
+            out_i.append(i)
+            out_s.append(sh)
         return pa.table(
             {
-                "shingle": pa.array(out_s, type=pa.string()),
+                "__set_hash": pa.array(out_h, type=pa.uint64()),
                 "id": pa.array(out_i),
-                "set_size": pa.array(out_n, type=pa.int64()),
+                "shingles": pa.array(out_s, type=pa.list_(pa.string())),
             }
         )
 
+    def collapse_and_explode(bucket: pd.DataFrame) -> pd.DataFrame:
+        out_s, out_i, out_n, out_m = [], [], [], []
+        for _h, g in bucket.groupby("__set_hash", sort=False):
+            members = tuple(sorted(g["id"].tolist()))
+            sh = g["shingles"].iloc[0]
+            for s in sh:
+                out_s.append(s)
+                out_i.append(members[0])
+                out_n.append(len(sh))
+                out_m.append(members)
+        return pd.DataFrame(
+            {"shingle": out_s, "id": out_i, "set_size": out_n, "members": out_m}
+        )
+
     def pairs_in_group(bucket: pd.DataFrame) -> pd.DataFrame:
+        if max_df is not None:
+            df_count = bucket.groupby("shingle", sort=False)["id"].transform("size")
+            bucket = bucket[df_count <= max_df]
         m = bucket.merge(bucket, on="shingle", suffixes=("_a", "_b"))
-        m = m[m["id_a"] < m["id_b"]]
-        return m[["id_a", "id_b", "set_size_a", "set_size_b"]]
+        multi = m["members_a"].map(len) > 1
+        m = m[(m["id_a"] < m["id_b"]) | ((m["id_a"] == m["id_b"]) & multi)]
+        return m[["id_a", "id_b", "set_size_a", "set_size_b", "members_a", "members_b"]]
 
     def combine(bucket: pd.DataFrame) -> pd.DataFrame:
-        g = bucket.groupby(["id_a", "id_b", "set_size_a", "set_size_b"], as_index=False).size()
-        c = g["size"].to_numpy()
+        import itertools
+
+        g = bucket.groupby(["id_a", "id_b"], as_index=False).agg(
+            c=("set_size_a", "size"),
+            set_size_a=("set_size_a", "first"),
+            set_size_b=("set_size_b", "first"),
+            members_a=("members_a", "first"),
+            members_b=("members_b", "first"),
+        )
+        c = g["c"].to_numpy()
         union = g["set_size_a"].to_numpy() + g["set_size_b"].to_numpy() - c
         j = np.where(union > 0, c / np.maximum(union, 1), 1.0)
-        out = g.assign(jaccard=j)[["id_a", "id_b", "jaccard"]]
-        return out[out["jaccard"] >= threshold]
+        g = g.assign(jaccard=j)
+        g = g[g["jaccard"] >= threshold]
+        out_a, out_b, out_j = [], [], []
+        for ia, ib, ma, mb, jj in zip(
+            g["id_a"], g["id_b"], g["members_a"], g["members_b"], g["jaccard"]
+        ):
+            if ia == ib:  # internal pairs of one identical-set group
+                for x, y in itertools.combinations(ma, 2):
+                    out_a.append(x)
+                    out_b.append(y)
+                    out_j.append(jj)
+            else:
+                for x in ma:
+                    for y in mb:
+                        out_a.append(min(x, y))
+                        out_b.append(max(x, y))
+                        out_j.append(jj)
+        return pd.DataFrame(
+            {"id_a": pd.Series(out_a, dtype="int64"),
+             "id_b": pd.Series(out_b, dtype="int64"),
+             "jaccard": pd.Series(out_j, dtype="float64")}
+        )
 
     from .grouped import bucketed_apply
 
-    ex = ds.map_batches(explode_shingles, batch_format="pyarrow")
-    cand = bucketed_apply(ex, "shingle", pairs_in_group)
+    ex = ds.map_batches(sets_batch, batch_format="pyarrow")
+    reps = bucketed_apply(ex, "__set_hash", collapse_and_explode)
+    cand = bucketed_apply(reps, "shingle", pairs_in_group)
     return bucketed_apply(
         cand,
         ["id_a", "id_b"],
@@ -259,8 +409,11 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, threshold: float = 0.5, 
 
 
 # ----------------------------------------------------------------------
+_EXACT_MATRIX_BYTES_CAP = 256 * 1024 * 1024  # flip exact -> lsh above this
+
+
 def embedding_neardup_pairs(
-    ds, vec_col: str, id_col: str, threshold: float = 0.9, method: str = "exact",
+    ds, vec_col: str, id_col: str, threshold: float = 0.9, method: str = "auto",
     n_planes: int = 8,
 ):
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
@@ -271,8 +424,19 @@ def embedding_neardup_pairs(
     matrix fits a worker (N·dim·8 bytes); beyond that use ``method="lsh"``:
     random-hyperplane sign buckets (pairs agreeing on all ``n_planes`` signs
     co-group; recall degrades gracefully with angle) with exact verify
-    inside buckets — the scale path, approximate by construction."""
+    inside buckets — the scale path, approximate by construction.
+
+    ``method="auto"`` (default) picks: exact while the matrix stays under
+    ``_EXACT_MATRIX_BYTES_CAP`` (row count x dim from parquet metadata +
+    one peeked row — no data materialization), lsh beyond — so the default
+    never drags a 100-TB embedding table onto the driver."""
     import ray
+
+    if method == "auto":
+        n_rows = ds.count()  # parquet metadata / block metadata, no scan
+        row = ds.take(1)
+        dim = len(row[0][vec_col]) if row else 0
+        method = "exact" if n_rows * dim * 8 <= _EXACT_MATRIX_BYTES_CAP else "lsh"
 
     def load_matrix():
         df = ds.select_columns([id_col, vec_col]).to_pandas()
@@ -319,11 +483,13 @@ def embedding_neardup_pairs(
 
     def bucketize(t: pa.Table) -> pa.Table:
         m = _norm_rows(np.array(t.column(vec_col).to_pylist(), dtype=np.float64))
-        rng = np.random.default_rng(1234)
+        # plane matrices are deterministic (seeded) and shared by every
+        # batch: built once per worker process via the module-level cache,
+        # not regenerated per batch
+        planes_all = _lsh_planes(m.shape[1], n_planes, n_tables)
         out_bucket, out_idx = [], []
         for table_id in range(n_tables):
-            planes = rng.standard_normal((m.shape[1], n_planes))
-            bits = (m @ planes) > 0
+            bits = (m @ planes_all[table_id]) > 0
             keys = (bits * (1 << np.arange(n_planes))).sum(axis=1)
             out_bucket.extend((np.int64(table_id) << 32 | keys).tolist())
             out_idx.extend(range(m.shape[0]))
