@@ -163,26 +163,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def prefix_search_tokens(sf_dir):
         """Prefix-mode automaton (autocomplete): every 3-char token prefix ->
-        all vocabulary tokens starting with it (distance 0 prefix match)."""
+        all vocabulary tokens starting with it (distance 0 prefix match).
+
+        Distributed by FIRST CHARACTER: a prefix's matches all share its
+        first char, so each first-char partition holds every token a local
+        trie needs — per-partition tries, no repartition(1), and each
+        prefix is derived in exactly one partition (no duplicate rows)."""
+        import pandas as pd
+
         from liblevenshtein_rust_ray.kernel import build_trie
         from liblevenshtein_rust_ray.kernel.query import query as kq
+        from liblevenshtein_rust_ray.stages.grouped import bucketed_apply
 
-        def expand(t: pa.Table) -> pa.Table:
-            toks = sorted(set(t.column("tok").to_pylist()))
-            trie = build_trie(toks)
-            prefixes = sorted({x[:3] for x in toks if len(x) >= 3})
+        def add_c0(t: pa.Table) -> pa.Table:
+            toks = t.column("tok").to_pylist()
+            return pa.table({
+                "tok": t.column("tok"),
+                "c0": pa.array([x[:1] for x in toks], type=pa.string()),
+            })
+
+        def expand(df: pd.DataFrame) -> pd.DataFrame:
             out_p, out_t = [], []
-            for p in prefixes:
-                for cand in kq(trie, p, 0, prefix_mode=True):
-                    out_p.append(p)
-                    out_t.append(cand.term)
-            return pa.table({"prefix": pa.array(out_p, type=pa.string()),
-                             "term": pa.array(out_t, type=pa.string())})
+            for _c, g in df.groupby("c0", sort=False):
+                toks = sorted(set(g["tok"]))
+                trie = build_trie(toks)
+                for p in sorted({x[:3] for x in toks if len(x) >= 3}):
+                    for cand in kq(trie, p, 0, prefix_mode=True):
+                        out_p.append(p)
+                        out_t.append(cand.term)
+            return pd.DataFrame({"prefix": pd.Series(out_p, dtype="object"),
+                                 "term": pd.Series(out_t, dtype="object")})
 
-        # vocabulary-scale op: the trie must span the whole (small) vocab —
-        # coalesce to one block first
-        return _vocab_ds(sf_dir).repartition(1).map_batches(
-            expand, batch_format="pyarrow", batch_size=None
+        return bucketed_apply(
+            _vocab_ds(sf_dir).map_batches(add_c0, batch_format="pyarrow"),
+            "c0",
+            expand,
+            empty_result=pd.DataFrame({"prefix": pd.Series(dtype="object"),
+                                       "term": pd.Series(dtype="object")}),
         )
 
     # -------------------------- dedup family --------------------------
@@ -309,32 +326,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Weighted operation-set scoring (GeneralizedAutomaton/OperationSet
         capability): OCR cost model (substitute/merge/split 0.5), pairs with
         weighted distance <= 1.0; rows-only (weighted costs have no SQL
-        analogue)."""
-        import numpy as np
+        analogue).  Runs through the length-bucketed distributed
+        fuzzy_self_join plan with the weighted kernel as the per-bucket
+        scorer — no repartition(1), no O(n^2) single task.  len_diff=2:
+        merge/split change length by 1 at cost 0.5, so weight <= 1.0
+        bounds |len_a - len_b| at 2."""
         import pandas as pd
         from liblevenshtein_rust_ray.kernel.operations import (
             OperationSet,
             batch_weighted_distances,
         )
 
-        def score(df):
-            vals = sorted(set(df["p_name"].dropna()))
-            ii, jj = np.triu_indices(len(vals), 1)
-            d = batch_weighted_distances(
-                [vals[i] for i in ii], [vals[j] for j in jj], OperationSet.ocr()
-            )
-            keep = d <= 1.0
-            return pd.DataFrame(
-                {"val_a": [vals[i] for i in ii[keep]],
-                 "val_b": [vals[j] for j in jj[keep]],
-                 "weight": d[keep]}
-            )
-
-        return (
-            _rd(sf_dir, "part", ["p_name"])
-            .repartition(1)
-            .map_batches(score, batch_format="pandas", batch_size=None)
+        ops = OperationSet.ocr()
+        out = F.fuzzy_self_join(
+            _rd(sf_dir, "part", ["p_name"]), "p_name", n=2,
+            pair_scorer=lambda a, b: batch_weighted_distances(a, b, ops),
+            max_score=1.0, len_diff=2, score_dtype="float64",
         )
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns={"distance": "weight"})
+
+        return out.map_batches(fin, batch_format="pandas")
 
     def fuzzy_selfjoin_part_merge_split(sf_dir):
         """Merge-and-split algorithm variant (reference Table 8.1); rows-only."""
@@ -380,28 +393,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import numpy as np
         from liblevenshtein_rust_ray.kernel.universal import universal_automaton
 
-        def score(df):
-            import pandas as pd
+        ua = universal_automaton(2)
 
-            vals = sorted(set(df["p_name"].dropna()))
-            ua = universal_automaton(2)
-            a_out, b_out, d_out = [], [], []
-            for i, a in enumerate(vals):
-                for b in vals[i + 1:]:
-                    if abs(len(a) - len(b)) > 2:
-                        continue
-                    d = ua.distance(a, b, cap=2)
-                    if d <= 2:
-                        a_out.append(a)
-                        b_out.append(b)
-                        d_out.append(d)
-            return pd.DataFrame({"val_a": a_out, "val_b": b_out,
-                                 "distance": pd.Series(d_out, dtype="int64")})
+        def scorer(qa, qb):
+            return np.fromiter(
+                (ua.distance(a, b, cap=2) for a, b in zip(qa, qb)),
+                np.int64, count=len(qa),
+            )
 
-        return (
-            _rd(sf_dir, "part", ["p_name"])
-            .repartition(1)
-            .map_batches(score, batch_format="pandas", batch_size=None)
+        return F.fuzzy_self_join(
+            _rd(sf_dir, "part", ["p_name"]), "p_name", n=2, pair_scorer=scorer
         )
 
     # -------------------- windowed event operators --------------------
@@ -431,11 +432,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         preceding error event of the same user (matched rows only)."""
         from liblevenshtein_rust_ray.stages.windows import asof_join
 
+        # expression filters compile to Arrow compute on whole blocks —
+        # never a per-row Python lambda
         ev = _rd(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
-        clicks = ev.filter(lambda r: r["event_type"] == "click").select_columns(
+        clicks = ev.filter(expr="event_type == 'click'").select_columns(
             ["event_id", "ts", "user_id", "value"]
         )
-        errors = ev.filter(lambda r: r["event_type"] == "error").select_columns(
+        errors = ev.filter(expr="event_type == 'error'").select_columns(
             ["ts", "user_id", "value"]
         )
         out = asof_join(clicks, errors, "user_id", "ts", ["value"])

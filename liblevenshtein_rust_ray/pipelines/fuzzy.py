@@ -28,11 +28,18 @@ _LEN_BUCKET = 16
 _VEC_MAX_PAIRS = 2_000_000
 
 
-def _vec_self_pairs(vals: list, n: int, algorithm: str, subst=None):
+def _vec_self_pairs(vals: list, n: int, algorithm: str, subst=None,
+                    pair_scorer=None, max_score=None, len_diff=None):
     """All (i<j) pairs of sorted ``vals`` within distance n, or None when the
     candidate count exceeds _VEC_MAX_PAIRS (caller falls back to automaton).
     Returns (val_a, val_b, distance) lists; the smaller string is the
-    automaton-side query, matching the trie path exactly."""
+    automaton-side query, matching the trie path exactly.
+
+    ``pair_scorer(queries, terms) -> ndarray`` swaps the unit-cost banded-DP
+    kernel for another engine (weighted operation sets, the universal
+    automaton); ``max_score`` is its keep threshold (default n) and
+    ``len_diff`` the length filter (default n).  Custom scorers never bail
+    to the trie path — oversized blocks are chunked instead."""
     import numpy as np
 
     from ..kernel.vectorized import batch_distances
@@ -40,17 +47,25 @@ def _vec_self_pairs(vals: list, n: int, algorithm: str, subst=None):
     k = len(vals)
     lens = np.fromiter((len(v) for v in vals), np.int64, count=k)
     ii, jj = np.triu_indices(k, 1)
-    m = np.abs(lens[ii] - lens[jj]) <= n
+    m = np.abs(lens[ii] - lens[jj]) <= (n if len_diff is None else len_diff)
     ii, jj = ii[m], jj[m]
-    if ii.size > _VEC_MAX_PAIRS:
+    if pair_scorer is None and ii.size > _VEC_MAX_PAIRS:
         return None
-    d = batch_distances([vals[i] for i in ii], [vals[j] for j in jj], n, algorithm, subst)
-    keep = d <= n
-    return (
-        [vals[i] for i in ii[keep]],
-        [vals[j] for j in jj[keep]],
-        d[keep].tolist(),
-    )
+    thresh = n if max_score is None else max_score
+    a_out, b_out, d_out = [], [], []
+    for lo in range(0, ii.size, _VEC_MAX_PAIRS):
+        si, sj = ii[lo:lo + _VEC_MAX_PAIRS], jj[lo:lo + _VEC_MAX_PAIRS]
+        qa = [vals[i] for i in si]
+        qb = [vals[j] for j in sj]
+        if pair_scorer is not None:
+            d = np.asarray(pair_scorer(qa, qb))
+        else:
+            d = batch_distances(qa, qb, n, algorithm, subst)
+        keep = d <= thresh
+        a_out.extend(vals[i] for i in si[keep])
+        b_out.extend(vals[j] for j in sj[keep])
+        d_out.extend(d[keep].tolist())
+    return (a_out, b_out, d_out)
 
 
 def _len_keys(s: str, n: int) -> list[int]:
@@ -74,10 +89,19 @@ def _distinct(ds, col: str):
     )
 
 
-def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD, subst=None):
+def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD, subst=None,
+                    pair_scorer=None, max_score=None, len_diff=None,
+                    score_dtype: str = "int64"):
     """Dataset[(val_a, val_b, distance)] over distinct values of ``col``,
     val_a < val_b, distance <= n.  ``subst`` grants zero-cost substitutions
-    (kernel.substitution presets)."""
+    (kernel.substitution presets).
+
+    ``pair_scorer``/``max_score``/``len_diff`` plug an alternative distance
+    engine into the same length-bucketed distributed plan (weighted
+    operation sets, universal automaton — see ``_vec_self_pairs``);
+    ``score_dtype`` pins the output distance dtype (float64 for weighted
+    cost models)."""
+    eff_len = n if len_diff is None else len_diff
 
     def explode(t: pa.Table) -> pa.Table:
         vals = t.column(col).to_pylist()
@@ -85,7 +109,7 @@ def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD, subst=N
         for v in vals:
             if v is None:
                 continue
-            for b in _len_keys(v, n):
+            for b in _len_keys(v, eff_len):
                 out_b.append(b)
                 out_v.append(v)
         return pa.table({"bucket": pa.array(out_b, type=pa.int32()),
@@ -95,7 +119,9 @@ def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD, subst=N
         vals = sorted(set(g["val"]))
         a_out, b_out, d_out = [], [], []
         if len(vals) > 1:
-            vec = _vec_self_pairs(vals, n, algorithm, subst)
+            vec = _vec_self_pairs(vals, n, algorithm, subst,
+                                  pair_scorer=pair_scorer, max_score=max_score,
+                                  len_diff=len_diff)
             if vec is not None:
                 a_out, b_out, d_out = vec
             else:
@@ -109,7 +135,7 @@ def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD, subst=N
         return pd.DataFrame(
             {"val_a": pd.Series(a_out, dtype="object"),
              "val_b": pd.Series(b_out, dtype="object"),
-             "distance": pd.Series(d_out, dtype="int64")}
+             "distance": pd.Series(d_out, dtype=score_dtype)}
         )
 
     from ..stages.grouped import bucketed_apply
@@ -128,7 +154,7 @@ def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD, subst=N
         empty_result=pd.DataFrame(
             {"val_a": pd.Series(dtype="object"),
              "val_b": pd.Series(dtype="object"),
-             "distance": pd.Series(dtype="int64")}
+             "distance": pd.Series(dtype=score_dtype)}
         ),
     )
 
