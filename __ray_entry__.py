@@ -500,6 +500,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return spelling_recall(_vocab_ds(sf_dir), "tok", n=2, per_word=2)
 
+    def corpus_recall_real(sf_dir):
+        """The reference's corpus-validation gate over its REAL bundled
+        dictionary (data/english_words.txt, 124k words,
+        tests/corpus_validation.rs:129-346): recall-at-distance of the
+        ArrayTrie + dense-universal-table engine, per true edit distance.
+        Independent of sf (the dictionary is the fixed external corpus);
+        sample scales lightly with sf for runtime sanity."""
+        from liblevenshtein_rust_ray.pipelines.spelling import corpus_validation
+
+        sample = 2000 if _sf_of(sf_dir) <= 0.001 else 8000
+        return corpus_validation(sample=sample)
+
     # -------------------------- relational ----------------------------
     def q1(sf_dir):
         return R.q1_lineitem(sf_dir)
@@ -605,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann_lsh_topk_q,
         "ann_ivf_topk": ann_ivf_topk_q,
         "spelling_recall": spelling_recall_q,
+        "corpus_recall_real": corpus_recall_real,
         "token_stats": token_stats,
         "quality_docs": quality_docs,
         "langid_docs": langid_docs,

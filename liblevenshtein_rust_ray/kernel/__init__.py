@@ -34,6 +34,7 @@ from .distance import (
     MemoCache,
 )
 from .dawg import Trie, Dawg, build_trie, build_dawg
+from .arraytrie import ArrayTrie, batched_query, build_array_trie
 from .query import query, ordered_query, Candidate
 from .automaton import LevenshteinAutomaton
 
@@ -60,6 +61,9 @@ __all__ = [
     "Dawg",
     "build_trie",
     "build_dawg",
+    "ArrayTrie",
+    "build_array_trie",
+    "batched_query",
     "query",
     "ordered_query",
     "Candidate",

@@ -43,9 +43,22 @@ def query(
     """Yield all ``(term, distance)`` within ``max_distance`` of ``query_term``.
 
     ``dictionary`` is a :class:`Trie` / :class:`Dawg` (or any object with a
-    ``root`` node exposing ``edges`` / ``final``).  Results stream in BFS
+    ``root`` node exposing ``edges`` / ``final``), or an :class:`ArrayTrie`
+    (whole-term mode only — the vectorized backend).  Results stream in BFS
     order (use :func:`ordered_query` for the sorted contract).
     """
+    from .arraytrie import ArrayTrie, batched_query
+
+    if isinstance(dictionary, ArrayTrie):
+        if prefix_mode or substring_mode:
+            raise ValueError(
+                "ArrayTrie supports whole-term queries; use Trie/Dawg for "
+                "prefix/substring modes"
+            )
+        for term, d in batched_query(dictionary, query_term, max_distance,
+                                     algorithm, subst=subst):
+            yield Candidate(term, d)
+        return
     root = dictionary.root if isinstance(dictionary, (Trie, Dawg)) else dictionary
     aut = LevenshteinAutomaton(
         query_term,

@@ -103,3 +103,122 @@ def spelling_recall(vocab_ds, col: str, n: int = 2, per_word: int = 2,
 
     return parts.repartition(1).map_batches(finalize, batch_format="pandas",
                                             batch_size=None)
+
+
+# ----------------------------------------------------------------------
+ENGLISH_WORDS = "/root/reference/data/english_words.txt"
+
+
+def load_dictionary_words(path: str = ENGLISH_WORDS) -> list[str]:
+    """The reference's bundled real dictionary (data/english_words.txt,
+    123,985 entries — its benchmark + corpus-validation dictionary),
+    lowercased/distinct/sorted.  Falls back to the deterministic synthetic
+    vocabulary when the file is absent."""
+    import os
+
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            return sorted({w.strip().lower() for w in f if w.strip()})
+    from ..sources.pages import _vocab
+
+    return _vocab(size=20000)
+
+
+def make_mitton_corpus(words: list[str], sample: int = 20000, per_word: int = 1,
+                       distance: int = 2, seed: int = 7) -> str:
+    """Deterministic Mitton-format misspelling corpus over a real word list
+    (the bundled Holbrook/Aspell sets need a network download the build
+    can't do, so the typo model generates one at known distances; format
+    round-trips through sources.corpus.parse_mitton)."""
+    lines = []
+    for w in words:
+        if len(w) < 4 or hash64(f"sample|{seed}|{w}") % max(1, len(words) // sample):
+            continue
+        g = TypoGenerator(seed=(hash64(w) ^ seed) & 0x7FFFFFFF)
+        lines.append(f"${w}")
+        for _ in range(per_word):
+            lines.append(f"{g.generate_typos(w, distance)} 1")
+    return "\n".join(lines)
+
+
+class _DictQueryActor:
+    """Actor-pool stage: the 124k-term ArrayTrie + dense universal tables
+    are built ONCE per actor from the broadcast word list (``ray.put`` —
+    read per actor, never per batch), then every batch of misspellings is
+    a vectorized table-driven traversal."""
+
+    def __init__(self, words_ref, n: int):
+        import ray
+
+        from ..kernel.arraytrie import ArrayTrie, batched_query  # noqa: F401
+
+        self.trie = ArrayTrie.from_terms(ray.get(words_ref), presorted=True)
+        self.n = n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..kernel import standard_distance
+        from ..kernel.arraytrie import batched_query
+
+        outs = {"distance": [], "found": []}
+        for correct, miss in zip(t.column("correct").to_pylist(),
+                                 t.column("misspelling").to_pylist()):
+            d_true = standard_distance(correct, miss)
+            if d_true > self.n:
+                continue  # reference skips beyond-bound cases (corpus_validation.rs:152)
+            hits = batched_query(self.trie, miss, self.n)
+            found = any(term == correct for term, _d in hits)
+            outs["distance"].append(d_true)
+            outs["found"].append(1 if found else 0)
+        return pa.table(
+            {"distance": pa.array(outs["distance"], type=pa.int64()),
+             "found": pa.array(outs["found"], type=pa.int64())}
+        )
+
+
+def corpus_validation(words: list[str] | None = None, n: int = 2,
+                      sample: int = 20000, per_word: int = 1, seed: int = 7,
+                      concurrency: int | None = None):
+    """The reference's corpus-validation gates
+    (tests/corpus_validation.rs:129-346) as a distributed Ray Data job over
+    the REAL bundled dictionary: recall-at-distance of the automaton engine,
+    reported per true edit distance.  Returns a Dataset
+    (distance, n_cases, n_found, recall) — the engine is exact, so recall
+    must be 1.0 at every distance <= n (the reference gates >= 85/85/90%
+    on human corpora; generated corpora make the gate sharp)."""
+    import ray
+    import ray.data as rd
+
+    from ..sources.corpus import parse_mitton
+    from ..stages.grouped import bucketed_apply
+
+    words = words or load_dictionary_words()
+    corpus = parse_mitton(make_mitton_corpus(words, sample=sample,
+                                             per_word=per_word, seed=seed))
+    words_ref = ray.put(words)
+    cases = rd.from_arrow(pa.table({
+        "correct": pa.array([c for c, _m, _f in corpus], type=pa.string()),
+        "misspelling": pa.array([m for _c, m, _f in corpus], type=pa.string()),
+    }))
+    scored = cases.map_batches(
+        _DictQueryActor,
+        fn_constructor_kwargs={"words_ref": words_ref, "n": n},
+        concurrency=concurrency or 8,
+        batch_size=256,
+        batch_format="pyarrow",
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("distance", as_index=False).agg(
+            n_cases=("found", "size"), n_found=("found", "sum"))
+        return g
+
+    parts = bucketed_apply(scored, "distance", agg, n_buckets=4)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("distance", as_index=False).agg(
+            n_cases=("n_cases", "sum"), n_found=("n_found", "sum"))
+        g["recall"] = g["n_found"] / g["n_cases"]
+        return g.astype({"distance": "int64", "n_cases": "int64", "n_found": "int64"})
+
+    return parts.repartition(1).map_batches(finalize, batch_format="pandas",
+                                            batch_size=None)

@@ -32,6 +32,10 @@ def table_to_dict(t: pa.Table, backend: str = "dawg"):
         return build_dawg(terms, presorted=True)
     if backend == "trie":
         return build_trie(terms)
+    if backend == "array_trie":
+        from ..kernel import build_array_trie
+
+        return build_array_trie(terms, presorted=True)
     raise ValueError(f"unknown dictionary backend: {backend!r}")
 
 
