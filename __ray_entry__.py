@@ -140,6 +140,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pattern="custoner", n=1,
         )
 
+    def substring_positions_d0(sf_dir):
+        """Full match_positions surface (suffix_automaton.rs:758) at d=0:
+        every exact occurrence of 'customer' with its end position —
+        SQL-checkable with substr()."""
+        return F.substring_positions(
+            _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+            pattern="customer", n=0,
+        )
+
+    def substring_positions_d1(sf_dir):
+        """All approximate occurrences of 'custoner' at d<=1 (rows-only;
+        the Sellers-DP kernel is property-tested against brute force)."""
+        return F.substring_positions(
+            _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+            pattern="custoner", n=1,
+        )
+
     def fuzzy_vocab_pairs_subst(sf_dir):
         """Restricted-substitution fuzzy pairs: vocabulary tokens within
         d<=1 when phonetic_basic substitutions (f/p, c/k, c/s, s/z, a/e,
@@ -353,6 +370,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Merge-and-split algorithm variant (reference Table 8.1); rows-only."""
         return F.fuzzy_self_join(_rd(sf_dir, "part", ["p_name"]), "p_name", n=2,
                                  algorithm="merge_and_split")
+
+    def fuzzy_selfjoin_part_ms_universal(sf_dir):
+        """Merge-and-split scored by the PARAMETRIC universal automaton
+        (kernel.universal now covers all three algorithms, reference
+        universal/position.rs:130-819) — must equal the per-query kernel's
+        fuzzy_selfjoin_part_merge_split row set (equivalence pinned by
+        Hypothesis/property tests vs the DP)."""
+        import numpy as np
+        from liblevenshtein_rust_ray.kernel.universal import universal_automaton
+
+        ua = universal_automaton(2, "merge_and_split")
+
+        def scorer(qa, qb):
+            return np.fromiter(
+                (ua.distance(a, b, cap=2) for a, b in zip(qa, qb)),
+                np.int64, count=len(qa),
+            )
+
+        return F.fuzzy_self_join(
+            _rd(sf_dir, "part", ["p_name"]), "p_name", n=2, pair_scorer=scorer
+        )
+
+    def fuzzy_selfjoin_part_ocr_restricted(sf_dir):
+        """Character-set-RESTRICTED operation weights
+        (OperationType::with_restriction, operation_type.rs:237): classic
+        OCR confusions (rn->m, o->0, ...) priced at 0.25 ONLY for their
+        segments, everything else unit cost; pairs within weight 1.0.
+        len_diff=4: each 0.25-weight confusion changes length by at most
+        1, so weight <= 1.0 bounds the length delta at 4."""
+        import pandas as pd
+        from liblevenshtein_rust_ray.kernel.operations import (
+            OperationSet,
+            batch_weighted_distances,
+        )
+
+        ops = OperationSet.ocr_restricted()
+        out = F.fuzzy_self_join(
+            _rd(sf_dir, "part", ["p_name"]), "p_name", n=2,
+            pair_scorer=lambda a, b: batch_weighted_distances(a, b, ops),
+            max_score=1.0, len_diff=4, score_dtype="float64",
+        )
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns={"distance": "weight"})
+
+        return out.map_batches(fin, batch_format="pandas")
 
     def er_pairs_transposition(sf_dir):
         return er_pairs(_pages_path(sf_dir), algorithm="transposition")
@@ -597,6 +660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join_vocab_partwords": fuzzy_join_vocab_partwords,
         "fuzzy_vocab_pairs_subst": fuzzy_vocab_pairs_subst,
         "substring_search_docs": substring_search_docs,
+        "substring_positions_d0": substring_positions_d0,
+        "substring_positions_d1": substring_positions_d1,
         "prefix_search_tokens": prefix_search_tokens,
         "exact_dedup_part": exact_dedup_part,
         "minhash_neardup_docs": minhash_neardup_docs,
@@ -607,6 +672,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scoped_completion": scoped_completion,
         "fuzzy_selfjoin_part_transposition": fuzzy_selfjoin_part_transposition,
         "fuzzy_selfjoin_part_merge_split": fuzzy_selfjoin_part_merge_split,
+        "fuzzy_selfjoin_part_ms_universal": fuzzy_selfjoin_part_ms_universal,
+        "fuzzy_selfjoin_part_ocr_restricted": fuzzy_selfjoin_part_ocr_restricted,
         "fuzzy_selfjoin_part_ocr": fuzzy_selfjoin_part_ocr,
         "er_pairs_transposition": er_pairs_transposition,
         "er_pairs_incremental": er_pairs_incremental_q,
@@ -721,6 +788,12 @@ def oracle_sql() -> dict[str, str]:
                  p AS (SELECT DISTINCT substr(tok, 1, 3) AS pre FROM v WHERE length(tok) >= 3)
             SELECT p.pre AS prefix, v.tok AS term
             FROM p JOIN v ON v.tok LIKE p.pre || '%'
+        """,
+        "substring_positions_d0": """
+            SELECT doc_id, CAST(r.j AS BIGINT) AS match_end,
+                   CAST(0 AS BIGINT) AS distance
+            FROM documents, unnest(range(8, length(text) + 1)) AS r(j)
+            WHERE substr(text, CAST(r.j AS BIGINT) - 7, 8) = 'customer'
         """,
         "exact_dedup_part": """
             SELECT p.* FROM part p

@@ -218,7 +218,7 @@ def batched_query(trie: ArrayTrie, query_term, max_distance: int,
     without substitution sets the transitions come from the dense
     query-independent universal tables; otherwise the per-query interned
     automaton drives the same level-synchronous walk."""
-    if subst is None and algorithm in (STANDARD, TRANSPOSITION) and max_distance <= 3:
+    if subst is None and max_distance <= 3:
         return _universal_batched(trie, query_term, max_distance, algorithm)
     aut = LevenshteinAutomaton(query_term, max_distance, algorithm, subst=subst)
     qlen = len(query_term)

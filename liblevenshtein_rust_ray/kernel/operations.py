@@ -30,10 +30,25 @@ class OperationSet:
     transpose: float | None = None  # adjacent swap (consumes 2 + 2)
     merge: float | None = None      # 2 source chars -> 1 target char
     split: float | None = None      # 1 source char -> 2 target chars
+    # character-set-RESTRICTED operations (the reference's
+    # ``OperationType::with_restriction``, operation_type.rs:237): exact
+    # segment rewrites (src_seg -> dst_seg) at their own weight, on top of
+    # the global per-op weights above — e.g. ("rn", "m", 0.2) prices the
+    # classic OCR merge without cheapening every merge.
+    rules: tuple = ()
 
     @staticmethod
     def standard() -> "OperationSet":
         return OperationSet()
+
+    def with_rule(self, src: str, dst: str, weight: float) -> "OperationSet":
+        """A copy with one restricted rewrite rule added (src segment ->
+        dst segment at ``weight``); chainable."""
+        from dataclasses import replace
+
+        if not src and not dst:
+            raise ValueError("a rule must consume at least one character")
+        return replace(self, rules=self.rules + ((src, dst, weight),))
 
     @staticmethod
     def transposition(weight: float = 1.0) -> "OperationSet":
@@ -48,6 +63,24 @@ class OperationSet:
         """Glyph-error model: substitutions and merges cheap (rn→m style),
         insert/delete full price."""
         return OperationSet(substitute=0.5, merge=0.5, split=0.5)
+
+    @staticmethod
+    def ocr_restricted() -> "OperationSet":
+        """Restricted glyph-confusion model: unit costs globally, with the
+        classic OCR confusions priced cheaply ONLY for their character
+        sets (the with_restriction configuration the reference ships for
+        scanner output)."""
+        ops = OperationSet()
+        for src, dst, w in (
+            ("rn", "m", 0.25), ("m", "rn", 0.25),
+            ("cl", "d", 0.25), ("d", "cl", 0.25),
+            ("vv", "w", 0.25), ("w", "vv", 0.25),
+            ("0", "o", 0.25), ("o", "0", 0.25),
+            ("1", "l", 0.25), ("l", "1", 0.25),
+            ("5", "s", 0.25), ("s", "5", 0.25),
+        ):
+            ops = ops.with_rule(src, dst, w)
+        return ops
 
 
 _INF = float("inf")
@@ -85,6 +118,10 @@ def weighted_distance(source: str, target: str, ops: OperationSet) -> float:
                 D[i + 2, j + 1] = min(D[i + 2, j + 1], d + ops.merge)
             if ops.split is not None and i < m and j + 1 < n:
                 D[i + 1, j + 2] = min(D[i + 1, j + 2], d + ops.split)
+            for s, t, w in ops.rules:
+                ls, lt = len(s), len(t)
+                if source[i:i + ls] == s and target[j:j + lt] == t:
+                    D[i + ls, j + lt] = min(D[i + ls, j + lt], d + w)
     return float(D[m, n])
 
 
@@ -115,6 +152,9 @@ def brute_force_distance(source: str, target: str, ops: OperationSet,
         best = min(best, ops.merge + brute_force_distance(source[2:], target[1:], ops))
     if ops.split is not None and source and len(target) >= 2:
         best = min(best, ops.split + brute_force_distance(source[1:], target[2:], ops))
+    for s, t, w in ops.rules:
+        if source.startswith(s) and target.startswith(t):
+            best = min(best, w + brute_force_distance(source[len(s):], target[len(t):], ops))
     return best
 
 

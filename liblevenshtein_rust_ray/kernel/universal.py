@@ -23,7 +23,7 @@ against the DP oracles by Hypothesis (tests/test_kernel_universal.py).
 
 from functools import lru_cache
 
-from .algorithm import STANDARD, TRANSPOSITION
+from .algorithm import STANDARD, TRANSPOSITION, MERGE_AND_SPLIT
 
 
 class UniversalAutomaton:
@@ -32,16 +32,17 @@ class UniversalAutomaton:
     Position encoding: ``(offset, errors, special)`` — ``i#e`` relative to
     input column ``j`` as ``offset = i - j``; the window of query chars
     that matter for a column is ``query[j-n : j+n+1]`` (slots 0..2n).
+    All three algorithms are covered (reference
+    universal/position.rs:130-819): specials are
+    transpositions-in-progress (await q[i]) or splits-in-progress
+    (complete on any character).
     """
 
     def __init__(self, n: int, algorithm: str = STANDARD):
         if n < 0:
             raise ValueError("n must be >= 0")
-        if algorithm not in (STANDARD, TRANSPOSITION):
-            raise ValueError(
-                "universal tables are precomputed for standard/transposition; "
-                "merge_and_split uses the per-query automaton"
-            )
+        if algorithm not in (STANDARD, TRANSPOSITION, MERGE_AND_SPLIT):
+            raise ValueError(f"unknown algorithm {algorithm!r}")
         self.n = n
         self.algorithm = algorithm
         self.width = 2 * n + 1
@@ -73,13 +74,21 @@ class UniversalAutomaton:
 
     # ------------------------------------------------------------------
     def _subsumes(self, p, q) -> bool:
-        """Our (soundness-fixed) subsumption rules in relative coordinates:
-        standard formula for normal-normal; specials never subsume normals
-        and vice versa; special-special uses the adjusted formula."""
+        """Subsumption in relative coordinates, mirroring kernel.position
+        (incl. the soundness fix: transposition specials never subsume
+        normals): standard formula for normal-normal; merge_and_split
+        requires STRICTLY fewer errors and lets normals subsume specials
+        (reference position.rs:159-172)."""
         i, e, s = p
         j, f, t = q
         if e > f:
             return False
+        if self.algorithm == MERGE_AND_SPLIT:
+            if s and not t:
+                return False
+            if e == f:
+                return False
+            return abs(i - j) <= f - e
         if not s and not t:
             return abs(i - j) <= f - e
         if s and t:
@@ -108,6 +117,8 @@ class UniversalAutomaton:
         ahead (offset+1, errors unchanged)."""
         n = self.n
         trans = self.algorithm == TRANSPOSITION
+        if self.algorithm == MERGE_AND_SPLIT:
+            return self._step_merge_split(state, cv)
         nxt = []
         for off, e, sp in state:
             slot = off + n
@@ -132,6 +143,34 @@ class UniversalAutomaton:
                 # query exhausted for this position: insertions only
                 if e < n:
                     nxt.append((off - 1, e + 1, False))
+        kept = [(o, e, s) for o, e, s in nxt if -n - 1 <= o <= n and e <= n]
+        return self._reduce(kept)
+
+    def _step_merge_split(self, state, cv):
+        """Table 8.1 in relative coordinates (reference
+        universal/position.rs merge-split arm): a split-in-progress
+        completes on ANY character (i+1, errors unchanged); merge consumes
+        two query chars for one word char (offset +1); no multi-char
+        deletion scan — remaining query chars are unit deletions at
+        acceptance time, exactly like the per-query kernel
+        (transition.py::transition_merge_split)."""
+        n = self.n
+        nxt = []
+        for off, e, sp in state:
+            slot = off + n
+            if sp:
+                nxt.append((off, e, False))  # split completes on any char
+                continue
+            rem = len(cv) - slot  # query chars remaining at this position
+            if rem >= 1 and cv[slot]:
+                nxt.append((off, e, False))  # match (other ops subsumed)
+            elif e < n:
+                nxt.append((off - 1, e + 1, False))      # insertion
+                if rem >= 1:
+                    nxt.append((off, e + 1, False))      # substitution
+                    nxt.append((off - 1, e + 1, True))   # split start
+                if rem >= 2:
+                    nxt.append((off + 1, e + 1, False))  # merge
         kept = [(o, e, s) for o, e, s in nxt if -n - 1 <= o <= n and e <= n]
         return self._reduce(kept)
 

@@ -326,6 +326,31 @@ def substring_search(ds, text_col: str, id_col: str, pattern: str, n: int = 1):
     return ds.map_batches(scan, batch_format="pyarrow")
 
 
+def substring_positions(ds, text_col: str, id_col: str, pattern: str, n: int = 1):
+    """ALL approximate occurrences of ``pattern`` per document — one row per
+    (doc, end) with its distance.  The reference's full ``match_positions``
+    surface (/root/reference/src/dictionary/suffix_automaton.rs:758), where
+    :func:`substring_search` keeps only the best hit per doc.  ``match_end``
+    counts characters consumed (exclusive 0-based end == 1-based position of
+    the match's last character), so d=0 is SQL-checkable with substr()."""
+    from ..kernel.substring import substring_match_ends
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids, dists, ends = [], [], []
+        for i, x in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+            e, d = substring_match_ends(pattern, x or "", n)
+            ids.extend([i] * len(e))
+            ends.extend(e.tolist())
+            dists.extend(d.tolist())
+        return pa.table({
+            id_col: pa.array(ids),
+            "match_end": pa.array(ends, type=pa.int64()),
+            "distance": pa.array(dists, type=pa.int64()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
 def fuzzy_lookup_agg(queries, dictionary, query_col: str, term_col: str,
                      value_col: str, n: int = 1, algorithm: str = STANDARD,
                      value_pred=None):

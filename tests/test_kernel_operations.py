@@ -67,3 +67,35 @@ def test_batch_wrapper():
     got = batch_weighted_distances(qs, ts, ops, cap=1)
     assert got[0] == 0.5  # merge rn -> m at OCR weight
     assert got[1] == 0.0
+
+
+def test_restricted_rules_match_brute_force():
+    """with_restriction semantics (reference operation_type.rs:237): exact
+    segment rewrites at their own weight, property-tested vs recursion."""
+    rng = random.Random(4)
+    for trial in range(80):
+        ops = OperationSet(
+            substitute=rng.choice([None, 1.0]),
+            transpose=rng.choice([None, 1.0]),
+        )
+        for _ in range(rng.randint(1, 3)):
+            src = "".join(rng.choice("ab") for _ in range(rng.randint(0, 2)))
+            dst = "".join(rng.choice("ab") for _ in range(rng.randint(0, 2)))
+            if not src and not dst:
+                src = "a"
+            ops = ops.with_rule(src, dst, rng.choice([0.2, 0.5]))
+        a, b = _rand_words(trial, 1, maxlen=4)[0], _rand_words(trial + 77, 1, maxlen=4)[0]
+        assert weighted_distance(a, b, ops) == pytest.approx(
+            brute_force_distance(a, b, ops)
+        )
+
+
+def test_restriction_does_not_leak():
+    """The cheap weight applies ONLY to the restricted segment pair."""
+    ops = OperationSet.ocr_restricted()
+    assert weighted_distance("rn", "m", ops) == pytest.approx(0.25)
+    assert weighted_distance("rm", "m", ops) == pytest.approx(1.0)  # plain delete
+    assert weighted_distance("xo", "x0", ops) == pytest.approx(0.25)
+    assert weighted_distance("xa", "x0", ops) == pytest.approx(1.0)  # plain subst
+    with pytest.raises(ValueError):
+        ops.with_rule("", "", 0.1)
