@@ -100,6 +100,23 @@ def main() -> None:
             out.count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # dictionary-backend micro point vs BASELINE.md's reference numbers:
+    # ArrayTrie over the reference's real 124k-word dictionary (single
+    # process — comparable to the criterion single-thread table)
+    from liblevenshtein_rust_ray.kernel.arraytrie import ArrayTrie, batched_query
+    from liblevenshtein_rust_ray.pipelines.spelling import load_dictionary_words
+
+    words = load_dictionary_words()
+    t0 = time.perf_counter()
+    trie = ArrayTrie.from_terms(words, presorted=True)
+    timings["dict_build_124k"] = round(time.perf_counter() - t0, 3)
+    probe = ["recieve", "acomodate", "definately", "seperate", "occured"] * 4
+    batched_query(trie, "warmup", 2)
+    t0 = time.perf_counter()
+    for q in probe:
+        batched_query(trie, q, 2)
+    timings["dict_query_d2_ms"] = round((time.perf_counter() - t0) / len(probe) * 1000, 3)
+
     if "--stats" in sys.argv:
         # per-operator execution stats for the headline pipeline (the
         # ds.stats() review loop) — stderr so stdout stays one JSON line

@@ -42,28 +42,47 @@ def _apply_rule(word: str, pattern: str, replacement: str, context: str) -> str:
     return "".join(out)
 
 
-# (pattern, replacement, context) — order matters (reference rules.rs:16)
+# (pattern, replacement, context, weight) — order matters (reference
+# rules.rs:245-292; sequential application is NOT confluent, Theorem 3).
+# The digraph outputs use the reference's single symbols: 'ç' (tsh) and
+# '$' (sh).  The full zompist set is 13 rules: 8 orthography (weight 0.0),
+# 3 phonetic approximations (weight 0.15), 2 test rules used by the
+# non-confluence theorem.
 ORTHOGRAPHY_RULES = [
-    ("ph", "f", "any"),
-    ("gh", "", "any"),
-    ("c", "s", "before_front_vowel"),
-    ("c", "k", "not_before_front_vowel"),
-    ("g", "j", "before_front_vowel"),
-    ("e", "", "word_final"),
+    ("ch", "ç", "any", 0.0),                    # rules.rs:296 ch → ç
+    ("sh", "$", "any", 0.0),                    # rules.rs:307 sh → $
+    ("ph", "f", "any", 0.0),                    # rules.rs:318 ph → f
+    ("c", "s", "before_front_vowel", 0.0),      # rules.rs:329 c → s / _[ie]
+    ("c", "k", "any", 0.0),                     # rules.rs:340 c → k elsewhere
+    ("g", "j", "before_front_vowel", 0.0),      # rules.rs:351 g → j / _[ie]
+    ("e", "", "word_final", 0.0),               # rules.rs:362 e → ∅ / _#
+    ("gh", "", "any", 0.0),                     # rules.rs:373 gh → ∅
 ]
 
 PHONETIC_RULES = [
-    ("th", "t", "any"),
-    ("qu", "kw", "any"),
+    ("th", "t", "any", 0.15),                   # rules.rs:384
+    ("qu", "kw", "any", 0.15),                  # rules.rs:395
+    ("kw", "qu", "any", 0.15),                  # rules.rs:406 (reverse)
 ]
+
+TEST_RULES = [
+    ("x", "yy", "any", 0.0),                    # rules.rs:417 (expansion)
+    ("y", "z", "any", 0.0),                     # rules.rs:428
+]
+
+
+def zompist_rules():
+    """All 13 rules in reference order (rules.rs:286-292)."""
+    return ORTHOGRAPHY_RULES + PHONETIC_RULES + TEST_RULES
 
 
 def apply_rules_seq(rules, word: str, fuel: int = 1000) -> str:
     """Apply each rule once, in order (each rule is a single full scan; the
-    fuel bound caps total pattern replacements, mirroring the reference's
-    termination guarantee)."""
+    fuel bound caps total effective rule applications, mirroring the
+    reference's termination guarantee — fuel=0 is the identity,
+    properties.rs prop_zero_fuel_identity)."""
     spent = 0
-    for pattern, replacement, context in rules:
+    for pattern, replacement, context, _w in rules:
         if spent >= fuel:
             break
         before = word
@@ -73,6 +92,22 @@ def apply_rules_seq(rules, word: str, fuel: int = 1000) -> str:
     return word
 
 
+def rewrite_weight(rules, word: str) -> float:
+    """Total weight of the rules that fired on ``word`` (the approximate-
+    rule cost the reference attaches to phonetic matches)."""
+    total = 0.0
+    for pattern, replacement, context, w in rules:
+        nxt = _apply_rule(word, pattern, replacement, context)
+        if nxt != word:
+            total += w
+        word = nxt
+    return total
+
+
 def phonetic_normalize(word: str) -> str:
-    """orthography + phonetic rule sets over a lowercased word."""
-    return apply_rules_seq(ORTHOGRAPHY_RULES + PHONETIC_RULES, word.lower())
+    """orthography + forward phonetic rules over a lowercased word (the
+    normalize-then-match form).  The reverse rule kw→qu and the 2 test
+    rules are excluded: sequentially kw→qu would undo qu→kw (the rule SET
+    carries both directions for the matching side; the non-confluence
+    theorem is exactly about such order sensitivity)."""
+    return apply_rules_seq(ORTHOGRAPHY_RULES + PHONETIC_RULES[:2], word.lower())

@@ -106,7 +106,148 @@ class TtlCache:
         return v
 
 
-POLICIES = {"noop": NoopCache, "lru": LruCache, "lfu": LfuCache, "ttl": TtlCache}
+class AgeCache:
+    """Oldest-first / FIFO eviction (reference age.rs:84): insertion time
+    decides the victim, independent of access pattern."""
+
+    def __init__(self, fn, max_size: int = 65536):
+        self.fn = fn
+        self.max = max_size
+        self._d: OrderedDict = OrderedDict()  # insertion-ordered
+        self.hits = 0
+        self.misses = 0
+
+    def __call__(self, *key):
+        if key in self._d:
+            self.hits += 1
+            return self._d[key]  # NO move_to_end — age, not recency
+        self.misses += 1
+        v = self.fn(*key)
+        self._d[key] = v
+        if len(self._d) > self.max:
+            self._d.popitem(last=False)
+        return v
+
+
+class LazyInitCache:
+    """Lazy default initialization (reference lazy_init.rs:94): keys
+    without a computed value resolve through ``default_fn`` WITHOUT being
+    stored — default values cost no cache space; explicit ``put`` (or a
+    non-default compute) populates the map."""
+
+    def __init__(self, fn=None, default_fn=None, max_size: int = 65536):
+        self.fn = fn
+        self.default_fn = default_fn if default_fn is not None else (lambda *k: None)
+        self.max = max_size
+        self._d: OrderedDict = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def put(self, key, value):
+        self._d[key if isinstance(key, tuple) else (key,)] = value
+        if len(self._d) > self.max:
+            self._d.popitem(last=False)
+
+    def __call__(self, *key):
+        got = self._d.get(key)
+        if got is not None:
+            self.hits += 1
+            return got
+        self.misses += 1
+        if self.fn is not None:
+            v = self.fn(*key)
+            self._d[key] = v
+            if len(self._d) > self.max:
+                self._d.popitem(last=False)
+            return v
+        return self.default_fn(*key)
+
+
+class CostAwareCache:
+    """Cost-based eviction (reference cost_aware.rs:101): each entry
+    carries (age, size, hits); the victim minimizes
+    ``hits * cost / size`` — cheap-to-regenerate, rarely-hit, large
+    entries go first.  ``cost_fn(key, value) -> float`` defaults to 1."""
+
+    def __init__(self, fn, max_size: int = 65536, cost_fn=None, size_fn=None):
+        import sys
+
+        self.fn = fn
+        self.max = max_size
+        self.cost_fn = cost_fn or (lambda k, v: 1.0)
+        self.size_fn = size_fn or (lambda v: max(1, sys.getsizeof(v)))
+        self._d: dict = {}
+        self._meta: dict = {}  # key -> [hits, cost, size, seq]
+        self._seq = 0
+        self.hits = 0
+        self.misses = 0
+
+    def _score(self, key):
+        h, c, s, seq = self._meta[key]
+        return (h * c / s, seq)  # ties: oldest first
+
+    def __call__(self, *key):
+        if key in self._d:
+            self.hits += 1
+            self._meta[key][0] += 1
+            return self._d[key]
+        self.misses += 1
+        v = self.fn(*key)
+        if len(self._d) >= self.max:
+            victim = min(self._meta, key=self._score)
+            del self._d[victim], self._meta[victim]
+        self._d[key] = v
+        self._seq += 1
+        self._meta[key] = [0, self.cost_fn(key, v), self.size_fn(v), self._seq]
+        return v
+
+
+class MemoryPressureCache:
+    """Byte-budgeted eviction (reference memory_pressure.rs:104): bounded
+    by TOTAL size, not entry count; under pressure the largest
+    lowest-hit-rate entries leave first (score = size / (hits + 1))."""
+
+    def __init__(self, fn, max_bytes: int = 64 * 1024 * 1024, size_fn=None):
+        import sys
+
+        self.fn = fn
+        self.max_bytes = max_bytes
+        self.size_fn = size_fn or (lambda v: max(1, sys.getsizeof(v)))
+        self._d: dict = {}
+        self._meta: dict = {}  # key -> [hits, size]
+        self.total_bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def __call__(self, *key):
+        if key in self._d:
+            self.hits += 1
+            self._meta[key][0] += 1
+            return self._d[key]
+        self.misses += 1
+        v = self.fn(*key)
+        sz = self.size_fn(v)
+        while self._d and self.total_bytes + sz > self.max_bytes:
+            victim = max(self._meta, key=lambda k: self._meta[k][1] / (self._meta[k][0] + 1))
+            self.total_bytes -= self._meta[victim][1]
+            del self._d[victim], self._meta[victim]
+        if sz <= self.max_bytes:
+            self._d[key] = v
+            self._meta[key] = [0, sz]
+            self.total_bytes += sz
+        return v
+
+
+POLICIES = {
+    "noop": NoopCache,
+    "lru": LruCache,
+    "lfu": LfuCache,
+    "ttl": TtlCache,
+    "age": AgeCache,
+    "lazy_init": LazyInitCache,
+    "cost_aware": CostAwareCache,
+    "memory_pressure": MemoryPressureCache,
+}
 
 
 def cached(fn, policy: str = "lru", **kwargs):

@@ -97,3 +97,133 @@ def test_phonetic():
     assert phonetic_normalize("queen") == "kween"     # qu->kw
     # normalize-then-match: variants collapse
     assert phonetic_normalize("fone") == phonetic_normalize("phone")
+
+
+# ---------------------------------------------------------------------------
+# Zompist 13-rule set: property tests mirroring the reference's 5 Coq
+# theorems (src/phonetic/properties.rs, docs/verification/phonetic/
+# zompist_rules.v).
+# ---------------------------------------------------------------------------
+def _rand_word(rng, k=10):
+    import string
+
+    return "".join(rng.choice(string.ascii_lowercase) for _ in range(rng.randint(0, k)))
+
+
+def test_zompist_rule_count_and_golden():
+    """Rule-by-rule golden results over the full 13-rule set
+    (rules.rs:286-292): digraphs, context rules, silent letters, test rules."""
+    from liblevenshtein_rust_ray.functions.phonetic import (
+        ORTHOGRAPHY_RULES,
+        PHONETIC_RULES,
+        TEST_RULES,
+        apply_rules_seq,
+        zompist_rules,
+    )
+
+    assert len(zompist_rules()) == 13
+    assert len(ORTHOGRAPHY_RULES) == 8
+    assert len(PHONETIC_RULES) == 3
+    assert len(TEST_RULES) == 2
+
+    z = lambda w: apply_rules_seq(zompist_rules(), w)
+    assert z("church") == "çurç"        # ch -> ç (both)
+    assert z("shash") == "$a$"          # sh -> $
+    assert z("philosophy") == "filosofz"  # ph -> f (y->z test rule)
+    assert z("cent") == "sent"          # c -> s / _[ie]
+    assert z("cat") == "kat"            # c -> k elsewhere
+    assert z("gem") == "jem"            # g -> j / _[ie]
+    assert z("gum") == "gum"            # g unchanged elsewhere
+    assert z("late") == "lat"           # silent final e
+    assert z("night") == "nit"          # gh silent + th->t n/a
+    assert z("think") == "tink"         # th -> t
+    assert z("box") == "bozz"           # x -> yy -> zz (test rules, in order)
+
+
+def test_zompist_wellformed():
+    """Theorem 1: every rule has a nonempty pattern and a known context."""
+    from liblevenshtein_rust_ray.functions.phonetic import zompist_rules
+
+    for pat, _rep, ctx, w in zompist_rules():
+        assert len(pat) >= 1
+        assert ctx in ("any", "before_front_vowel", "not_before_front_vowel",
+                       "word_final")
+        assert w >= 0.0
+
+
+def test_zompist_bounded_expansion():
+    """Theorem 2: one rule pass at most doubles the length (max
+    replacement/pattern ratio is x->yy's 2), and the sequential
+    application of r rules is bounded by 2^r."""
+    import random
+
+    from liblevenshtein_rust_ray.functions.phonetic import (
+        _apply_rule,
+        apply_rules_seq,
+        zompist_rules,
+    )
+
+    rng = random.Random(11)
+    for _ in range(300):
+        s = _rand_word(rng)
+        for pat, rep, ctx, _w in zompist_rules():
+            assert len(_apply_rule(s, pat, rep, ctx)) <= max(1, 2 * len(s))
+        assert len(apply_rules_seq(zompist_rules(), s)) <= max(1, 2 * len(s))
+
+
+def test_zompist_non_confluence():
+    """Theorem 3: rule order matters — [x->yy, y->z] vs the reverse order
+    produce different outputs on 'x' (the reference's counterexample)."""
+    from liblevenshtein_rust_ray.functions.phonetic import TEST_RULES, apply_rules_seq
+
+    fwd = apply_rules_seq(TEST_RULES, "x")
+    rev = apply_rules_seq(list(reversed(TEST_RULES)), "x")
+    assert fwd == "zz"
+    assert rev == "yy"
+    assert fwd != rev
+
+
+def test_zompist_termination_and_zero_fuel():
+    """Theorem 4: application terminates within the fuel bound; zero fuel
+    is the identity (properties.rs prop_zero_fuel_identity)."""
+    import random
+
+    from liblevenshtein_rust_ray.functions.phonetic import apply_rules_seq, zompist_rules
+
+    rng = random.Random(12)
+    for _ in range(200):
+        s = _rand_word(rng)
+        assert apply_rules_seq(zompist_rules(), s, fuel=0) == s
+        out = apply_rules_seq(zompist_rules(), s, fuel=13)
+        assert apply_rules_seq(zompist_rules(), s) == out
+
+
+def test_zompist_idempotence():
+    """Theorem 5 (qualified as in the reference): a second application
+    changes nothing unless the first pass ends in a new word-final 'e'
+    run (the silent-e rule is the single non-idempotent rule; every
+    violation found by search is of that shape)."""
+    import random
+
+    from liblevenshtein_rust_ray.functions.phonetic import apply_rules_seq, zompist_rules
+
+    rng = random.Random(13)
+    for _ in range(1500):
+        s = _rand_word(rng)
+        once = apply_rules_seq(zompist_rules(), s)
+        twice = apply_rules_seq(zompist_rules(), once)
+        if once.endswith("e"):
+            assert twice == once[:-1] or twice == once
+        else:
+            assert twice == once, (s, once, twice)
+
+
+def test_rewrite_weight():
+    from liblevenshtein_rust_ray.functions.phonetic import (
+        PHONETIC_RULES,
+        rewrite_weight,
+    )
+
+    assert rewrite_weight(PHONETIC_RULES, "think") == 0.15      # th fired
+    assert rewrite_weight(PHONETIC_RULES, "quick") == 0.30      # qu->kw, kw->qu
+    assert rewrite_weight(PHONETIC_RULES, "plain") == 0.0

@@ -291,3 +291,70 @@ def test_embedding_auto_guard(ray_session, monkeypatch):
     out = D.embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.9)
     out.materialize()
     assert not called["to_pandas"]
+
+
+# ---------------------------------------------------------------------------
+# Contextual draft/checkpoint/undo overlay (reference engine.rs:500-756).
+# ---------------------------------------------------------------------------
+def test_contextual_draft_checkpoint_undo():
+    import pytest as _pytest
+
+    from liblevenshtein_rust_ray.state.contextual import ContextError, ContextualEngine
+
+    e = ContextualEngine()
+    ctx = e.create_root_context()
+    # the reference doc-example sequence (engine.rs:646-700)
+    e.checkpoint(ctx)            # empty checkpoint
+    e.insert_str(ctx, "hello")
+    e.checkpoint(ctx)            # "hello" checkpoint
+    e.insert_str(ctx, " world")
+    assert e.get_draft(ctx) == "hello world"
+    assert e.checkpoint_count(ctx) == 2
+    e.undo(ctx)
+    assert e.get_draft(ctx) == "hello"
+    assert e.checkpoint_count(ctx) == 1
+    e.undo(ctx)
+    assert e.get_draft(ctx) == ""
+    with _pytest.raises(ContextError):
+        e.undo(ctx)              # empty stack errors (engine.rs:712)
+    e.insert_str(ctx, "abc")
+    e.delete_chars(ctx, 1)
+    assert e.get_draft(ctx) == "ab"
+    e.clear_draft(ctx)
+    assert e.get_draft(ctx) == ""
+
+
+def test_contextual_visibility_and_complete():
+    from liblevenshtein_rust_ray.state.contextual import ContextualEngine
+
+    e = ContextualEngine()
+    root = e.create_root_context()
+    child = e.create_child_context(root)
+    e.add_term(root, "global_term")
+    e.add_term(child, "global_child")
+    e.add_term(child, "other")
+    # child sees own + ancestor; root sees only its own
+    assert e.visible_terms(child) == ["global_child", "global_term", "other"]
+    assert e.visible_terms(root) == ["global_term"]
+    got = e.complete(child, "glob")
+    assert got == [("global_child", 0), ("global_term", 0)]
+    assert e.complete(root, "glob") == [("global_term", 0)]
+    # draft-derived query: last token of the draft
+    e.insert_str(child, "some text glob")
+    assert e.complete(child) == [("global_child", 0), ("global_term", 0)]
+
+
+def test_contextual_session_actor(ray_session):
+    import ray
+
+    from liblevenshtein_rust_ray.state.contextual import contextual_session
+
+    s = contextual_session()
+    ctx = ray.get(s.create_root_context.remote())
+    ray.get(s.add_term.remote(ctx, "alpha"))
+    ray.get(s.insert_str.remote(ctx, "al"))
+    ray.get(s.checkpoint.remote(ctx))
+    ray.get(s.insert_str.remote(ctx, "xxx"))
+    ray.get(s.undo.remote(ctx))
+    assert ray.get(s.get_draft.remote(ctx)) == "al"
+    assert ray.get(s.complete.remote(ctx, "al")) == [("alpha", 0)]

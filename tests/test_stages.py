@@ -245,3 +245,31 @@ def test_blocking_recall_property():
         ka = set(keys_for_title("host", title))
         kb = set(keys_for_title("host", perturbed))
         assert ka & kb, (title, perturbed)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_cc_label_link_shortcut_chain():
+    """Label-link shortcutting makes round count O(log diameter): a 16-node
+    chain (one-hop propagation would need 15 rounds) must converge within
+    8 rounds and match the driver union-find exactly."""
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.cluster import connected_components
+
+    n = 16
+    edges = [
+        {"url_a": f"n{i:04d}", "url_b": f"n{i + 1:04d}", "distance": 1}
+        for i in range(n - 1)
+    ]
+    pairs = rd.from_items(edges)
+    stats = {}
+    got = (
+        connected_components(pairs, mode="distributed", n_buckets=4,
+                             max_rounds=8, stats=stats)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert (got["cluster_id"] == "n0000").all(), got.head()
+    assert len(got) == n
+    assert stats["rounds"] <= 8, stats
