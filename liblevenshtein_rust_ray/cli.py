@@ -19,14 +19,12 @@ import json
 import sys
 
 
-def _load_terms(path: str) -> list[str]:
-    """Extension-dispatched dictionary load (detect.rs capability)."""
-    if path.endswith((".parquet", ".pq")):
-        import pyarrow.parquet as pq
+def _load_terms(path: str, fmt: str | None = None) -> list[str]:
+    """Auto-detected dictionary load (magic bytes -> extension -> content,
+    reference cli/detect.rs:52-261): parquet / json / text / gzip."""
+    from .state.dictionary_io import read_terms
 
-        return sorted(set(pq.read_table(path).column("term").to_pylist()))
-    with open(path, encoding="utf-8") as f:
-        return sorted({line.strip() for line in f if line.strip()})
+    return read_terms(path, fmt)
 
 
 def cmd_query(args) -> int:
@@ -46,15 +44,10 @@ def cmd_query(args) -> int:
 
 
 def cmd_convert(args) -> int:
-    from .kernel import build_trie
-    from .state.dictionary_io import write_dictionary
+    from .state.dictionary_io import write_terms
 
     terms = _load_terms(args.input)
-    if args.output.endswith((".parquet", ".pq")):
-        write_dictionary(build_trie(terms), args.output)
-    else:
-        with open(args.output, "w", encoding="utf-8") as f:
-            f.write("\n".join(terms) + "\n")
+    write_terms(terms, args.output)
     print(json.dumps({"terms": len(terms), "output": args.output}))
     return 0
 

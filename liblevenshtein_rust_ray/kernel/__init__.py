@@ -37,6 +37,7 @@ from .dawg import Trie, Dawg, build_trie, build_dawg
 from .arraytrie import ArrayTrie, batched_query, build_array_trie
 from .query import query, ordered_query, Candidate
 from .automaton import LevenshteinAutomaton
+from .builder import TransducerBuilder, QueryBuilder, Transducer, BuilderError
 
 __all__ = [
     "STANDARD",
@@ -68,4 +69,8 @@ __all__ = [
     "ordered_query",
     "Candidate",
     "LevenshteinAutomaton",
+    "TransducerBuilder",
+    "QueryBuilder",
+    "Transducer",
+    "BuilderError",
 ]

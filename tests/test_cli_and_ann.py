@@ -67,3 +67,78 @@ def test_spelling_recall_is_one(ray_session):
     assert len(out) == 1
     assert out["recall"].iloc[0] == 1.0
     assert out["n_misspellings"].iloc[0] > 0
+
+
+# ---------------------------------------------------------------------------
+# Format auto-detection chain (reference cli/detect.rs:52-261).
+# ---------------------------------------------------------------------------
+def test_format_detection_chain(tmp_path):
+    import gzip
+    import json
+
+    from liblevenshtein_rust_ray.state.dictionary_io import (
+        detect_format,
+        read_terms,
+        write_terms,
+    )
+
+    terms = ["beta", "alpha", "alpha", "gamma"]
+    want = ["alpha", "beta", "gamma"]
+
+    # parquet: magic bytes win even with a lying extension
+    p = tmp_path / "dict.bin"
+    write_terms(terms, str(p), fmt="parquet")
+    assert detect_format(str(p)) == "parquet"
+    assert read_terms(str(p)) == want
+
+    # gzip magic + inner json/text discrimination
+    gj = tmp_path / "dict1.whatever"
+    with gzip.open(gj, "wt") as f:
+        json.dump(terms, f)
+    assert detect_format(str(gj)) == "json_gzip"
+    assert read_terms(str(gj)) == want
+    gt = tmp_path / "dict2.whatever"
+    with gzip.open(gt, "wt") as f:
+        f.write("\n".join(terms))
+    assert detect_format(str(gt)) == "text_gzip"
+    assert read_terms(str(gt)) == want
+
+    # extension
+    j = tmp_path / "dict.json"
+    j.write_text(json.dumps(terms))
+    assert detect_format(str(j)) == "json"
+    # content heuristic on an unknown extension
+    j2 = tmp_path / "dict.noext"
+    j2.write_text(json.dumps(terms))
+    assert detect_format(str(j2)) == "json"
+    # default text
+    t = tmp_path / "dict.unknownext"
+    t.write_text("\n".join(terms))
+    assert detect_format(str(t)) == "text"
+    assert read_terms(str(t)) == want
+
+    # user override beats everything (detect.rs user-specified arm)
+    assert detect_format(str(p), user_format="text") == "text"
+
+    # round-trips through every writer format
+    for fmt, name in [("json", "d.json"), ("text", "d.txt"),
+                      ("json_gzip", "d.json.gz"), ("text_gzip", "d.gz"),
+                      ("parquet", "d.parquet")]:
+        out = tmp_path / name
+        write_terms(terms, str(out))
+        assert read_terms(str(out)) == want, (fmt, name)
+
+
+def test_cli_convert_gzip_roundtrip(tmp_path):
+    import gzip
+    import json as _json
+
+    from liblevenshtein_rust_ray.cli import main
+
+    src = tmp_path / "words.txt"
+    src.write_text("cherry\napple\nbanana\n")
+    out = tmp_path / "words.json.gz"
+    rc = main(["convert", "--input", str(src), "--output", str(out)])
+    assert rc == 0
+    with gzip.open(out, "rt") as f:
+        assert _json.load(f) == ["apple", "banana", "cherry"]

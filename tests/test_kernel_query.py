@@ -226,3 +226,53 @@ def test_substring_mode_suffix_automaton_convention():
     got = {c.term: c.distance
            for c in query(build_trie(["ab", "zz"]), "abb", 0, substring_mode=True)}
     assert got == {"ab": 0}
+
+
+# ---------------------------------------------------------------------------
+# Fluent builder APIs (reference builder.rs:40-103, builder_api.rs:35-209).
+# ---------------------------------------------------------------------------
+def test_transducer_builder_fluent():
+    import pytest as _pytest
+
+    from liblevenshtein_rust_ray.kernel import BuilderError, TransducerBuilder
+
+    t = (TransducerBuilder()
+         .dictionary(["apple", "apply", "ape", "banana"])
+         .algorithm("standard")
+         .backend("array_trie")
+         .build())
+    got = t.query("aple").max_distance(1).ordered().execute()
+    assert [(c.term, c.distance) for c in got] == [("ape", 1), ("apple", 1)]
+    assert t.query("aple").max_distance(1).limit(1).collect_terms() == ["ape"]
+    # predicate filter (ordered contract)
+    got = t.query("aple").max_distance(1).filter(lambda s: s.startswith("app")).execute()
+    assert [c.term for c in got] == ["apple"]
+
+    with _pytest.raises(BuilderError):
+        TransducerBuilder().build()  # missing dictionary
+    with _pytest.raises(BuilderError):
+        TransducerBuilder().algorithm("nope")
+    with _pytest.raises(BuilderError):
+        TransducerBuilder().backend("nope")
+    with _pytest.raises(BuilderError):
+        TransducerBuilder().dictionary([]).build()
+    with _pytest.raises(BuilderError):
+        t.query("x").max_distance(-1)
+
+
+def test_query_builder_per_query_algorithm_and_prefix():
+    from liblevenshtein_rust_ray.kernel import TransducerBuilder
+
+    t = (TransducerBuilder()
+         .dictionary(["abcd", "abdc", "zzzz"])
+         .algorithm("standard")
+         .backend("trie")
+         .build())
+    # per-query algorithm override: OSA finds the transposed term at d=1
+    std = t.query("abcd").max_distance(1).execute()
+    osa = t.query("abcd").max_distance(1).algorithm("transposition").execute()
+    assert {c.term for c in std} >= {"abcd"}
+    assert ("abdc", 1) in [(c.term, c.distance) for c in osa]
+    # prefix mode through the builder
+    pre = t.query("ab").max_distance(0).prefix_mode().ordered().execute()
+    assert {c.term for c in pre} == {"abcd", "abdc"}
