@@ -44,18 +44,36 @@ def _title_of(text: str) -> str:
 
 def extract_batch(batch: pa.Table) -> pa.Table:
     """map_batches kernel: url/warc_ts/lang pass through; emits canonical
-    ``text`` and normalized ``title``; drops ``html``."""
-    texts = batch.column("text").to_pylist()
-    htmls = batch.column("html").to_pylist()
-    canon = [_canonical_text(t, h) for t, h in zip(texts, htmls)]
-    titles = [_title_of(t) for t in canon]
+    ``text`` and normalized ``title``; drops ``html``.
+
+    Vectorized: the pass-through path (rows that ship text) never touches
+    Python — Arrow kernels split the first line, trim and lowercase; only
+    rows with EMPTY text (the html-extraction minority) run the per-row
+    regex extractor."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    texts = pc.coalesce(batch.column("text"), pa.scalar("", type=pa.string()))
+    need = pc.equal(texts, "")
+    mask = need.to_numpy(zero_copy_only=False)
+    if mask.any():
+        idx = np.nonzero(mask)[0]
+        htmls = batch.column("html").take(pa.array(idx)).to_pylist()
+        ex: list = [None] * batch.num_rows
+        for i, h in zip(idx, htmls):
+            ex[i] = extract_text_from_html(h)
+        canon = pc.if_else(need, pa.array(ex, type=pa.string()), texts)
+    else:
+        canon = texts
+    first = pc.list_element(pc.split_pattern(canon, "\n", max_splits=1), 0)
+    titles = pc.utf8_lower(pc.utf8_trim_whitespace(first))
     out = pa.table(
         {
             "url": batch.column("url"),
             "warc_ts": batch.column("warc_ts"),
             "lang": batch.column("lang"),
-            "text": pa.array(canon, type=pa.string()),
-            "title": pa.array(titles, type=pa.string()),
+            "text": canon,
+            "title": titles,
         }
     )
     return out

@@ -88,14 +88,12 @@ class BlockScorer:
                             out_b.append(ud[j])
                             out_d.append(0)
                 else:
-                    seen = set()
-                    rep = us[0]
-                    for u in us[1:]:
-                        if u not in seen:
-                            seen.add(u)
-                            out_a.append(rep)
-                            out_b.append(u)
-                            out_d.append(0)
+                    ud = sorted(set(us))  # dup rows (repeated tokens) collapse
+                    rep = ud[0]
+                    for u in ud[1:]:
+                        out_a.append(rep)
+                        out_b.append(u)
+                        out_d.append(0)
 
         distinct = sorted(by_string)
         if len(distinct) > 1:
