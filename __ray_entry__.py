@@ -649,6 +649,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def multimodal_image_features(sf_dir):
+        """REAL image pipeline over codec-free payloads: deterministic PPM
+        images synthesized per doc_id -> actor-pool decode + bilinear
+        resize + stats/thumbnail features (stages/multimodal.py; the
+        compressed-codec stub is bypassed because PPM decodes in numpy)."""
+        from liblevenshtein_rust_ray.stages.multimodal import (
+            encode_ppm,
+            image_feature_stage,
+        )
+
+        def to_images(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            payloads = []
+            for i in ids:
+                rng = np.random.RandomState((i * 2654435761) % (2 ** 32))
+                payloads.append(encode_ppm(
+                    rng.randint(0, 256, size=(16, 16, 3)).astype("uint8")
+                ))
+            return pa.table({
+                "doc_id": pa.array(ids),
+                "payload": pa.array(payloads, type=pa.binary()),
+            })
+
+        ds = _rd(sf_dir, "documents", ["doc_id"]).map_batches(
+            to_images, batch_format="pyarrow"
+        )
+        out = image_feature_stage(ds, concurrency=2, batch_size=64)
+
+        def fin(t: pa.Table) -> pa.Table:
+            feats = t.column("features").to_pylist()
+            means = np.round(np.array(feats, dtype=np.float64).mean(axis=1), 6)
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "payload_bytes": t.column("payload_bytes"),
+                "feat_mean": pa.array(means, type=pa.float64()),
+            })
+
+        return out.map_batches(fin, batch_format="pyarrow")
+
+    def multimodal_audio_features(sf_dir):
+        """REAL audio pipeline: deterministic PCM16 WAV tones per doc_id ->
+        actor-pool RIFF decode + RMS/ZCR/centroid/band features."""
+        from liblevenshtein_rust_ray.stages.multimodal import (
+            audio_feature_stage,
+            encode_wav,
+        )
+
+        def to_wavs(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            payloads = []
+            for i in ids:
+                freq = 200 + (i % 20) * 100
+                ts = np.arange(800) / 16000.0
+                payloads.append(encode_wav(0.4 * np.sin(2 * np.pi * freq * ts)))
+            return pa.table({
+                "doc_id": pa.array(ids),
+                "payload": pa.array(payloads, type=pa.binary()),
+            })
+
+        ds = _rd(sf_dir, "documents", ["doc_id"]).map_batches(
+            to_wavs, batch_format="pyarrow"
+        )
+        out = audio_feature_stage(ds, concurrency=2, batch_size=64)
+
+        def fin(t: pa.Table) -> pa.Table:
+            feats = [round(float(f[2]), 6) for f in t.column("features").to_pylist()]
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "sample_rate": t.column("sample_rate"),
+                "spectral_centroid": pa.array(feats, type=pa.float64()),
+            })
+
+        return out.map_batches(fin, batch_format="pyarrow")
+
     return {
         "fuzzy_selfjoin_part": fuzzy_selfjoin_part,
         "fuzzy_selfjoin_customer": fuzzy_selfjoin_customer,
@@ -701,6 +775,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_pairs": er_pairs_q,
         "er_pairs_allpairs": er_pairs_allpairs,
         "multimodal_stub": multimodal_stub,
+        "multimodal_image_features": multimodal_image_features,
+        "multimodal_audio_features": multimodal_audio_features,
     }
 
 

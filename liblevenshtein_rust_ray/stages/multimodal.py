@@ -1,11 +1,25 @@
-"""Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata.
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata, with
+REAL numpy decode/feature kernels for the codec-free formats and honest
+stubs for the rest.
 
-The decode step is STUBBED (image/audio libraries are not in this
-environment): ``DecodeStub`` raises ``NotImplementedError`` unless
-``fake=True``, in which case it produces a deterministic fake feature vector
-from the payload bytes.  Everything around the stub — actor-pool signature,
-small batches for wide binary rows, schema of the output — is real and
-tested, so swapping in a real decoder is a one-line change.
+What is real (pure numpy/bytes — no codec libraries):
+
+* ``decode_ppm``      — binary PPM/PGM (P6/P5) image decode -> uint8 array
+* ``resize_bilinear`` — vectorized bilinear resize
+* ``image_features``  — per-channel stats + 8x8 luma thumbnail (67 dims)
+* ``decode_wav``      — RIFF/WAVE PCM16 audio decode -> float32 samples
+* ``audio_features``  — RMS / zero-crossing rate / spectral centroid +
+  8-band FFT energies (11 dims)
+* ``sample_frames``   — every-kth-frame sampling of concatenated-PPM "video"
+
+What is stubbed: compressed codecs (JPEG/PNG/MP3/H.264) raise
+``NotImplementedError`` — the libraries aren't in this environment; the
+actor-pool plumbing (schema, per-actor init, small batches for wide binary
+rows) is identical, so a real codec is a one-line swap in ``_decode``.
+
+Stage shape: ``map_batches(ImageFeatures, batch_format="pyarrow",
+batch_size=64, concurrency=N)`` — small batch_size on purpose: payloads
+are wide, so batch x concurrency must fit the worker heap.
 """
 
 import numpy as np
@@ -14,33 +28,299 @@ import pyarrow as pa
 from ..functions.simhash import hash64
 
 
-class DecodeStub:
-    """Actor-pool stage: ``map_batches(DecodeStub, batch_format="pyarrow",
-    batch_size=64, concurrency=N)``.  Small batch_size on purpose: binary
-    payloads are wide, so batch x concurrency must fit the worker heap."""
+# ----------------------------------------------------------------------
+# Real codec-free decoders
+# ----------------------------------------------------------------------
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, RGB) / PGM (P5, gray) -> uint8 array (H, W, C)."""
+    if not payload or payload[:1] != b"P" or payload[1:2] not in (b"5", b"6"):
+        raise ValueError("not a binary PPM/PGM payload")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    fields = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    c = 3 if payload[1:2] == b"6" else 1
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=i)
+    return data.reshape(h, w, c)
 
-    FEATURE_DIM = 16
 
-    def __init__(self, payload_col: str = "payload", fake: bool = True):
-        # real decoders load their model/codec here, once per actor
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_ppm` (test fixtures / frame synthesis)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 -> (float32 samples in [-1, 1] mono-mixed, rate)."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        size = int.from_bytes(payload[i + 4:i + 8], "little")
+        body = payload[i + 8:i + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError("only PCM16 WAV is decoded without codecs")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    if n_channels > 1:
+        samples = samples[: len(samples) - len(samples) % n_channels]
+        samples = samples.reshape(-1, n_channels).mean(axis=1)
+    return samples, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    hdr = (b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+           + b"data" + len(pcm).to_bytes(4, "little"))
+    return hdr + pcm
+
+
+# ----------------------------------------------------------------------
+# Real numpy kernels
+# ----------------------------------------------------------------------
+def resize_bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resize of (H, W, C) uint8/float arrays."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, _c = arr.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :, None]
+    a = arr[y0][:, x0].astype(np.float32)
+    b = arr[y0][:, x1].astype(np.float32)
+    c = arr[y1][:, x0].astype(np.float32)
+    d = arr[y1][:, x1].astype(np.float32)
+    out = (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+           + c * wy * (1 - wx) + d * wy * wx)
+    return out
+
+
+IMAGE_FEATURE_DIM = 71  # 3 x (mean, std) + 1 reserved + 64 thumbnail
+
+
+def image_features(arr: np.ndarray) -> np.ndarray:
+    """Per-channel mean+std (gray broadcasts to 3) + 8x8 luma thumbnail,
+    all scaled to [0, 1]."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    f = arr.astype(np.float32) / 255.0
+    if f.shape[2] == 1:
+        f = np.repeat(f, 3, axis=2)
+    mean = f.mean(axis=(0, 1))
+    std = f.std(axis=(0, 1))
+    luma = f @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    thumb = resize_bilinear(luma[:, :, None], 8, 8)[:, :, 0]
+    return np.concatenate([
+        np.stack([mean[0], std[0], mean[1], std[1], mean[2], std[2]]).ravel()[:6],
+        np.array([0.0], dtype=np.float32),  # reserved: alpha/opacity slot
+        thumb.ravel(),
+    ]).astype(np.float32)
+
+
+AUDIO_FEATURE_DIM = 11  # rms, zcr, centroid + 8 band energies
+
+
+def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    n = len(samples)
+    if n == 0:
+        return np.zeros(AUDIO_FEATURE_DIM, dtype=np.float32)
+    rms = float(np.sqrt(np.mean(samples ** 2)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+    spec = np.abs(np.fft.rfft(samples))
+    freqs = np.fft.rfftfreq(n, 1.0 / rate)
+    total = spec.sum()
+    centroid = float((freqs * spec).sum() / total / (rate / 2)) if total else 0.0
+    bands = np.array_split(spec, 8)
+    be = np.array([b.sum() for b in bands], dtype=np.float64)
+    be = (be / be.sum()) if be.sum() else be
+    return np.concatenate([[rms, zcr, centroid], be]).astype(np.float32)
+
+
+def sample_frames(payload: bytes, every_k: int = 2) -> list[np.ndarray]:
+    """Concatenated-PPM "video": decode every k-th frame (frame-sampling
+    stage shape; a container codec would slot in here)."""
+    frames = []
+    i = 0
+    k = 0
+    while i < len(payload) and payload[i:i + 1] == b"P":
+        # parse one frame's header to find its extent
+        arr = decode_ppm(payload[i:])
+        h, w, c = arr.shape
+        # re-find the header length to advance
+        hdr_end = payload.index(b"255\n", i) + 4
+        nxt = hdr_end + h * w * c
+        if k % every_k == 0:
+            frames.append(arr)
+        k += 1
+        i = nxt
+    return frames
+
+
+# ----------------------------------------------------------------------
+# Actor-pool stages
+# ----------------------------------------------------------------------
+class ImageFeatures:
+    """Actor-pool decode+feature stage.  ``on_undecodable``: 'fake' emits a
+    deterministic hash-seeded vector (keeps pipelines total), 'skip' drops
+    the row, 'error' raises.  Compressed codecs are the documented stub."""
+
+    FEATURE_DIM = IMAGE_FEATURE_DIM
+
+    def __init__(self, payload_col: str = "payload", resize_to: tuple | None = (32, 32),
+                 on_undecodable: str = "fake"):
         self.payload_col = payload_col
-        self.fake = fake
+        self.resize_to = resize_to
+        self.on_undecodable = on_undecodable
 
-    def _decode(self, payload: bytes) -> np.ndarray:
-        if not self.fake:
+    def _decode(self, payload: bytes) -> np.ndarray | None:
+        if payload[:2] in (b"P5", b"P6"):
+            return decode_ppm(payload)
+        if payload[:3] == b"\xff\xd8\xff" or payload[:8] == b"\x89PNG\r\n\x1a\n":
             raise NotImplementedError(
-                "real image/audio decode requires codecs not present in this "
-                "environment; construct with fake=True for the deterministic stub"
+                "JPEG/PNG decode requires codec libraries not present in this "
+                "environment (stub; PPM/PGM payloads decode for real)"
             )
-        # deterministic fake "embedding": blake2b-seeded floats
-        h = hash64(payload or b"")
-        rng = np.random.RandomState(h % (2**32))
-        return rng.rand(self.FEATURE_DIM).astype(np.float32)
+        return None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_col).to_pylist()
-        feats = [self._decode(p) for p in payloads]
-        sizes = [len(p or b"") for p in payloads]
+        keep, feats, sizes = [], [], []
+        for ix, p in enumerate(payloads):
+            p = p or b""
+            arr = None
+            try:
+                arr = self._decode(p)
+            except NotImplementedError:
+                if self.on_undecodable == "error":
+                    raise
+            if arr is None:
+                if self.on_undecodable == "skip":
+                    continue
+                if self.on_undecodable == "error":
+                    raise ValueError("undecodable payload")
+                h = hash64(p)
+                rng = np.random.RandomState(h % (2 ** 32))
+                f = rng.rand(self.FEATURE_DIM).astype(np.float32)
+            else:
+                if self.resize_to:
+                    arr = resize_bilinear(arr, *self.resize_to)
+                f = image_features(arr)
+            keep.append(ix)
+            feats.append(f)
+            sizes.append(len(p))
+        out = {}
+        ix_arr = pa.array(keep, type=pa.int64())
+        for name in batch.column_names:
+            if name != self.payload_col:
+                out[name] = batch.column(name).take(ix_arr)
+        out["payload_bytes"] = pa.array(sizes, type=pa.int64())
+        out["features"] = pa.array(
+            [f.tolist() for f in feats], type=pa.list_(pa.float32(), self.FEATURE_DIM)
+        )
+        return pa.table(out)
+
+
+class AudioFeatures:
+    """Actor-pool WAV decode + spectral features (PCM16 decodes for real;
+    compressed audio is the documented stub)."""
+
+    FEATURE_DIM = AUDIO_FEATURE_DIM
+
+    def __init__(self, payload_col: str = "payload", on_undecodable: str = "fake"):
+        self.payload_col = payload_col
+        self.on_undecodable = on_undecodable
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        keep, feats, rates = [], [], []
+        for ix, p in enumerate(payloads):
+            p = p or b""
+            try:
+                samples, rate = decode_wav(p)
+                f = audio_features(samples, rate)
+            except (ValueError, NotImplementedError):
+                if self.on_undecodable == "error":
+                    raise
+                if self.on_undecodable == "skip":
+                    continue
+                rng = np.random.RandomState(hash64(p) % (2 ** 32))
+                f, rate = rng.rand(self.FEATURE_DIM).astype(np.float32), 0
+            keep.append(ix)
+            feats.append(f)
+            rates.append(rate)
+        out = {}
+        ix_arr = pa.array(keep, type=pa.int64())
+        for name in batch.column_names:
+            if name != self.payload_col:
+                out[name] = batch.column(name).take(ix_arr)
+        out["sample_rate"] = pa.array(rates, type=pa.int64())
+        out["features"] = pa.array(
+            [f.tolist() for f in feats], type=pa.list_(pa.float32(), self.FEATURE_DIM)
+        )
+        return pa.table(out)
+
+
+# Backwards-compatible alias: the round-1 stub stage name
+class DecodeStub(ImageFeatures):
+    FEATURE_DIM = 16
+
+    def __init__(self, payload_col: str = "payload", fake: bool = True):
+        super().__init__(payload_col=payload_col, resize_to=None,
+                         on_undecodable="fake" if fake else "error")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # 16-dim fake contract
+        payloads = batch.column(self.payload_col).to_pylist()
+        feats, sizes = [], []
+        for p in payloads:
+            p = p or b""
+            if self.on_undecodable == "error" and p[:2] not in (b"P5", b"P6"):
+                raise NotImplementedError(
+                    "real image/audio decode requires codecs not present in "
+                    "this environment; construct with fake=True for the stub"
+                )
+            rng = np.random.RandomState(hash64(p) % (2 ** 32))
+            feats.append(rng.rand(self.FEATURE_DIM).astype(np.float32))
+            sizes.append(len(p))
         out = {}
         for name in batch.column_names:
             if name != self.payload_col:
@@ -60,3 +340,22 @@ def multimodal_features(ds, payload_col: str = "payload", concurrency=None, batc
             DecodeStub, fn_constructor_kwargs={"payload_col": payload_col}, **kwargs
         )
     return ds.map_batches(DecodeStub(payload_col), **kwargs)
+
+
+def image_feature_stage(ds, payload_col: str = "payload", concurrency: int = 4,
+                        batch_size: int = 64, resize_to=(32, 32)):
+    """Dataset stage: decode + resize + features via the actor pool."""
+    return ds.map_batches(
+        ImageFeatures,
+        fn_constructor_kwargs={"payload_col": payload_col, "resize_to": resize_to},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def audio_feature_stage(ds, payload_col: str = "payload", concurrency: int = 4,
+                        batch_size: int = 64):
+    return ds.map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"payload_col": payload_col},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )

@@ -142,3 +142,133 @@ def test_cli_convert_gzip_roundtrip(tmp_path):
     assert rc == 0
     with gzip.open(out, "rt") as f:
         assert _json.load(f) == ["apple", "banana", "cherry"]
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: REAL codec-free decoders (PPM images, PCM16 WAV) + numpy
+# resize/feature kernels; compressed codecs remain the documented stub.
+# ---------------------------------------------------------------------------
+def _ppm(h=6, w=8, seed=0):
+    import numpy as np
+
+    from liblevenshtein_rust_ray.stages.multimodal import encode_ppm
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return arr, encode_ppm(arr)
+
+
+def test_ppm_roundtrip_and_resize():
+    import numpy as np
+
+    from liblevenshtein_rust_ray.stages.multimodal import (
+        decode_ppm,
+        image_features,
+        resize_bilinear,
+        IMAGE_FEATURE_DIM,
+    )
+
+    arr, payload = _ppm()
+    back = decode_ppm(payload)
+    assert np.array_equal(arr, back)
+    # comment + odd whitespace in header parses too
+    weird = b"P6 #c\n# comment line\n 8\t6\n255\n" + arr.tobytes()
+    assert np.array_equal(decode_ppm(weird), arr)
+    r = resize_bilinear(arr, 3, 4)
+    assert r.shape == (3, 4, 3)
+    # constant image resizes to the same constant
+    const = np.full((5, 7, 3), 42, dtype=np.uint8)
+    assert np.allclose(resize_bilinear(const, 9, 2), 42)
+    f = image_features(arr)
+    assert f.shape == (IMAGE_FEATURE_DIM,)
+    assert 0.0 <= f.min() and f.max() <= 1.0
+
+
+def test_wav_roundtrip_and_features():
+    import numpy as np
+
+    from liblevenshtein_rust_ray.stages.multimodal import (
+        AUDIO_FEATURE_DIM,
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.arange(1600) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    payload = encode_wav(sig, 16000)
+    back, rate = decode_wav(payload)
+    assert rate == 16000
+    assert np.allclose(back, sig, atol=1e-3)
+    f = audio_features(back, rate)
+    assert f.shape == (AUDIO_FEATURE_DIM,)
+    # 440 Hz tone: low spectral centroid, band 0 dominates
+    assert f[2] < 0.1 and f[3] > 0.9
+
+
+def test_frame_sampling():
+    import numpy as np
+
+    from liblevenshtein_rust_ray.stages.multimodal import encode_ppm, sample_frames
+
+    frames = [np.full((4, 4, 3), i * 10, dtype=np.uint8) for i in range(6)]
+    video = b"".join(encode_ppm(f) for f in frames)
+    got = sample_frames(video, every_k=2)
+    assert len(got) == 3
+    assert [int(g[0, 0, 0]) for g in got] == [0, 20, 40]
+
+
+def test_image_feature_stage_actor_pool(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.multimodal import (
+        IMAGE_FEATURE_DIM,
+        image_feature_stage,
+    )
+
+    rows = []
+    for i in range(12):
+        _arr, payload = _ppm(seed=i)
+        rows.append({"id": i, "payload": payload})
+    rows.append({"id": 99, "payload": b"\xff\xd8\xffJPEG-ish"})  # codec stub row
+    ds = rd.from_arrow(pa.table({
+        "id": [r["id"] for r in rows],
+        "payload": pa.array([r["payload"] for r in rows], type=pa.binary()),
+    }))
+    out = image_feature_stage(ds, concurrency=2, batch_size=4).to_pandas()
+    assert len(out) == 13  # fake fallback keeps the undecodable row
+    assert all(len(f) == IMAGE_FEATURE_DIM for f in out["features"])
+    # skip mode drops it
+    from liblevenshtein_rust_ray.stages.multimodal import ImageFeatures
+
+    out2 = ds.map_batches(
+        ImageFeatures,
+        fn_constructor_kwargs={"on_undecodable": "skip"},
+        batch_format="pyarrow", batch_size=4, concurrency=2,
+    ).to_pandas()
+    assert len(out2) == 12 and 99 not in set(out2["id"])
+
+
+def test_audio_feature_stage(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.multimodal import (
+        AUDIO_FEATURE_DIM,
+        audio_feature_stage,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(1)
+    rows = [encode_wav(rng.standard_normal(800) * 0.1) for _ in range(6)]
+    ds = rd.from_arrow(pa.table({
+        "id": list(range(6)),
+        "payload": pa.array(rows, type=pa.binary()),
+    }))
+    out = audio_feature_stage(ds, concurrency=2, batch_size=2).to_pandas()
+    assert len(out) == 6
+    assert (out["sample_rate"] == 16000).all()
+    assert all(len(f) == AUDIO_FEATURE_DIM for f in out["features"])
