@@ -32,7 +32,14 @@ def cmd_query(args) -> int:
     from .kernel.query import ordered_query
 
     terms = _load_terms(args.dict)
-    d = build_dawg(terms, presorted=True) if args.backend == "dawg" else build_trie(terms)
+    if args.backend == "dawg":
+        d = build_dawg(terms, presorted=True)
+    elif args.backend == "array_trie":
+        from .kernel import build_array_trie
+
+        d = build_array_trie(terms, presorted=True)
+    else:
+        d = build_trie(terms)
     results = []
     for cand in ordered_query(d, args.term, args.max_distance, args.algorithm,
                               prefix_mode=args.prefix):
@@ -91,7 +98,8 @@ def main(argv=None) -> int:
     q.add_argument("-n", "--max-distance", type=int, default=2)
     q.add_argument("--algorithm", default="standard",
                    choices=["standard", "transposition", "merge_and_split"])
-    q.add_argument("--backend", default="dawg", choices=["dawg", "trie"])
+    q.add_argument("--backend", default="dawg",
+                   choices=["dawg", "trie", "array_trie"])
     q.add_argument("--prefix", action="store_true")
     q.add_argument("--limit", type=int, default=0)
     q.set_defaults(fn=cmd_query)

@@ -63,6 +63,32 @@ class Trie:
                 return False
         return node.final
 
+    def remove(self, term) -> bool:
+        """Online removal (the reference's DynamicDawg remove capability,
+        /root/reference/src/dictionary/dynamic_dawg.rs): unmark the final
+        node and prune the now-dead suffix path.  Returns whether the term
+        was present.  With ``insert`` this makes Trie the mutable
+        dictionary backend (a trie is its own minimal form under
+        mutation — no re-minimization step needed)."""
+        path = [(None, None, self.root)]
+        node = self.root
+        for u in _units(term):
+            nxt = node.edges.get(u)
+            if nxt is None:
+                return False
+            path.append((node, u, nxt))
+            node = nxt
+        if not node.final:
+            return False
+        node.final = False
+        self._len -= 1
+        # prune childless non-final suffix nodes bottom-up
+        for parent, label, child in reversed(path[1:]):
+            if child.edges or child.final:
+                break
+            del parent.edges[label]
+        return True
+
     def __len__(self) -> int:
         return self._len
 

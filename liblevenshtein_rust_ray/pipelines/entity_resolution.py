@@ -86,7 +86,8 @@ def er_pairs(
                 ds,
                 "block_key",
                 lambda df: candidate_pairs_bucket(
-                    df, max_distance=max_distance, max_block_strings=max_block_strings
+                    df, max_distance=max_distance,
+                    max_block_strings=max_block_strings, algorithm=algorithm,
                 ),
                 n_buckets=64,
                 empty_result=_empty_candidates(),

@@ -308,6 +308,16 @@ class DecodeStub(ImageFeatures):
         super().__init__(payload_col=payload_col, resize_to=None,
                          on_undecodable="fake" if fake else "error")
 
+    def _decode(self, payload: bytes):
+        if self.on_undecodable == "error":
+            raise NotImplementedError(
+                "real image/audio decode requires codecs not present in this "
+                "environment; construct with fake=True for the deterministic "
+                "stub, or use ImageFeatures/AudioFeatures for the codec-free "
+                "PPM/WAV formats"
+            )
+        return None
+
     def __call__(self, batch: pa.Table) -> pa.Table:  # 16-dim fake contract
         payloads = batch.column(self.payload_col).to_pylist()
         feats, sizes = [], []

@@ -333,6 +333,8 @@ def candidate_pairs_bucket(
     bucket: pd.DataFrame,
     max_distance: int = 2,
     max_block_strings: int = 512,
+    algorithm: str = STANDARD,
+    subst=None,
 ) -> pd.DataFrame:
     """Phase A: (block_key, url, key_string) rows -> star edges
     (``distance=0``) plus unscored candidate rows (``distance=-1``), each
@@ -361,12 +363,37 @@ def candidate_pairs_bucket(
     dd = du.groupby(["block_key", "key_string"], as_index=False, sort=False)["url"].min()
     dd = _salt_oversized(dd, max_block_strings)
 
+    # hashed char-histogram per distinct string: one edit changes the
+    # histogram L1 norm by at most 2 (substitution) for standard /
+    # transposition, at most 3 (merge/split), and the length by at most 1
+    # — so distance >= max(ceil(L1/k), |len_a - len_b|).  Filtering
+    # candidates on this bound BEFORE the pair exchange prunes the
+    # genuinely-far shared-token pairs (~17% on the synthetic corpus,
+    # much more on web-scale vocab where shared-token titles are rarely
+    # near) from both the exchange and the DP.  Char hashing (mod 64)
+    # only weakens the bound, never breaks it.
+    l1_per_edit = 3 if algorithm == "merge_and_split" else 2
+    uniq, sid = np.unique(dd["key_string"].to_numpy(), return_inverse=True)
+    lens = np.fromiter((len(s) for s in uniq), np.int64, count=len(uniq))
+    codes = (
+        np.frombuffer("".join(uniq).encode("utf-32-le"), dtype=np.uint32) % 64
+        if len(uniq) else np.zeros(0, np.uint32)
+    )
+    rows = np.repeat(np.arange(len(uniq)), lens)
+    H = np.zeros((len(uniq), 64), dtype=np.int32)
+    np.add.at(H, (rows, codes), 1)
+    dd = dd.assign(__sid=sid)
+
     m = dd.merge(dd, on="block_key", suffixes=("_a", "_b"))
     m = m[m["key_string_a"] < m["key_string_b"]]
     if len(m):
-        la = m["key_string_a"].str.len()
-        lb = m["key_string_b"].str.len()
-        m = m[(la - lb).abs() <= n]
+        sa = m["__sid_a"].to_numpy()
+        sb = m["__sid_b"].to_numpy()
+        lower = np.abs(lens[sa] - lens[sb])
+        if subst is None:  # free substitutions would break the L1 bound
+            l1 = np.abs(H[sa] - H[sb]).sum(axis=1)
+            lower = np.maximum(-(-l1 // l1_per_edit), lower)
+        m = m[lower <= n]
     if len(m):
         ua = m["url_a"].to_numpy()
         ub = m["url_b"].to_numpy()

@@ -276,3 +276,46 @@ def test_query_builder_per_query_algorithm_and_prefix():
     # prefix mode through the builder
     pre = t.query("ab").max_distance(0).prefix_mode().ordered().execute()
     assert {c.term for c in pre} == {"abcd", "abdc"}
+
+
+def test_trie_dynamic_insert_remove():
+    """Online insert/remove (the DynamicDawg mutable-dictionary capability,
+    reference src/dictionary/dynamic_dawg.rs) on the Trie backend."""
+    from liblevenshtein_rust_ray.kernel import build_trie
+    from liblevenshtein_rust_ray.kernel.query import query as kq
+
+    t = build_trie(["car", "card", "care"])
+    assert len(t) == 3
+    # remove a word that is a prefix of others: children must survive
+    assert t.remove("car") is True
+    assert "car" not in t and "card" in t and "care" in t
+    assert len(t) == 2
+    # remove a leaf: the dangling suffix path is pruned
+    assert t.remove("card") is True
+    assert t.root.edges["c"].edges["a"].edges["r"].edges.keys() == {"e"}
+    # absent / double removal
+    assert t.remove("card") is False
+    assert t.remove("nope") is False
+    # re-insert after removal
+    t.insert("car")
+    assert "car" in t and len(t) == 2
+    got = sorted(c.term for c in kq(t, "care", 1))
+    assert got == ["car", "care"]
+    assert sorted(t.iter_terms()) == ["car", "care"]
+
+
+def test_cli_query_array_trie_backend(capsys):
+    import json
+
+    from liblevenshtein_rust_ray.cli import main
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "words.txt")
+        with open(p, "w") as f:
+            f.write("apple\napply\nape\n")
+        rc = main(["query", "--dict", p, "--term", "aple", "-n", "1",
+                   "--backend", "array_trie"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert {r["term"] for r in out} == {"ape", "apple"}
