@@ -595,6 +595,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def er_pairs_q(sf_dir):
         return er_pairs(_pages_path(sf_dir))
 
+    def er_pairs_corpus(sf_dir):
+        """The flagship over the REAL synthetic page corpus — including the
+        html-extraction path for the ~10% of rows that ship html only —
+        with emit_all_pairs=True so the DuckDB oracle (reading the same
+        corpus parquet; host-join pruned) can check it exactly.  Pinned to
+        the sf0.001 corpus regardless of sf_dir — the oracle SQL is a
+        static string and must name one concrete parquet path."""
+        import pandas as pd
+
+        out = er_pairs(os.path.join(_corpus_dir(0.001), "pages"),
+                       emit_all_pairs=True, max_block_strings=1_000_000)
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["distance"] = df["distance"].astype("int64")
+            return df
+
+        return out.map_batches(fin, batch_format="pandas")
+
     def er_pairs_allpairs(sf_dir):
         """The flagship ER pipeline (extract -> blocking -> automaton
         scoring -> pair dedup) made SQL-oracle-checkable: pages synthesized
@@ -774,6 +793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": er_clusters_q,
         "er_pairs": er_pairs_q,
         "er_pairs_allpairs": er_pairs_allpairs,
+        "er_pairs_corpus": er_pairs_corpus,
         "multimodal_stub": multimodal_stub,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_features": multimodal_audio_features,
@@ -781,7 +801,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ======================================================================
+def _langid_oracle_sql() -> str:
+    """The trigram-profile langid heuristic as SQL, generated from the SAME
+    profile tables the Ray stage uses (functions/textstats.py) so the two
+    can't drift; tie-breaking mirrors the dict-order strict-> loop."""
+    from liblevenshtein_rust_ray.functions.textstats import _LANG_PROFILES
+
+    def lit(prof):
+        return "[" + ", ".join("'" + g.replace("'", "''") + "'" for g in sorted(prof)) + "]"
+
+    scores = ", ".join(
+        f"len(list_intersect(grams, {lit(_LANG_PROFILES[lang])})) AS s_{lang}"
+        for lang in ["en", "de", "fr", "es"]
+    )
+    return f"""
+        WITH t0 AS (
+          SELECT doc_id, lang AS lang_given,
+                 ' ' || substr(regexp_replace(trim(lower(text),
+                     ' ' || chr(9) || chr(10) || chr(13)), '\\s+', ' ', 'g'),
+                     1, 400) || ' ' AS t
+          FROM documents),
+         t1 AS (
+          SELECT doc_id, lang_given,
+                 CASE WHEN length(t) < 5 THEN []
+                      ELSE list_distinct([substr(t, i, 3) FOR i IN range(1, length(t) - 1)])
+                 END AS grams
+          FROM t0),
+         t2 AS (SELECT doc_id, lang_given, {scores} FROM t1)
+        SELECT doc_id, lang_given,
+               CASE WHEN s_en >= 3 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= 3 AND s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr >= 3 AND s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+                    WHEN s_es >= 3 AND s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+                    ELSE 'und' END AS lang_pred
+        FROM t2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    # the er_pairs_corpus oracle reads the synthetic corpus parquet by
+    # path; make sure it exists even if the oracle runs before any
+    # corpus-generating query (generation is deterministic + cached)
+    corpus_pages = os.path.join(_corpus_dir(0.001), "pages", "*.parquet")
     vocab = (
         "SELECT DISTINCT t.tok FROM documents, "
         "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)"
@@ -956,6 +1017,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t.tok HAVING count(*) >= 2
         """,
         "lang_counts": "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang",
+        "langid_docs": _langid_oracle_sql(),
+        # the zompist orthography+phonetic normalizer as a regexp_replace
+        # chain (per word, applied in rule order — sequential application
+        # is order-sensitive, so the nesting mirrors functions/phonetic.py)
+        "phonetic_part": """
+            SELECT p_partkey, p_name,
+                   array_to_string(list_transform(string_split(lower(p_name), ' '),
+                     x -> regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                          regexp_replace(regexp_replace(x,
+                            'ch', 'ç', 'g'), 'sh', chr(36), 'g'), 'ph', 'f', 'g'),
+                            'c([ie])', 's\\1', 'g'), 'c', 'k', 'g'),
+                            'g([ie])', 'j\\1', 'g'), 'e$', ''), 'gh', '', 'g'),
+                            'th', 't', 'g'), 'qu', 'kw', 'g')), ' ') AS phonetic
+            FROM part
+        """,
         "fuzzy_selfjoin_part_universal": """
             WITH d AS (SELECT DISTINCT p_name FROM part)
             SELECT a.p_name AS val_a, b.p_name AS val_b,
@@ -1036,6 +1113,37 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "er_pairs_corpus": f"""
+            WITH pg AS (SELECT url, text, CAST(html AS VARCHAR) AS h
+                        FROM read_parquet('{corpus_pages}')),
+                 p AS (SELECT url,
+                          regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]*)', 1) AS host,
+                          CASE WHEN text <> ''
+                               THEN lower(trim(split_part(text, chr(10), 1),
+                                               ' ' || chr(9) || chr(13) || chr(10)))
+                               ELSE lower(trim(regexp_replace(
+                                        coalesce(regexp_extract(h, '<title>(.*?)</title>', 1), ''),
+                                        '\\s+', ' ', 'g'),
+                                        ' ' || chr(9) || chr(13) || chr(10)))
+                          END AS title
+                       FROM pg),
+                 t AS (SELECT url, host, title,
+                          list_filter(string_split_regex(title, '\\s+'), x -> x <> '') AS toks
+                       FROM p WHERE title <> ''),
+                 samehost AS (
+                   SELECT a.url AS url_a, b.url AS url_b,
+                          levenshtein(a.title, b.title) AS d
+                   FROM t a JOIN t b ON a.host = b.host AND a.url < b.url
+                   WHERE abs(length(a.title) - length(b.title)) <= 2
+                     AND levenshtein(a.title, b.title) <= 2
+                     AND len(list_intersect(a.toks, b.toks)) > 0),
+                 sametitle AS (
+                   SELECT a.url AS url_a, b.url AS url_b, 0 AS d
+                   FROM t a JOIN t b ON a.title = b.title AND a.url < b.url)
+            SELECT url_a, url_b, CAST(min(d) AS BIGINT) AS distance
+            FROM (SELECT * FROM samehost UNION ALL SELECT * FROM sametitle)
+            GROUP BY url_a, url_b
         """,
         "er_pairs_allpairs": """
             WITH p AS (SELECT doc_id,
