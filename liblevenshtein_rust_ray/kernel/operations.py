@@ -158,14 +158,212 @@ def brute_force_distance(source: str, target: str, ops: OperationSet,
     return best
 
 
+def _rule_match_matrix(ENC, seg: str, maxlen: int) -> np.ndarray:
+    """(P, maxlen+1) bool: column ``i`` is True when the encoded string has
+    ``seg`` ending at position ``i`` (1-based prefix coordinates).  Empty
+    segments match everywhere; zero-padding never matches real rule chars."""
+    P = ENC.shape[0]
+    M = np.zeros((P, maxlen + 1), dtype=bool)
+    L = len(seg)
+    if L == 0:
+        M[:] = True
+        return M
+    codes = [ord(c) for c in seg]
+    width = ENC.shape[1]
+    for i in range(L, maxlen + 1):
+        ok = np.ones(P, dtype=bool)
+        for x, c in enumerate(codes):
+            col = i - L + x
+            ok &= ENC[:, col] == c if col < width else False
+        M[:, i] = ok
+    return M
+
+
+def _weighted_band(ops: OperationSet, cap) -> int | None:
+    """Half-width of the |i - j| band that can still reach a result ≤ cap:
+    every unit of length imbalance costs at least the cheapest per-unit
+    length-changing op, so cells further off-diagonal than cap / that cost
+    are prunable.  None = no finite band (or no cap)."""
+    if cap is None:
+        return None
+    unit = []
+    for c in (ops.insert, ops.split, ops.delete, ops.merge):
+        if c is not None:
+            unit.append(c)
+    for s, t, w in ops.rules:
+        if len(s) != len(t):
+            unit.append(w / abs(len(s) - len(t)))
+    if not unit:
+        return None
+    lo = min(unit)
+    if lo <= 0:
+        return None
+    return int(np.floor(cap / lo)) + 1
+
+
+def _weighted_block(Q, qlen, T, tlen, ops: OperationSet, cap) -> np.ndarray:
+    """Vectorized pull-based weighted DP over one length-bucketed chunk of
+    pairs: the (i, j) double loop runs in Python but every cell update is a
+    (P,) vector op, so per-pair cost is numpy throughput, not interpreter
+    dispatch (same discipline as kernel.vectorized's banded kernel).
+
+    Cells beyond a pair's (qlen, tlen) are garbage but are never pulled
+    from by valid cells (pulls only decrease i/j), so no masking is needed;
+    the answer is gathered at row qlen, column tlen per pair."""
+    P = Q.shape[0]
+    mq = int(qlen.max()) if P else 0
+    mt = int(tlen.max()) if P else 0
+    INF = np.inf
+    clamp = None if cap is None else cap + 1.0
+
+    # how many previous rows a pull can reach back
+    maxback = 1
+    if ops.transpose is not None or ops.merge is not None:
+        maxback = 2
+    for s, _t, _w in ops.rules:
+        maxback = max(maxback, len(s))
+
+    # per-rule "segment ends here" masks over source and target
+    rule_info = []
+    for s, t, w in ops.rules:
+        rule_info.append((
+            len(s), len(t), w,
+            _rule_match_matrix(Q, s, mq),
+            _rule_match_matrix(T, t, mt),
+        ))
+
+    res = np.full(P, INF)
+    band = _weighted_band(ops, cap)
+
+    # row 0: D[0][j] built left-to-right from insert + source-empty rules
+    row0 = np.full((P, mt + 1), INF)
+    row0[:, 0] = 0.0
+    for j in range(1, mt + 1 if band is None else min(mt, band) + 1):
+        c = row0[:, j]
+        if ops.insert is not None:
+            np.minimum(c, row0[:, j - 1] + ops.insert, out=c)
+        for ls, lt, w, _sm, tm in rule_info:
+            if ls == 0 and lt and j >= lt:
+                np.minimum(c, np.where(tm[:, j], row0[:, j - lt] + w, INF), out=c)
+    if clamp is not None:
+        np.minimum(row0, clamp, out=row0)
+    done0 = qlen == 0
+    if done0.any():
+        res[done0] = row0[np.flatnonzero(done0), tlen[done0]]
+
+    hist = [row0] + [np.full((P, mt + 1), INF) for _ in range(maxback - 1)]
+    for i in range(1, mq + 1):
+        qc = Q[:, i - 1]
+        curr = np.full((P, mt + 1), INF)
+        p1 = hist[0]                       # row i-1
+        p2 = hist[1] if maxback >= 2 else None  # row i-2
+        if ops.delete is not None:
+            curr[:, 0] = p1[:, 0] + ops.delete
+        for ls, lt, w, sm, _tm in rule_info:
+            if lt == 0 and ls and i >= ls:
+                np.minimum(curr[:, 0],
+                           np.where(sm[:, i], hist[ls - 1][:, 0] + w, INF),
+                           out=curr[:, 0])
+        jlo, jhi = 1, mt
+        if band is not None:
+            jlo, jhi = max(1, i - band), min(mt, i + band)
+            if i - band >= 1:
+                curr[:, 0] = INF  # column 0 off-band: cost > cap
+        for j in range(jlo, jhi + 1):
+            tc = T[:, j - 1]
+            diag = p1[:, j - 1]
+            c = np.where(qc == tc, diag, INF)
+            if ops.substitute is not None:
+                np.minimum(c, diag + ops.substitute, out=c)
+            if ops.delete is not None:
+                np.minimum(c, p1[:, j] + ops.delete, out=c)
+            if ops.insert is not None:
+                np.minimum(c, curr[:, j - 1] + ops.insert, out=c)
+            if ops.transpose is not None and i >= 2 and j >= 2:
+                swap = (qc == T[:, j - 2]) & (Q[:, i - 2] == tc)
+                np.minimum(c, np.where(swap, p2[:, j - 2] + ops.transpose, INF), out=c)
+            if ops.merge is not None and i >= 2:
+                np.minimum(c, p2[:, j - 1] + ops.merge, out=c)
+            if ops.split is not None and j >= 2:
+                np.minimum(c, p1[:, j - 2] + ops.split, out=c)
+            for ls, lt, w, sm, tm in rule_info:
+                if i >= ls and j >= lt:
+                    src_row = curr if ls == 0 else hist[ls - 1]
+                    hitm = sm[:, i] & tm[:, j]
+                    np.minimum(c, np.where(hitm, src_row[:, j - lt] + w, INF), out=c)
+            curr[:, j] = c
+        if clamp is not None:
+            np.minimum(curr, clamp, out=curr)
+        hit = qlen == i
+        if hit.any():
+            res[hit] = curr[np.flatnonzero(hit), tlen[hit]]
+        hist = [curr] + hist[: maxback - 1]
+    return res
+
+
 def batch_weighted_distances(queries, terms, ops: OperationSet,
                              cap: float | None = None) -> np.ndarray:
-    """Per-pair weighted distances (float64); ``cap`` clamps results to
-    cap + 1 like the unit-cost batch kernel.  O(pairs × |q| × |t|) — the
-    cost-model knob, not the hot path; the unit-cost banded kernel covers
-    the shipped algorithms."""
-    out = np.empty(len(queries))
-    for k, (q, t) in enumerate(zip(queries, terms)):
-        d = weighted_distance(q, t, ops)
-        out[k] = min(d, cap + 1) if cap is not None else d
+    """Per-pair weighted distances (float64) for ``zip(queries, terms)``;
+    ``cap`` clamps results to cap + 1 like the unit-cost batch kernel
+    (weights are non-negative, so clamping mid-DP is exact for every
+    reported value ≤ cap).  Vectorized across pairs: strings are encoded
+    once per distinct value, pairs are processed in max-length groups so
+    short pairs don't pay long pairs' DP area, and every DP cell is a (P,)
+    numpy op (see ``_weighted_block``).  Property-tested against the
+    per-pair ``weighted_distance`` DP and ``brute_force_distance``."""
+    from .vectorized import encode_strings
+
+    P = len(queries)
+    out = np.empty(P)
+    if P == 0:
+        return out
+    import pandas as pd
+
+    qarr = np.asarray(queries, dtype=object)
+    tarr = np.asarray(terms, dtype=object)
+    inv, uniq = pd.factorize(np.concatenate([qarr, tarr]), sort=False)
+    ENC, ulen = encode_strings(uniq.tolist())
+    qi, ti = inv[:P], inv[P:]
+    qlen, tlen = ulen[qi], ulen[ti]
+
+    idx = np.arange(P)
+    if cap is not None:
+        # length-difference lower bound: growing/shrinking one unit costs at
+        # least the cheapest length-changing op (rules priced per unit)
+        def _unit(costs):
+            vals = [c for c in costs if c is not None]
+            return min(vals) if vals else None
+
+        grow = [ops.insert, ops.split] + [
+            w / (lt - ls) for s, t, w in ops.rules
+            for ls, lt in [(len(s), len(t))] if lt > ls
+        ]
+        shrink = [ops.delete, ops.merge] + [
+            w / (ls - lt) for s, t, w in ops.rules
+            for ls, lt in [(len(s), len(t))] if ls > lt
+        ]
+        gmin, smin = _unit(grow), _unit(shrink)
+        diff = tlen - qlen
+        lb = np.zeros(P)
+        lb[diff > 0] = np.inf if gmin is None else diff[diff > 0] * gmin
+        lb[diff < 0] = np.inf if smin is None else -diff[diff < 0] * smin
+        out[:] = cap + 1.0
+        idx = np.flatnonzero(lb <= cap)
+        if idx.size == 0:
+            return out
+
+    CHUNK = 16384
+    maxlens = np.maximum(qlen[idx], tlen[idx])
+    for lo, hi in ((-1, 16), (16, 32), (32, 64), (64, 1 << 60)):
+        grp = idx[(maxlens > lo) & (maxlens <= hi)]
+        for s in range(0, grp.size, CHUNK):
+            sel = grp[s : s + CHUNK]
+            width = int(np.maximum(qlen[sel], tlen[sel]).max())
+            width = min(max(width, 1), ENC.shape[1])
+            out[sel] = _weighted_block(
+                ENC[qi[sel], :width], qlen[sel],
+                ENC[ti[sel], :width], tlen[sel], ops, cap,
+            )
+    if cap is not None:
+        np.minimum(out, cap + 1.0, out=out)
     return out

@@ -99,3 +99,33 @@ def test_restriction_does_not_leak():
     assert weighted_distance("xa", "x0", ops) == pytest.approx(1.0)  # plain subst
     with pytest.raises(ValueError):
         ops.with_rule("", "", 0.1)
+
+
+def test_batch_vectorized_parity_random():
+    """The vectorized batch kernel (length-grouped, banded under cap) must
+    match the per-pair DP exactly, including restricted rules and caps."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(7)
+
+    def rs():
+        return "".join(rng.choice("abcdm01rnl") for _ in range(rng.randint(0, 9)))
+
+    for ops in (
+        OperationSet.ocr_restricted(),
+        OperationSet(substitute=2.5, insert=0.4, delete=0.9, split=0.3),
+        OperationSet().with_rule("", "xy", 0.1).with_rule("ab", "", 0.2),
+        OperationSet(insert=None, delete=None).with_rule("a", "b", 0.5),
+    ):
+        qs = [rs() for _ in range(200)]
+        ts = [rs() for _ in range(200)]
+        exp = np.array([weighted_distance(q, t, ops) for q, t in zip(qs, ts)])
+        got = batch_weighted_distances(qs, ts, ops)
+        assert np.allclose(exp, got)
+        for cap in (0.5, 2.0):
+            gotc = batch_weighted_distances(qs, ts, ops, cap=cap)
+            expc = np.minimum(exp, cap + 1)
+            ok = ((expc > cap) & (gotc == cap + 1)) | np.isclose(expc, gotc)
+            assert ok.all()
