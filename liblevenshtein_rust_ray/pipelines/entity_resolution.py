@@ -52,14 +52,20 @@ def er_pairs(
 ):
     """Pages -> canonical deduped candidate edges (url_a, url_b, distance).
 
-    ``engine="vectorized"`` (default) emits candidate string pairs per
-    block bucket, exchanges them by canonical string pair, and scores each
-    DISTINCT pair exactly once with the numpy banded-DP kernel (the
-    reference's SIMD distance-matrix path) — the same title pair co-occurs
-    under every shared-token blocking key, so scoring after the pair
-    exchange removes the ~3x duplicated DP the per-bucket path pays.  The
-    pair exchange subsumes the edge-dedup exchange (one key_string per url,
-    see stages/scorer.py), keeping the total at two exchanges.
+    ``engine="vectorized"`` (default) scores pairs per block bucket with
+    the numpy banded-DP kernel (the reference's SIMD distance-matrix
+    path), then dedups url pairs in a second small exchange.  The same
+    title pair co-occurs under several blocking keys, so this path scores
+    each distinct pair ~3x — MEASURED cheaper than avoiding it: the
+    banded DP is ~3 us/pair while the alternative ships every candidate's
+    string pair through a 12x-larger exchange (31 vs 22 CPU-seconds and
+    +6 s wall at sf0.1/32 cores; see docs/SCALE.md "score-once A/B").
+    ``engine="vectorized_once"`` keeps the score-once plan: phase A emits
+    unscored candidates keyed by canonical string pair, the pair exchange
+    co-locates duplicates, phase B scores each distinct pair exactly once.
+    Use it when the per-pair scorer is genuinely expensive (weighted
+    cost models, restricted-substitution automata) — the break-even is
+    scorer cost vs ~60 bytes/candidate of extra exchange payload.
     ``engine="automaton"`` runs the per-block trie + automaton traversal —
     output-identical (pinned by tests) and the reference-parity /
     restricted-substitution engine."""
@@ -80,7 +86,29 @@ def er_pairs(
         ds = read_pages(source)
         ds = ds.map_batches(extract_batch, batch_format="pyarrow")
         ds = ds.map_batches(blocking_keys_batch, batch_format="pyarrow")
-        if engine == "vectorized" and not emit_all_pairs:
+        if engine == "vectorized" and not emit_all_pairs and not scorer_concurrency:
+            # single-phase: score within each block bucket, dedup url pairs
+            # in a second (edge-sized) exchange
+            from ..stages.scorer import score_bucket_vectorized
+
+            edges = bucketed_apply(
+                ds,
+                "block_key",
+                lambda df: score_bucket_vectorized(
+                    df, max_distance=max_distance,
+                    max_block_strings=max_block_strings, algorithm=algorithm,
+                ),
+                n_buckets=64,
+                empty_result=_empty_edges(),
+            )
+            return bucketed_apply(
+                edges,
+                ["url_a", "url_b"],
+                lambda df: df.groupby(["url_a", "url_b"], as_index=False)["distance"].min(),
+                n_buckets=64,
+                empty_result=_empty_edges(),
+            )
+        if engine in ("vectorized", "vectorized_once") and not emit_all_pairs:
             # phase A: per block-bucket star edges + unscored candidates
             cand = bucketed_apply(
                 ds,

@@ -153,6 +153,16 @@ def test_er_pairs_actor_pool_parity(corpus):
     assert key(task) == key(act)
 
 
+def test_er_pairs_engine_parity(corpus):
+    """The default single-phase plan (duplicate DP, edge-sized second
+    exchange) and the score-once pair-exchange plan are output-identical."""
+    tab, _ = corpus
+    default = er_pairs(tab).to_pandas()
+    once = er_pairs(tab, engine="vectorized_once").to_pandas()
+    key = lambda df: set(map(tuple, df[["url_a", "url_b", "distance"]].values.tolist()))
+    assert key(default) == key(once)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_er_pipeline_writes_partitioned_output(tmp_path, corpus):
     import glob
