@@ -335,9 +335,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def fuzzy_selfjoin_part_transposition(sf_dir):
         """OSA/transposition algorithm variant (reference Table 7.1); DuckDB's
-        damerau_levenshtein is unrestricted Damerau, not OSA, so rows-only."""
+        damerau_levenshtein is unrestricted Damerau, not OSA, so rows-only at
+        n=2 (OSA('ca','abc')=3 vs Damerau 2); the d1 variant below is the
+        oracle-checked row."""
         return F.fuzzy_self_join(_rd(sf_dir, "part", ["p_name"]), "p_name", n=2,
                                  algorithm="transposition")
+
+    def fuzzy_selfjoin_part_transposition_d1(sf_dir):
+        """Transposition algorithm at n=1, where OSA == unrestricted Damerau
+        (a single edit can't interact with another), so DuckDB's
+        damerau_levenshtein is an exact independent oracle for the
+        transposition transition tables (reference Table 7.1,
+        transition.rs)."""
+        return F.fuzzy_self_join(_rd(sf_dir, "part", ["p_name"]), "p_name", n=1,
+                                 algorithm="transposition")
+
+    def fuzzy_vocab_pairs_subst_closed(sf_dir):
+        """Restricted substitutions over DISJOINT symmetric character
+        classes ({a,e} {i,y} {f,p} {s,z}): the substitution cost depends
+        only on the class of each char, so subst-distance(x, y) ==
+        levenshtein(canon(x), canon(y)) with canon = map-to-class-rep —
+        giving the SubstitutionSet engine an exact SQL oracle via
+        translate() (the general preset sets aren't transitively closed,
+        hence the separate rows-only fuzzy_vocab_pairs_subst)."""
+        from liblevenshtein_rust_ray.kernel.substitution import SubstitutionSet
+
+        sub = SubstitutionSet([("a", "e"), ("e", "a"), ("i", "y"), ("y", "i"),
+                               ("f", "p"), ("p", "f"), ("s", "z"), ("z", "s")])
+        return F.fuzzy_self_join(_vocab_ds(sf_dir), "tok", n=1, subst=sub)
 
     def fuzzy_selfjoin_part_ocr(sf_dir):
         """Weighted operation-set scoring (GeneralizedAutomaton/OperationSet
@@ -657,6 +682,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(fin, batch_format="pandas")
 
+    def er_clusters_allpairs(sf_dir):
+        """The FULL flagship chain (extract -> blocking -> scoring ->
+        connected components) oracle-checked end-to-end: same synthetic
+        pages as er_pairs_allpairs, clustered; cluster_id = lexicographic
+        min member url (stages/cluster.py), which a DuckDB recursive-CTE
+        label propagation over the identical edge set reproduces
+        exactly."""
+        docs = _rd(sf_dir, "documents", ["doc_id", "text"])
+        tok_re2 = re.compile(r"[a-z0-9]+")
+
+        def to_pages(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            texts = t.column("text").to_pylist()
+            urls, outs = [], []
+            for i, x in zip(ids, texts):
+                x = x or ""
+                title = " ".join(tok_re2.findall(x.lower())[:5])
+                urls.append(f"https://h{i % 16:02d}.example.com/d{i}")
+                outs.append(f"{title}\n{x}")
+            n = len(ids)
+            return pa.table(
+                {
+                    "url": pa.array(urls, type=pa.string()),
+                    "warc_ts": pa.array([0] * n, type=pa.timestamp("us")),
+                    "html": pa.array([b""] * n, type=pa.binary()),
+                    "text": pa.array(outs, type=pa.string()),
+                    "lang": pa.array([""] * n, type=pa.string()),
+                }
+            )
+
+        pages = docs.map_batches(to_pages, batch_format="pyarrow")
+        return er_clusters(pages, emit_all_pairs=True, max_block_strings=1_000_000)
+
     def multimodal_stub(sf_dir):
         import ray.data as rd
 
@@ -764,6 +822,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": embedding_neardup_lsh,
         "scoped_completion": scoped_completion,
         "fuzzy_selfjoin_part_transposition": fuzzy_selfjoin_part_transposition,
+        "fuzzy_selfjoin_part_transposition_d1": fuzzy_selfjoin_part_transposition_d1,
+        "fuzzy_vocab_pairs_subst_closed": fuzzy_vocab_pairs_subst_closed,
         "fuzzy_selfjoin_part_merge_split": fuzzy_selfjoin_part_merge_split,
         "fuzzy_selfjoin_part_ms_universal": fuzzy_selfjoin_part_ms_universal,
         "fuzzy_selfjoin_part_ocr_restricted": fuzzy_selfjoin_part_ocr_restricted,
@@ -793,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": er_clusters_q,
         "er_pairs": er_pairs_q,
         "er_pairs_allpairs": er_pairs_allpairs,
+        "er_clusters_allpairs": er_clusters_allpairs,
         "er_pairs_corpus": er_pairs_corpus,
         "multimodal_stub": multimodal_stub,
         "multimodal_image_features": multimodal_image_features,
@@ -1162,6 +1223,49 @@ def oracle_sql() -> dict[str, str]:
               AND (a.title = b.title
                    OR (a.hostnum = b.hostnum
                        AND len(list_intersect(a.toks, b.toks)) > 0))
+        """,
+        "fuzzy_selfjoin_part_transposition_d1": """
+            WITH d AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS val_a, b.p_name AS val_b,
+                   CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+            FROM d a JOIN d b ON a.p_name < b.p_name
+            WHERE damerau_levenshtein(a.p_name, b.p_name) <= 1
+        """,
+        "fuzzy_vocab_pairs_subst_closed": f"""
+            WITH v AS ({vocab}),
+                 c AS (SELECT tok, translate(tok, 'eypz', 'aifs') AS canon FROM v)
+            SELECT a.tok AS val_a, b.tok AS val_b,
+                   CAST(levenshtein(a.canon, b.canon) AS BIGINT) AS distance
+            FROM c a JOIN c b ON a.tok < b.tok
+            WHERE levenshtein(a.canon, b.canon) <= 1
+        """,
+        "er_clusters_allpairs": """
+            WITH RECURSIVE
+                 p AS (SELECT doc_id,
+                              'https://h' || lpad(CAST(doc_id % 16 AS VARCHAR), 2, '0')
+                                || '.example.com/d' || CAST(doc_id AS VARCHAR) AS url,
+                              doc_id % 16 AS hostnum,
+                              regexp_extract_all(lower(text), '[a-z0-9]+')[1:5] AS toks
+                       FROM documents),
+                 t AS (SELECT url, hostnum, toks,
+                              array_to_string(toks, ' ') AS title
+                       FROM p WHERE len(toks) > 0),
+                 e AS (SELECT a.url AS url_a, b.url AS url_b
+                       FROM t a JOIN t b ON a.url < b.url
+                       WHERE levenshtein(a.title, b.title) <= 2
+                         AND (a.title = b.title
+                              OR (a.hostnum = b.hostnum
+                                  AND len(list_intersect(a.toks, b.toks)) > 0))),
+                 edges AS (SELECT url_a AS src, url_b AS dst FROM e
+                           UNION
+                           SELECT url_b, url_a FROM e),
+                 walk(node, lbl) AS (
+                     SELECT src, src FROM edges
+                     UNION
+                     SELECT ed.dst, w.lbl FROM walk w JOIN edges ed ON ed.src = w.node
+                 )
+            SELECT node AS url, min(lbl) AS cluster_id
+            FROM walk GROUP BY node
         """,
         "top_docs_by_tokens": """
             SELECT doc_id,
