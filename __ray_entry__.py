@@ -228,6 +228,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", threshold=0.5
         )
 
+    def minhash_neardup_docs_md5(sf_dir):
+        """MinHash LSH with the DuckDB-reproducible hash family (md5-derived
+        shingle hashes, exact mod-2^61-1 permutations, value-concat band
+        keys): the ENTIRE LSH pipeline — shingle, sign, band, bucket,
+        star-collapse, signature-estimate verify — checked against a SQL
+        oracle built from the same constants.  max_bucket is uncapped in
+        this mode (salting is the one step the oracle doesn't model; it
+        never engages at driver scales)."""
+        return D.minhash_lsh_pairs(
+            _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+            threshold=0.5, hasher="md5", max_bucket=1_000_000,
+        )
+
     def simhash_pairs_docs(sf_dir):
         return D.simhash_pairs(
             _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", max_hamming=6
@@ -272,6 +285,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def doc_fingerprints(sf_dir):
         return _rd(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             T.fingerprint_batch, batch_format="pyarrow"
+        )
+
+    def doc_fingerprints_md5(sf_dir):
+        """Winnowing fingerprints with the DuckDB-reproducible md5 hash
+        family (see stages.textstats.fingerprint_md5_batch); exact SQL
+        oracle over substr windows + md5_number_lower."""
+        return _rd(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            T.fingerprint_md5_batch, batch_format="pyarrow"
         )
 
     def phonetic_part(sf_dir):
@@ -816,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search_tokens": prefix_search_tokens,
         "exact_dedup_part": exact_dedup_part,
         "minhash_neardup_docs": minhash_neardup_docs,
+        "minhash_neardup_docs_md5": minhash_neardup_docs_md5,
         "simhash_pairs_docs": simhash_pairs_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "embedding_neardup": embedding_neardup,
@@ -842,6 +864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": quality_docs,
         "langid_docs": langid_docs,
         "doc_fingerprints": doc_fingerprints,
+        "doc_fingerprints_md5": doc_fingerprints_md5,
         "phonetic_part": phonetic_part,
         "word_freq": word_freq,
         "lang_counts": lang_counts,
@@ -896,6 +919,70 @@ def _langid_oracle_sql() -> str:
                     WHEN s_es >= 3 AND s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
                     ELSE 'und' END AS lang_pred
         FROM t2
+    """
+
+
+def _minhash_md5_oracle_sql() -> str:
+    """The full MinHash-LSH pipeline as SQL, generated from the SAME md5
+    permutation constants the Ray stage uses (functions.minhash
+    md5_perm_params) so the two can't drift: shingle -> md5 hash -> exact
+    modular permutations -> 32 two-row bands -> per-(bucket, signature)
+    representatives -> candidate pairs -> signature-agreement estimate
+    >= 0.5, plus identical-signature stars at jaccard 1.0."""
+    from liblevenshtein_rust_ray.functions.minhash import md5_perm_params
+
+    P = (1 << 61) - 1
+    a, b = md5_perm_params(64)
+    exprs = ",\n                 ".join(
+        f"list_min(list_transform(hs, h -> CAST((CAST({ai} AS HUGEINT) * h + {bi}) % {P} AS UBIGINT)))"
+        for ai, bi in zip(a, b)
+    )
+    sentinel = ", ".join(["18446744073709551615"] * 64)
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+             s AS (SELECT doc_id,
+                          CASE WHEN len(toks) = 0 THEN []
+                               WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                               ELSE [array_to_string(toks[i:i+2], ' ')
+                                     FOR i IN range(1, len(toks) - 1)]
+                          END AS sh
+                   FROM t),
+             h AS (SELECT doc_id,
+                          list_transform(sh, x -> md5_number_lower(x) % {P}) AS hs
+                   FROM s),
+             sg AS (SELECT doc_id,
+                           CASE WHEN len(hs) = 0
+                                THEN [{sentinel}]
+                                ELSE [{exprs}]
+                           END AS sig
+                    FROM h),
+             k AS (SELECT doc_id, sig,
+                          CAST(r.band AS VARCHAR) || ':' ||
+                          CAST(sig[2 * r.band + 1] AS VARCHAR) || ',' ||
+                          CAST(sig[2 * r.band + 2] AS VARCHAR) AS bucket
+                   FROM sg, unnest(range(0, 32)) AS r(band)),
+             stars AS (SELECT g.rep AS id_a, d.doc_id AS id_b, 1.0 AS jaccard
+                       FROM sg d
+                       JOIN (SELECT sig, min(doc_id) AS rep FROM sg GROUP BY sig) g
+                         ON d.sig = g.sig AND d.doc_id <> g.rep),
+             reps AS (SELECT bucket, sig, min(doc_id) AS rep
+                      FROM k GROUP BY bucket, sig),
+             cand AS (SELECT DISTINCT r1.rep AS id_a, r2.rep AS id_b,
+                             r1.sig AS sa, r2.sig AS sb
+                      FROM reps r1 JOIN reps r2
+                        ON r1.bucket = r2.bucket AND r1.rep < r2.rep),
+             est AS (SELECT id_a, id_b,
+                            list_sum(list_transform(range(1, 65),
+                                i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 64.0
+                              AS jaccard
+                     FROM cand)
+        SELECT id_a, id_b, max(jaccard) AS jaccard
+        FROM (SELECT * FROM stars
+              UNION ALL
+              SELECT * FROM est WHERE jaccard >= 0.5)
+        GROUP BY id_a, id_b
     """
 
 
@@ -1078,6 +1165,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t.tok HAVING count(*) >= 2
         """,
         "lang_counts": "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang",
+        "minhash_neardup_docs_md5": _minhash_md5_oracle_sql(),
+        "doc_fingerprints_md5": """
+            SELECT doc_id,
+                   md5_number_lower(text) AS content_hash,
+                   CASE WHEN length(text) = 0 THEN ''
+                        WHEN length(text) <= 32 THEN CAST(md5_number_lower(text) AS VARCHAR)
+                        ELSE array_to_string(list_sort(list_distinct(
+                               [md5_number_lower(substr(text, i, 32))
+                                FOR i IN range(1, length(text) - 30, 4)]))[1:8], ',')
+                   END AS winnow
+            FROM documents
+        """,
         "langid_docs": _langid_oracle_sql(),
         # the zompist orthography+phonetic normalizer as a regexp_replace
         # chain (per word, applied in rule order — sequential application

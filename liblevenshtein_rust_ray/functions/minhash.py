@@ -53,3 +53,54 @@ def minhash_bands(sig: np.ndarray, n_bands: int = 16) -> list[int]:
 
 def jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float((sig_a == sig_b).mean())
+
+
+# ----------------------------------------------------------------------
+# md5 variant — bit-identical to what DuckDB can compute, so the LSH
+# pipeline gains an exact SQL oracle (md5_number_lower(x) == the second
+# half of the md5 digest read little-endian; verified empirically).
+# Exact 128-bit modular arithmetic (Python ints), unlike the fast
+# blake2b path's uint64-wraparound multiply — both deterministic, only
+# this one is reproducible in SQL.
+# ----------------------------------------------------------------------
+def md5_hash64(data: str | bytes) -> int:
+    """DuckDB ``md5_number_lower``-compatible 64-bit hash."""
+    import hashlib
+
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return int.from_bytes(hashlib.md5(data).digest()[8:], "little")
+
+
+_P_INT = (1 << 61) - 1
+
+
+def md5_perm_params(num_perm: int = 64) -> tuple[list[int], list[int]]:
+    """Permutation constants for the md5 variant; embedded as literals in
+    the generated oracle SQL so both engines share them by construction."""
+    a = [(md5_hash64(f"minhash-a-{i}") | 1) % _P_INT for i in range(num_perm)]
+    b = [md5_hash64(f"minhash-b-{i}") % _P_INT for i in range(num_perm)]
+    return a, b
+
+
+def minhash_signature_md5(features: list[str], num_perm: int = 64) -> np.ndarray:
+    """uint64[num_perm] signature via exact (a*h + b) mod 2^61-1 over
+    md5-derived shingle hashes; empty feature set -> all-max sentinel."""
+    if not features:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    a, b = md5_perm_params(num_perm)
+    hs = [md5_hash64(f) % _P_INT for f in features]
+    return np.array(
+        [min((ai * h + bi) % _P_INT for h in hs) for ai, bi in zip(a, b)],
+        dtype=np.uint64,
+    )
+
+
+def minhash_bands_md5(sig: np.ndarray, n_bands: int = 32) -> list[str]:
+    """Band keys as value-concatenated strings (SQL-reproducible, unlike
+    the blake2b band hash)."""
+    rows = len(sig) // n_bands
+    return [
+        ",".join(str(int(v)) for v in sig[i * rows : (i + 1) * rows])
+        for i in range(n_bands)
+    ]

@@ -72,6 +72,7 @@ def minhash_lsh_pairs(
     n_bands: int = 32,
     shingle_k: int = 3,
     max_bucket: int = 256,
+    hasher: str = "blake2b",
 ):
     """Near-duplicate candidate pairs via MinHash LSH, verified with the
     signature Jaccard estimate >= ``threshold``.
@@ -84,7 +85,13 @@ def minhash_lsh_pairs(
     ``max_bucket`` distinct signatures are salted — the emitted edge set is
     connectivity-equivalent to the full clique set (pinned by tests) and
     bounded O(bucket) instead of O(bucket^2) under duplicate floods.
+
+    ``hasher="md5"`` switches shingle hashing / permutations / band keys to
+    the DuckDB-reproducible md5 forms (functions.minhash md5 variant) so
+    the whole LSH pipeline can be checked against a SQL oracle; output
+    semantics are identical, only the hash family differs.
     """
+    from ..functions.minhash import minhash_bands_md5, minhash_signature_md5
 
     def sign(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
@@ -92,10 +99,17 @@ def minhash_lsh_pairs(
         out_id, out_band, out_sig = [], [], []
         for i, x in zip(ids, texts):
             feats = shingles(tokenize(x or ""), shingle_k)
-            sig = minhash_signature(feats, num_perm)
-            for band_id, bh in enumerate(minhash_bands(sig, n_bands)):
+            if hasher == "md5":
+                sig = minhash_signature_md5(feats, num_perm)
+                bands = (f"{band_id}:{bk}" for band_id, bk
+                         in enumerate(minhash_bands_md5(sig, n_bands)))
+            else:
+                sig = minhash_signature(feats, num_perm)
+                bands = (f"{band_id}:{bh:016x}" for band_id, bh
+                         in enumerate(minhash_bands(sig, n_bands)))
+            for band_key in bands:
                 out_id.append(i)
-                out_band.append(f"{band_id}:{bh:016x}")
+                out_band.append(band_key)
                 out_sig.append(sig.tobytes())
         return pa.table(
             {

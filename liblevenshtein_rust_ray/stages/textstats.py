@@ -65,3 +65,35 @@ def fingerprint_batch(t: pa.Table) -> pa.Table:
             ),
         }
     )
+
+
+def fingerprint_md5_batch(t: pa.Table) -> pa.Table:
+    """DuckDB-reproducible fingerprint variant: md5-derived 64-bit content
+    hash (md5_number_lower semantics) and a winnowing sketch (window 32,
+    stride 4, 8 smallest distinct hashes) emitted as a comma-joined
+    decimal string — every step expressible in SQL (substr + md5_number_
+    lower + list ops), giving the fingerprint operator an exact oracle.
+    Same sketch shape as fingerprint_batch; only the hash family differs."""
+    from ..functions.minhash import md5_hash64
+
+    texts = t.column("text").to_pylist()
+
+    def winnow(x: str) -> str:
+        if not x:
+            return ""
+        if len(x) <= 32:
+            hs = [md5_hash64(x)]
+        else:
+            hs = sorted({md5_hash64(x[i:i + 32])
+                         for i in range(0, len(x) - 31, 4)})[:8]
+        return ",".join(str(h) for h in hs)
+
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "content_hash": pa.array(
+                [md5_hash64(x or "") for x in texts], type=pa.uint64()
+            ),
+            "winnow": pa.array([winnow(x or "") for x in texts], type=pa.string()),
+        }
+    )
