@@ -246,6 +246,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", max_hamming=6
         )
 
+    def simhash_pairs_docs_md5(sf_dir):
+        """SimHash near-dup with the md5 hash family: per-bit majority vote,
+        8-bit pigeonhole bands, star-collapse and Hamming<=6 verify all
+        reproduced by a generated SQL oracle (nested-lambda bit votes +
+        bit_count(xor()))."""
+        return D.simhash_pairs(
+            _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+            max_hamming=6, hasher="md5", max_bucket=1_000_000,
+        )
+
     def ngram_jaccard_docs(sf_dir):
         return D.ngram_jaccard_pairs(
             _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", threshold=0.5
@@ -703,6 +713,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(fin, batch_format="pandas")
 
+    def er_pairs_allpairs_transposition_d1(sf_dir):
+        """The ER all-pairs flagship under the transposition algorithm at
+        n=1, where OSA == unrestricted Damerau — so the whole blocking +
+        automaton-scoring chain is damerau_levenshtein-oracle-checked
+        (the n=2 er_pairs_transposition stays rows-only: OSA != Damerau
+        at distance 2)."""
+        import pandas as pd
+
+        docs = _rd(sf_dir, "documents", ["doc_id", "text"])
+        tok_re2 = re.compile(r"[a-z0-9]+")
+
+        def to_pages(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            texts = t.column("text").to_pylist()
+            urls, outs = [], []
+            for i, x in zip(ids, texts):
+                x = x or ""
+                title = " ".join(tok_re2.findall(x.lower())[:5])
+                urls.append(f"https://h{i % 16:02d}.example.com/d{i}")
+                outs.append(f"{title}\n{x}")
+            n = len(ids)
+            return pa.table(
+                {
+                    "url": pa.array(urls, type=pa.string()),
+                    "warc_ts": pa.array([0] * n, type=pa.timestamp("us")),
+                    "html": pa.array([b""] * n, type=pa.binary()),
+                    "text": pa.array(outs, type=pa.string()),
+                    "lang": pa.array([""] * n, type=pa.string()),
+                }
+            )
+
+        pages = docs.map_batches(to_pages, batch_format="pyarrow")
+        out = er_pairs(pages, emit_all_pairs=True, max_block_strings=1_000_000,
+                       algorithm="transposition", max_distance=1)
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["distance"] = df["distance"].astype("int64")
+            return df
+
+        return out.map_batches(fin, batch_format="pandas")
+
     def er_clusters_allpairs(sf_dir):
         """The FULL flagship chain (extract -> blocking -> scoring ->
         connected components) oracle-checked end-to-end: same synthetic
@@ -839,6 +891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup_docs": minhash_neardup_docs,
         "minhash_neardup_docs_md5": minhash_neardup_docs_md5,
         "simhash_pairs_docs": simhash_pairs_docs,
+        "simhash_pairs_docs_md5": simhash_pairs_docs_md5,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "embedding_neardup": embedding_neardup,
         "embedding_neardup_lsh": embedding_neardup_lsh,
@@ -877,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_pairs": er_pairs_q,
         "er_pairs_allpairs": er_pairs_allpairs,
         "er_clusters_allpairs": er_clusters_allpairs,
+        "er_pairs_allpairs_transposition_d1": er_pairs_allpairs_transposition_d1,
         "er_pairs_corpus": er_pairs_corpus,
         "multimodal_stub": multimodal_stub,
         "multimodal_image_features": multimodal_image_features,
@@ -983,6 +1037,89 @@ def _minhash_md5_oracle_sql() -> str:
               UNION ALL
               SELECT * FROM est WHERE jaccard >= 0.5)
         GROUP BY id_a, id_b
+    """
+
+
+def _simhash_md5_oracle_sql(max_hamming: int = 6) -> str:
+    """The SimHash pipeline as SQL: md5-hashed char 3-grams, per-bit
+    majority vote (nested lambdas; HUGEINT shift accumulation since
+    UBIGINT << 63 overflows), 8-bit band grouping, per-(band, bits,
+    simhash) representatives, bit_count(xor()) Hamming verify, and
+    identical-simhash stars."""
+    return f"""
+        WITH g AS (SELECT doc_id,
+                          CASE WHEN length(text) = 0 THEN []
+                               WHEN length(text) < 3 THEN [lower(text)]
+                               ELSE [substr(lower(text), i, 3)
+                                     FOR i IN range(1, length(text) - 1)]
+                          END AS grams
+                   FROM documents),
+             h AS (SELECT doc_id,
+                          list_transform(grams, x -> md5_number_lower(x)) AS hs
+                   FROM g),
+             sg AS (SELECT doc_id,
+                           CASE WHEN len(hs) = 0 THEN CAST(0 AS UBIGINT)
+                                ELSE CAST(list_sum(list_transform(range(0, 64),
+                                     b -> CASE WHEN 2 * list_sum(list_transform(hs,
+                                               h -> CAST((h >> b) & 1 AS BIGINT))) > len(hs)
+                                          THEN CAST(1 AS HUGEINT) << b
+                                          ELSE CAST(0 AS HUGEINT) END)) AS UBIGINT)
+                           END AS sh
+                    FROM h),
+             stars AS (SELECT r.rep AS id_a, d.doc_id AS id_b,
+                              CAST(0 AS BIGINT) AS hamming
+                       FROM sg d
+                       JOIN (SELECT sh, min(doc_id) AS rep FROM sg GROUP BY sh) r
+                         ON d.sh = r.sh AND d.doc_id <> r.rep),
+             k AS (SELECT doc_id, sh, r.band AS band,
+                          CAST((sh >> CAST(8 * r.band AS INTEGER)) & 255 AS BIGINT) AS bits
+                   FROM sg, unnest(range(0, 8)) AS r(band)),
+             reps AS (SELECT band, bits, sh, min(doc_id) AS rep
+                      FROM k GROUP BY band, bits, sh),
+             cand AS (SELECT DISTINCT r1.rep AS id_a, r2.rep AS id_b,
+                             r1.sh AS sa, r2.sh AS sb
+                      FROM reps r1 JOIN reps r2
+                        ON r1.band = r2.band AND r1.bits = r2.bits
+                       AND r1.rep < r2.rep),
+             ham AS (SELECT id_a, id_b,
+                            CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+                     FROM cand)
+        SELECT id_a, id_b, min(hamming) AS hamming
+        FROM (SELECT * FROM stars
+              UNION ALL
+              SELECT * FROM ham WHERE hamming <= {max_hamming})
+        GROUP BY id_a, id_b
+    """
+
+
+def _substring_d1_oracle_sql(pattern: str = "custoner") -> str:
+    """All approximate occurrences of ``pattern`` at d<=1 (Sellers DP
+    semantics: end positions of substrings within one edit) as SQL: a
+    qualifying substring has length m-1 (one deletion: enumerated variant
+    list), m (<=1 substitution: per-char hamming), or m+1 (one insertion:
+    split-match over all insertion points)."""
+    m = len(pattern)
+    dels = sorted({pattern[:i] + pattern[i + 1:] for i in range(m)})
+    del_list = ", ".join("'" + d + "'" for d in dels)
+    return f"""
+        WITH r AS (SELECT doc_id, text, CAST(u.j AS BIGINT) AS j
+                   FROM documents,
+                        unnest(range({m - 1}, length(text) + 1)) AS u(j)),
+             c AS (SELECT doc_id, j,
+                          (j >= {m} AND substr(text, CAST(j - {m - 1} AS INTEGER), {m}) = '{pattern}') AS exact0,
+                          (j >= {m} AND len(list_filter(range(1, {m + 1}),
+                               i -> substr(text, CAST(j - {m} + i AS INTEGER), 1) <>
+                                    substr('{pattern}', CAST(i AS INTEGER), 1))) <= 1) AS sub1,
+                          (substr(text, CAST(j - {m - 2} AS INTEGER), {m - 1}) IN ({del_list})) AS del1,
+                          (j >= {m + 1} AND len(list_filter(range(0, {m + 1}),
+                               k -> substr(text, CAST(j - {m} AS INTEGER), CAST(k AS INTEGER)) =
+                                        substr('{pattern}', 1, CAST(k AS INTEGER))
+                                AND substr(text, CAST(j - {m} + k + 1 AS INTEGER), CAST({m} - k AS INTEGER)) =
+                                        substr('{pattern}', CAST(k + 1 AS INTEGER), CAST({m} - k AS INTEGER)))) > 0) AS ins1
+                   FROM r)
+        SELECT doc_id, j AS match_end,
+               CAST(CASE WHEN exact0 THEN 0 ELSE 1 END AS BIGINT) AS distance
+        FROM c WHERE exact0 OR sub1 OR del1 OR ins1
     """
 
 
@@ -1166,6 +1303,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_counts": "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang",
         "minhash_neardup_docs_md5": _minhash_md5_oracle_sql(),
+        "simhash_pairs_docs_md5": _simhash_md5_oracle_sql(),
+        "substring_positions_d1": _substring_d1_oracle_sql("custoner"),
         "doc_fingerprints_md5": """
             SELECT doc_id,
                    md5_number_lower(text) AS content_hash,
@@ -1337,6 +1476,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.canon, b.canon) AS BIGINT) AS distance
             FROM c a JOIN c b ON a.tok < b.tok
             WHERE levenshtein(a.canon, b.canon) <= 1
+        """,
+        "er_pairs_allpairs_transposition_d1": """
+            WITH p AS (SELECT doc_id,
+                              'https://h' || lpad(CAST(doc_id % 16 AS VARCHAR), 2, '0')
+                                || '.example.com/d' || CAST(doc_id AS VARCHAR) AS url,
+                              doc_id % 16 AS hostnum,
+                              regexp_extract_all(lower(text), '[a-z0-9]+')[1:5] AS toks
+                       FROM documents),
+                 t AS (SELECT url, hostnum, toks,
+                              array_to_string(toks, ' ') AS title
+                       FROM p WHERE len(toks) > 0)
+            SELECT a.url AS url_a, b.url AS url_b,
+                   CAST(damerau_levenshtein(a.title, b.title) AS BIGINT) AS distance
+            FROM t a JOIN t b ON a.url < b.url
+            WHERE damerau_levenshtein(a.title, b.title) <= 1
+              AND (a.title = b.title
+                   OR (a.hostnum = b.hostnum
+                       AND len(list_intersect(a.toks, b.toks)) > 0))
         """,
         "er_clusters_allpairs": """
             WITH RECURSIVE

@@ -63,14 +63,7 @@ def jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 # blake2b path's uint64-wraparound multiply — both deterministic, only
 # this one is reproducible in SQL.
 # ----------------------------------------------------------------------
-def md5_hash64(data: str | bytes) -> int:
-    """DuckDB ``md5_number_lower``-compatible 64-bit hash."""
-    import hashlib
-
-    if isinstance(data, str):
-        data = data.encode("utf-8")
-    return int.from_bytes(hashlib.md5(data).digest()[8:], "little")
-
+from .simhash import md5_hash64  # noqa: F401  (re-export; shared md5 family)
 
 _P_INT = (1 << 61) - 1
 

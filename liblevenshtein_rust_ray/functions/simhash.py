@@ -34,6 +34,31 @@ def simhash64(features: list[str]) -> int:
     return int(out)
 
 
+def md5_hash64(data: str | bytes) -> int:
+    """DuckDB ``md5_number_lower``-compatible 64-bit hash (second digest
+    half, little-endian) — the SQL-reproducible hash family shared by the
+    minhash/simhash/fingerprint oracle variants."""
+    import hashlib
+
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return int.from_bytes(hashlib.md5(data).digest()[8:], "little")
+
+
+def simhash64_md5(features: list[str]) -> int:
+    """simhash64 with md5-derived feature hashes (SQL-reproducible)."""
+    if not features:
+        return 0
+    hs = np.fromiter((md5_hash64(f) for f in features), dtype=np.uint64,
+                     count=len(features))
+    bits = ((hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).astype(np.int32)
+    acc = bits.sum(axis=0) * 2 - len(features)
+    out = np.uint64(0)
+    for i in np.nonzero(acc > 0)[0]:
+        out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
 def simhash_bands(sh: int, n_bands: int = 4) -> list[int]:
     """Split a 64-bit simhash into ``n_bands`` equal bit-chunks."""
     width = 64 // n_bands

@@ -197,7 +197,8 @@ def minhash_lsh_pairs(
 
 # ----------------------------------------------------------------------
 def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
-                  n_bands: int | None = None, max_bucket: int = 256):
+                  n_bands: int | None = None, max_bucket: int = 256,
+                  hasher: str = "blake2b"):
     """SimHash near-dup: band-bucket groupby then Hamming-distance verify
     (<= ``max_hamming``).  Identical simhashes collapse to a star; buckets
     over ``max_bucket`` distinct hashes are salted (connectivity-preserving,
@@ -213,11 +214,14 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
         n_bands = next(b for b in (2, 4, 8, 16, 32, 64) if b >= n_bands)
 
     def sign(t: pa.Table) -> pa.Table:
+        from ..functions.simhash import simhash64_md5
+
+        sim = simhash64_md5 if hasher == "md5" else simhash64
         ids = t.column(id_col).to_pylist()
         texts = t.column(text_col).to_pylist()
         out_id, out_bucket, out_sh = [], [], []
         for i, x in zip(ids, texts):
-            sh = simhash64(char_ngrams((x or "").lower(), 3))
+            sh = sim(char_ngrams((x or "").lower(), 3))
             for band_id, bits in enumerate(simhash_bands(sh, n_bands)):
                 out_id.append(i)
                 out_bucket.append(f"{band_id}:{bits:04x}")
