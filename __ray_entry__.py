@@ -1305,6 +1305,16 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup_docs_md5": _minhash_md5_oracle_sql(),
         "simhash_pairs_docs_md5": _simhash_md5_oracle_sql(),
         "substring_positions_d1": _substring_d1_oracle_sql("custoner"),
+        # best hit per doc = smallest distance then leftmost end over the
+        # same d<=1 position set (best_substring_match tie-break)
+        "substring_search_docs": f"""
+            SELECT doc_id, distance, match_end
+            FROM (SELECT doc_id, distance, match_end,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY distance, match_end) AS rn
+                  FROM ({_substring_d1_oracle_sql("custoner")}))
+            WHERE rn = 1
+        """,
         "doc_fingerprints_md5": """
             SELECT doc_id,
                    md5_number_lower(text) AS content_hash,
