@@ -381,6 +381,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return F.fuzzy_self_join(_rd(sf_dir, "part", ["p_name"]), "p_name", n=1,
                                  algorithm="transposition")
 
+    def fuzzy_selfjoin_part_merge_split_d1(sf_dir):
+        """Merge-and-split algorithm at n=1 (reference Table 8.1): one
+        substitution, one indel, one merge (two adjacent chars -> one
+        arbitrary char) or one split (the reverse) — every case is a
+        split-point predicate DuckDB can enumerate, giving the
+        merge-split transition tables an exact independent SQL oracle
+        (the n=2 variant above stays rows-only/property-tested)."""
+        return F.fuzzy_self_join(_rd(sf_dir, "part", ["p_name"]), "p_name", n=1,
+                                 algorithm="merge_and_split")
+
     def fuzzy_vocab_pairs_subst_closed(sf_dir):
         """Restricted substitutions over DISJOINT symmetric character
         classes ({a,e} {i,y} {f,p} {s,z}): the substitution cost depends
@@ -898,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scoped_completion": scoped_completion,
         "fuzzy_selfjoin_part_transposition": fuzzy_selfjoin_part_transposition,
         "fuzzy_selfjoin_part_transposition_d1": fuzzy_selfjoin_part_transposition_d1,
+        "fuzzy_selfjoin_part_merge_split_d1": fuzzy_selfjoin_part_merge_split_d1,
         "fuzzy_vocab_pairs_subst_closed": fuzzy_vocab_pairs_subst_closed,
         "fuzzy_selfjoin_part_merge_split": fuzzy_selfjoin_part_merge_split,
         "fuzzy_selfjoin_part_ms_universal": fuzzy_selfjoin_part_ms_universal,
@@ -1478,6 +1489,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
             FROM d a JOIN d b ON a.p_name < b.p_name
             WHERE damerau_levenshtein(a.p_name, b.p_name) <= 1
+        """,
+        # merge-split d<=1: same length -> exactly one substitution; length
+        # diff 1 -> some split point i where the prefixes match and the
+        # longer string continues either one char later (deletion) or two
+        # chars later (merge: L[i],L[i+1] -> S[i], target unconstrained)
+        "fuzzy_selfjoin_part_merge_split_d1": """
+            WITH d AS (SELECT DISTINCT p_name FROM part),
+                 pr AS (SELECT a.p_name AS val_a, b.p_name AS val_b,
+                               CASE WHEN length(a.p_name) >= length(b.p_name)
+                                    THEN a.p_name ELSE b.p_name END AS lng,
+                               CASE WHEN length(a.p_name) >= length(b.p_name)
+                                    THEN b.p_name ELSE a.p_name END AS srt
+                        FROM d a JOIN d b ON a.p_name < b.p_name
+                        WHERE abs(length(a.p_name) - length(b.p_name)) <= 1)
+            SELECT val_a, val_b, CAST(1 AS BIGINT) AS distance
+            FROM pr
+            WHERE (length(lng) = length(srt)
+                   AND len(list_filter(range(1, length(lng) + 1),
+                           i -> substr(lng, CAST(i AS INTEGER), 1) <>
+                                substr(srt, CAST(i AS INTEGER), 1))) = 1)
+               OR (length(lng) = length(srt) + 1
+                   AND len(list_filter(range(0, length(srt) + 1),
+                           i -> substr(lng, 1, CAST(i AS INTEGER)) =
+                                substr(srt, 1, CAST(i AS INTEGER))
+                            AND (substr(lng, CAST(i + 2 AS INTEGER)) =
+                                     substr(srt, CAST(i + 1 AS INTEGER))
+                                 OR (i < length(srt)
+                                     AND substr(lng, CAST(i + 3 AS INTEGER)) =
+                                         substr(srt, CAST(i + 2 AS INTEGER)))))) > 0)
         """,
         "fuzzy_vocab_pairs_subst_closed": f"""
             WITH v AS ({vocab}),
