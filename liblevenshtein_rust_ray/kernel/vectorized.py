@@ -49,6 +49,64 @@ def encode_strings(strings, reverse: bool = False):
     return out, lens
 
 
+def encode_concat(strings, reverse: bool = False, lens=None):
+    """Vectorized ``encode_strings`` for str-only inputs: ONE utf-32 encode
+    of the concatenation + a single scatter fill replaces the per-string
+    Python loop (~2 s / 600k strings on the sandbox host).  Returns
+    ``(ENC, lens, buf)`` where ``buf`` is the flat codepoint stream
+    (callers reuse it for char-histogram bounds).  Pass precomputed
+    ``lens`` to skip the per-string len() sweep."""
+    P = len(strings)
+    if lens is None:
+        lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=P)
+    buf = (
+        np.frombuffer("".join(strings).encode("utf-32-le"), dtype=np.uint32)
+        if P
+        else np.zeros(0, dtype=np.uint32)
+    )
+    maxlen = int(lens.max()) if P else 0
+    ENC = np.zeros((P, max(maxlen, 1)), dtype=np.uint32)
+    if len(buf):
+        rows = np.repeat(np.arange(P), lens)
+        cols = np.arange(len(buf), dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        if reverse:
+            cols = np.repeat(lens, lens) - 1 - cols
+        ENC[rows, cols] = buf
+    return ENC, lens, buf
+
+
+def _banded_pairs(ENC, ulen, qi, ti, n: int, algorithm: str, subst=None):
+    """Distances for pre-encoded pairs: ``ENC``/``ulen`` index distinct
+    strings, ``qi``/``ti`` are per-pair row indices.  The chunked
+    max-length-grouped band loop shared by :func:`batch_distances` and the
+    ER bucket scorer (which encodes each bucket's distinct strings once)."""
+    P = len(qi)
+    out = np.full(P, n + 1, dtype=np.int32)
+    if P == 0:
+        return out
+    qlen, tlen = ulen[qi], ulen[ti]
+    idx = np.flatnonzero(np.abs(qlen - tlen) <= n)
+    if idx.size == 0:
+        return out
+    CHUNK = 65536
+    maxlens = np.maximum(qlen[idx], tlen[idx])
+    for lo, hi in ((-1, 16), (16, 32), (32, 64), (64, 1 << 60)):
+        grp = idx[(maxlens > lo) & (maxlens <= hi)]
+        for s in range(0, grp.size, CHUNK):
+            sel = grp[s : s + CHUNK]
+            width = min(int(np.maximum(qlen[sel], tlen[sel]).max()), ENC.shape[1])
+            Q = ENC[qi[sel], :width]
+            T = ENC[ti[sel], :width]
+            if algorithm == MERGE_AND_SPLIT:
+                res = _band_merge_split_enc(Q, qlen[sel], T, tlen[sel], n)
+            else:
+                res = _band_standard_enc(Q, qlen[sel], T, tlen[sel], n, algorithm, subst)
+            out[sel] = res
+    return out
+
+
 def _subst_keys(subst):
     """Allowed (dict_char, query_char) pairs as packed uint64 keys."""
     pairs = getattr(subst, "_pairs", None)
@@ -88,32 +146,14 @@ def batch_distances(queries, terms, n: int, algorithm: str = STANDARD, subst=Non
     qarr = np.asarray(queries, dtype=object)
     tarr = np.asarray(terms, dtype=object)
     inv, uniq = pd.factorize(np.concatenate([qarr, tarr]), sort=False)
-    ENC, ulen = encode_strings(uniq.tolist(), reverse=reverse)
-    qi, ti = inv[:P], inv[P:]
-    qlen, tlen = ulen[qi], ulen[ti]
-
-    # every op (incl. merge/split) changes the length difference by <= 1
-    idx = np.flatnonzero(np.abs(qlen - tlen) <= n)
-    if idx.size == 0:
-        return out
-
+    terms_list = uniq.tolist()
+    if any(isinstance(s, bytes) for s in terms_list):
+        ENC, ulen = encode_strings(terms_list, reverse=reverse)
+    else:
+        ENC, ulen, _ = encode_concat(terms_list, reverse=reverse)
     # ~64k-pair chunks keep every (P,) band column in L2 — measured 3.4x
-    # over one monolithic pass at 400k pairs
-    CHUNK = 65536
-    maxlens = np.maximum(qlen[idx], tlen[idx])
-    for lo, hi in ((-1, 16), (16, 32), (32, 64), (64, 1 << 60)):
-        grp = idx[(maxlens > lo) & (maxlens <= hi)]
-        for s in range(0, grp.size, CHUNK):
-            sel = grp[s : s + CHUNK]
-            width = min(int(np.maximum(qlen[sel], tlen[sel]).max()), ENC.shape[1])
-            Q = ENC[qi[sel], :width]
-            T = ENC[ti[sel], :width]
-            if algorithm == MERGE_AND_SPLIT:
-                res = _band_merge_split_enc(Q, qlen[sel], T, tlen[sel], n)
-            else:
-                res = _band_standard_enc(Q, qlen[sel], T, tlen[sel], n, algorithm, subst)
-            out[sel] = res
-    return out
+    # over one monolithic pass at 400k pairs (inside _banded_pairs)
+    return _banded_pairs(ENC, ulen, inv[:P], inv[P:], n, algorithm, subst)
 
 
 def _cost_vec(qc, tc, skeys):

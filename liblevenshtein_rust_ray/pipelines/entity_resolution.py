@@ -125,6 +125,7 @@ def er_pairs(
             if scorer_concurrency:
                 # stateful actor pool: per-actor universal-automaton tables
                 # built once in __init__ (north-star shape)
+                import numpy as np
                 import pandas as pd
 
                 from ..stages.grouped import _with_schema_sentinel
@@ -133,7 +134,9 @@ def er_pairs(
                 def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
                     df = df.copy()
                     h = pd.util.hash_pandas_object(df[["s_a", "s_b"]], index=False)
-                    df["__bucket"] = (h % 64).astype("int32")
+                    df["__bucket"] = (
+                        h.to_numpy().astype("uint32") % np.uint32(64)
+                    ).astype("int32")
                     return df
 
                 return _with_schema_sentinel(

@@ -17,6 +17,7 @@ it so a bucket fits a worker's heap (at webscale pass thousands of buckets;
 the shuffle cost is the same one exchange).
 """
 
+import numpy as np
 import pandas as pd
 
 
@@ -37,7 +38,11 @@ def bucketed_group_apply(
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         h = pd.util.hash_pandas_object(df[list(key_cols)], index=False)
-        df["__bucket"] = (h % n_buckets).astype("int32")
+        # uint32 before the mod: this host's CPU has no vectorized 64-bit
+        # integer division (uint64 % is ~30x slower than uint32 %)
+        df["__bucket"] = (
+            h.to_numpy().astype("uint32") % np.uint32(n_buckets)
+        ).astype("int32")
         return df
 
     # single-column groupers must be scalar (a one-element list makes pandas
@@ -107,7 +112,11 @@ def bucketed_apply(ds, key_cols, bucket_fn, n_buckets: int = 64,
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         h = pd.util.hash_pandas_object(df[list(key_cols)], index=False)
-        df["__bucket"] = (h % n_buckets).astype("int32")
+        # uint32 before the mod: this host's CPU has no vectorized 64-bit
+        # integer division (uint64 % is ~30x slower than uint32 %)
+        df["__bucket"] = (
+            h.to_numpy().astype("uint32") % np.uint32(n_buckets)
+        ).astype("int32")
         return df
 
     def apply_bucket(bucket: pd.DataFrame) -> pd.DataFrame:

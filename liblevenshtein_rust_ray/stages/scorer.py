@@ -227,73 +227,199 @@ def score_bucket_vectorized(
     emit_all_pairs: bool = False,
     subst=None,
 ) -> pd.DataFrame:
-    """(block_key, url, key_string) rows -> canonical edges for the bucket."""
+    """(block_key, url, key_string) rows -> canonical edges for the bucket.
+
+    All-integer hot path: urls / strings / block keys are factorized ONCE
+    and every later step (triple dedup, star edges, salting, in-block
+    upper-triangle pair generation, pair dedup) runs on int codes — a
+    pandas object-string self-join here was 6 of the 9.6 s hot-bucket
+    profile at sf0.5.  ``np.unique`` sorts, so sid order == lexicographic
+    string order and canonical pair order is an int comparison."""
     import numpy as np
 
-    from ..kernel.vectorized import batch_distances
+    from ..kernel.vectorized import _banded_pairs, batch_distances, encode_concat
 
     n = max_distance
-    du = bucket.drop_duplicates(["block_key", "key_string", "url"]).copy()
-    # lexicographic url rank as int id: groupwise min/max stay on the C path
-    # (object-dtype groupby.min falls back to per-group Python — fatal at
-    # hundreds of thousands of groups)
-    uniq_urls, uid = np.unique(du["url"].to_numpy(), return_inverse=True)
-    du["url"] = uid.astype(np.int64)
+    if not len(bucket):
+        return _empty_edges()
+
+    # hash-based factorize with sorted uniques (np.unique semantics but
+    # O(n) hashing + a uniques-only sort instead of an n-row object sort);
+    # block-key codes don't need an order at all
+    uid, uniq_urls = pd.factorize(bucket["url"].to_numpy(), sort=True)
+    sid, uniq_strs = pd.factorize(bucket["key_string"].to_numpy(), sort=True)
+    bkid, _ = pd.factorize(bucket["block_key"].to_numpy(), sort=False)
+    uniq_urls = np.asarray(uniq_urls, dtype=object)
+    uniq_strs = list(uniq_strs)
+    uid = uid.astype(np.int64)
+    sid = sid.astype(np.int64)
+    bkid = bkid.astype(np.int64)
+
+    # --- dedup (block, string, url) triples via lexsort ------------------
+    order = np.lexsort((uid, sid, bkid))
+    b, s, u = bkid[order], sid[order], uid[order]
+    first = np.empty(len(b), dtype=bool)
+    first[:1] = True
+    first[1:] = (b[1:] != b[:-1]) | (s[1:] != s[:-1]) | (u[1:] != u[:-1])
+    b, s, u = b[first], s[first], u[first]
 
     # --- distance-0 stars: k urls sharing (block, string) -> k-1 edges ---
-    rep = du.groupby(["block_key", "key_string"], sort=False)["url"].transform("min")
-    star = du["url"].to_numpy() != rep.to_numpy()
-    edges0 = pd.DataFrame(
+    # rows are sorted by (block, string, url), so the group head is the
+    # min url; every non-head row stars to it
+    head = np.empty(len(b), dtype=bool)
+    head[:1] = True
+    head[1:] = (b[1:] != b[:-1]) | (s[1:] != s[:-1])
+    grp = np.cumsum(head) - 1
+    rep_u = u[head]
+    star = ~head
+    star_lo = rep_u[grp[star]]
+    star_hi = u[star]
+
+    # --- distinct strings per block with their representative (min) url --
+    gb, gs, gu = b[head], s[head], rep_u
+
+    # --- salting: blocks over the cap subdivide by two rotated 8-bit
+    # simhash views (group identity (block, view, byte) — same partition
+    # as BlockScorer._subdivide's string key) ------------------------------
+    blk_head = np.empty(len(gb), dtype=bool)
+    blk_head[:1] = True
+    blk_head[1:] = gb[1:] != gb[:-1]
+    blk_id = np.cumsum(blk_head) - 1
+    blk_sizes = np.bincount(blk_id)
+    big = blk_sizes[blk_id] > max_block_strings
+    # group code: block * 1024 + tag; tag 0 = unsalted, 1 + view*256 + byte
+    gcode = gb * 1024
+    if big.any():
+        big_sids = np.unique(gs[big])
+        sh = np.array(
+            [simhash64(char_ngrams(uniq_strs[i], 3)) for i in big_sids],
+            dtype=np.uint64,
+        )
+        byte0 = ((sh >> np.uint64(24)) & np.uint64(0xFF)).astype(np.int64)
+        byte1 = ((sh >> np.uint64(52)) & np.uint64(0xFF)).astype(np.int64)
+        pos = np.searchsorted(big_sids, gs[big])
+        small_code = gcode[~big]
+        code0 = gb[big] * 1024 + 1 + byte0[pos]
+        code1 = gb[big] * 1024 + 1 + 256 + byte1[pos]
+        gcode = np.concatenate([small_code, code0, code1])
+        gs = np.concatenate([gs[~big], gs[big], gs[big]])
+        gu = np.concatenate([gu[~big], gu[big], gu[big]])
+
+    # --- in-block upper-triangle candidate pairs (pure numpy) ------------
+    order = np.argsort(gcode, kind="stable")
+    gcode, gs, gu = gcode[order], gs[order], gu[order]
+    starts = np.flatnonzero(np.r_[True, gcode[1:] != gcode[:-1]])
+    sizes = np.diff(np.r_[starts, len(gcode)])
+    loc = np.arange(len(gcode)) - np.repeat(starts, sizes)
+    total = int(loc.sum())
+    if total:
+        second = np.repeat(np.arange(len(gcode)), loc)
+        csum = np.cumsum(loc) - loc
+        start_per_elem = np.repeat(starts, sizes)
+        first_idx = (
+            np.arange(total)
+            - np.repeat(csum, loc)
+            + np.repeat(start_per_elem, loc)
+        )
+        sa, sb_ = gs[first_idx], gs[second]
+        ua, ub = gu[first_idx], gu[second]
+        # canonical order: smaller string (lexicographic == sid order) is
+        # the automaton-side query (BlockScorer order)
+        swap = sa > sb_
+        sa2 = np.where(swap, sb_, sa)
+        sb2 = np.where(swap, sa, sb_)
+        ua2 = np.where(swap, ub, ua)
+        ub2 = np.where(swap, ua, ub)
+        sa, sb_, ua, ub = sa2, sb2, ua2, ub2
+
+        lens = np.fromiter((len(x) for x in uniq_strs), np.int64, count=len(uniq_strs))
+        keep = np.abs(lens[sa] - lens[sb_]) <= n
+        sa, sb_, ua, ub = sa[keep], sb_[keep], ua[keep], ub[keep]
+    else:
+        sa = sb_ = ua = ub = np.zeros(0, dtype=np.int64)
+
+    # --- DP once per distinct string pair ---------------------------------
+    # pair dedup via lexsort on the two id columns — NOT an encoded
+    # sa*K+sb key: decoding that needs int64 //-% which is ~250x slower
+    # than uint32 ops on this host's CPU (no vectorized int64 division)
+    if len(sa):
+        porder = np.lexsort((sb_, sa))
+        sa_s, sb_s = sa[porder], sb_[porder]
+        phead = np.empty(len(sa_s), dtype=bool)
+        phead[:1] = True
+        phead[1:] = (sa_s[1:] != sa_s[:-1]) | (sb_s[1:] != sb_s[:-1])
+        pgrp = np.cumsum(phead) - 1
+        inv = np.empty(len(sa_s), dtype=np.int64)
+        inv[porder] = pgrp
+        pa_sid = sa_s[phead]
+        pb_sid = sb_s[phead]
+        d = np.full(len(pa_sid), n + 1, dtype=np.int64)
+        todo = np.ones(len(pa_sid), dtype=bool)
+        # encode the bucket's distinct strings ONCE (vectorized, no
+        # per-string loop); the flat codepoint stream doubles as the
+        # histogram input and the padded matrix feeds the band DP
+        ENC, elens, buf = encode_concat(
+            uniq_strs, reverse=(algorithm == "merge_and_split"), lens=lens
+        )
+        if subst is None:
+            # hashed char-histogram lower bound ON UNIQUE PAIRS ONLY (the
+            # per-candidate form allocated n_pairs x 64 temporaries — 68 s
+            # on the sf0.5 hot bucket): one edit moves the L1 norm by <=2
+            # (<=3 for merge/split); hashing chars mod 64 only weakens the
+            # bound, never breaks it.  bincount (not ufunc.at — 2.6 s of
+            # the 15.5 s serial profile) builds the (P, 64) histogram.
+            l1_per_edit = 3 if algorithm == "merge_and_split" else 2
+            rows = np.repeat(np.arange(len(uniq_strs), dtype=np.int64), elens)
+            key = rows * 64 + (buf & np.uint32(63)).astype(np.int64)
+            H = np.bincount(key, minlength=len(uniq_strs) * 64).reshape(
+                len(uniq_strs), 64
+            ).astype(np.int32)
+            l1 = np.abs(H[pa_sid] - H[pb_sid]).sum(axis=1)
+            # ceil(l1 / k) <= n  <=>  l1 <= n*k  (no int64 division)
+            todo = l1 <= n * l1_per_edit
+        if todo.any():
+            if subst is not None and algorithm != STANDARD:
+                # restricted substitutions outside the standard tables route
+                # through batch_distances' exact automaton fallback
+                d[todo] = np.asarray(
+                    batch_distances(
+                        [uniq_strs[i] for i in pa_sid[todo]],
+                        [uniq_strs[i] for i in pb_sid[todo]],
+                        n,
+                        algorithm,
+                        subst,
+                    )
+                )
+            else:
+                d[todo] = _banded_pairs(
+                    ENC, elens, pa_sid[todo], pb_sid[todo], n, algorithm, subst
+                )
+        dist = d[inv]
+        keep = (dist <= n) & (ua != ub)
+        lo = np.minimum(ua[keep], ub[keep])
+        hi = np.maximum(ua[keep], ub[keep])
+        dist = dist[keep].astype(np.int64)
+    else:
+        lo = hi = dist = np.zeros(0, dtype=np.int64)
+
+    # --- merge stars + scored edges, keep min distance per url pair ------
+    all_lo = np.concatenate([star_lo, lo])
+    all_hi = np.concatenate([star_hi, hi])
+    all_d = np.concatenate([np.zeros(len(star_lo), dtype=np.int64), dist])
+    if not len(all_lo):
+        return _empty_edges()
+    order = np.lexsort((all_d, all_hi, all_lo))
+    all_lo, all_hi, all_d = all_lo[order], all_hi[order], all_d[order]
+    keep = np.empty(len(all_lo), dtype=bool)
+    keep[:1] = True
+    keep[1:] = (all_lo[1:] != all_lo[:-1]) | (all_hi[1:] != all_hi[:-1])
+    return pd.DataFrame(
         {
-            "url_a": uniq_urls[rep.to_numpy()[star]],
-            "url_b": uniq_urls[du["url"].to_numpy()[star]],
-            "distance": np.zeros(int(star.sum()), dtype="int32"),
+            "url_a": uniq_urls[all_lo[keep]],
+            "url_b": uniq_urls[all_hi[keep]],
+            "distance": all_d[keep].astype("int32"),
         }
     )
-
-    # --- distinct strings per block with their representative url ---------
-    dd = du.groupby(["block_key", "key_string"], as_index=False, sort=False)["url"].min()
-    dd = _salt_oversized(dd, max_block_strings)
-
-    # --- candidate pairs: block self-join, canonical order, length filter -
-    m = dd.merge(dd, on="block_key", suffixes=("_a", "_b"))
-    m = m[m["key_string_a"] < m["key_string_b"]]
-    if len(m):
-        la = m["key_string_a"].str.len()
-        lb = m["key_string_b"].str.len()
-        m = m[(la - lb).abs() <= n]
-    if len(m):
-        # one distance per unique string pair in the bucket; the smaller
-        # string is the automaton-side query (BlockScorer order)
-        up = m[["key_string_a", "key_string_b"]].drop_duplicates()
-        d = batch_distances(
-            up["key_string_a"].tolist(), up["key_string_b"].tolist(), n, algorithm, subst
-        )
-        up = up.assign(distance=d)
-        up = up[up["distance"] <= n]
-        m = m.merge(up, on=["key_string_a", "key_string_b"])
-        ua = m["url_a"].to_numpy()
-        ub = m["url_b"].to_numpy()
-        lo = np.minimum(ua, ub)
-        hi = np.maximum(ua, ub)
-        keep = lo != hi
-        edges1 = pd.DataFrame(
-            {
-                "url_a": uniq_urls[lo[keep]],
-                "url_b": uniq_urls[hi[keep]],
-                "distance": m["distance"].to_numpy()[keep].astype("int32"),
-            }
-        )
-    else:
-        edges1 = _empty_edges()
-
-    out = pd.concat([edges0, edges1], ignore_index=True)
-    if not len(out):
-        return _empty_edges()
-    # same pair can arrive from several blocks/salt views in this bucket
-    out = out.groupby(["url_a", "url_b"], as_index=False)["distance"].min()
-    out["distance"] = out["distance"].astype("int32")
-    return out
 
 
 # ======================================================================
@@ -376,7 +502,8 @@ def candidate_pairs_bucket(
     uniq, sid = np.unique(dd["key_string"].to_numpy(), return_inverse=True)
     lens = np.fromiter((len(s) for s in uniq), np.int64, count=len(uniq))
     codes = (
-        np.frombuffer("".join(uniq).encode("utf-32-le"), dtype=np.uint32) % 64
+        np.frombuffer("".join(uniq).encode("utf-32-le"), dtype=np.uint32)
+        & np.uint32(63)
         if len(uniq) else np.zeros(0, np.uint32)
     )
     rows = np.repeat(np.arange(len(uniq)), lens)
@@ -389,11 +516,12 @@ def candidate_pairs_bucket(
     if len(m):
         sa = m["__sid_a"].to_numpy()
         sb = m["__sid_b"].to_numpy()
-        lower = np.abs(lens[sa] - lens[sb])
+        keep = np.abs(lens[sa] - lens[sb]) <= n
         if subst is None:  # free substitutions would break the L1 bound
             l1 = np.abs(H[sa] - H[sb]).sum(axis=1)
-            lower = np.maximum(-(-l1 // l1_per_edit), lower)
-        m = m[lower <= n]
+            # ceil(l1/k) <= n  <=>  l1 <= n*k  (avoids slow int64 //)
+            keep &= l1 <= n * l1_per_edit
+        m = m[keep]
     if len(m):
         ua = m["url_a"].to_numpy()
         ub = m["url_b"].to_numpy()
