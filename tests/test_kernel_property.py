@@ -187,3 +187,38 @@ def test_transposition_special_subsumption_regression():
     for terms, q in [(["abcb"], "cb"), (["xyay"], "ay"), (["aé中é"], "中é")]:
         got = {c.term: c.distance for c in query(build_trie(terms), q, 2, "transposition")}
         assert got == {terms[0]: 2}
+
+
+# ----------------------------------------------------------------------
+# encode_concat (one utf-32 encode of the joined strings + scatter fill)
+# ≡ the per-string encode_strings loop it replaced, including reverse
+# layout and the precomputed-lens fast path.
+# ----------------------------------------------------------------------
+@settings(max_examples=200, deadline=None)
+@given(
+    strings=st.lists(
+        st.text(alphabet="abé日\U0001f600", min_size=0, max_size=9),
+        min_size=0,
+        max_size=30,
+    ),
+    reverse=st.booleans(),
+)
+def test_encode_concat_equals_encode_strings(strings, reverse):
+    import numpy as np
+
+    from liblevenshtein_rust_ray.kernel.vectorized import (
+        encode_concat,
+        encode_strings,
+    )
+
+    ref_enc, ref_lens = encode_strings(strings, reverse=reverse)
+    got_enc, got_lens, buf = encode_concat(strings, reverse=reverse)
+    assert np.array_equal(ref_lens, got_lens)
+    # widths may differ only in trailing all-zero padding columns
+    w = min(ref_enc.shape[1], got_enc.shape[1])
+    assert np.array_equal(ref_enc[:, :w], got_enc[:, :w])
+    assert not ref_enc[:, w:].any() and not got_enc[:, w:].any()
+    assert len(buf) == int(got_lens.sum()) if len(strings) else len(buf) == 0
+    # precomputed-lens path is identical
+    pre_enc, pre_lens, _ = encode_concat(strings, reverse=reverse, lens=got_lens)
+    assert np.array_equal(pre_enc, got_enc) and np.array_equal(pre_lens, got_lens)
