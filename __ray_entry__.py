@@ -18,7 +18,14 @@ import re
 from collections.abc import Callable
 from typing import Any
 
-_CORPUS_CACHE = "/tmp/llrr_corpus"
+# tmpfs when available: this sandbox reclaims the page cache aggressively, so
+# disk-backed /tmp re-reads the corpus from virtio per run (kernel-side fault
+# storms in ReadParquet workers); /dev/shm pages survive cache reclaim.
+# Overridable for hosts where shm is small.
+_CORPUS_CACHE = os.environ.get(
+    "LLRR_CORPUS_CACHE",
+    "/dev/shm/llrr_corpus" if os.access("/dev/shm", os.W_OK) else "/tmp/llrr_corpus",
+)
 
 
 def _sf_of(sf_dir: str) -> float:

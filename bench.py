@@ -21,6 +21,11 @@ import subprocess
 import sys
 import time
 
+# Before ray.init so the raylet (and thus every worker) inherits it: numpy's
+# MADV_HUGEPAGE on >=4 MiB buffers triggers synchronous THP compaction under
+# defrag=madvise kernels — measured 1.1 s vs 1.2-29 s CPU for the identical
+# scorer call (see liblevenshtein_rust_ray.__init__).
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -69,13 +74,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # headline: full ER pipeline, best of 2 (the sandbox host shows large
-    # run-to-run scheduling variance — identical code measured 8-70s; the
-    # minimum is the steady-state number a quiet cluster delivers)
+    # headline: full ER pipeline, best of 3 (the host's residual noise is
+    # BIMODAL — quiet runs vs page-cache-reclaim/fault-storm runs, measured
+    # 25s vs 75-110s for identical code at sf0.5 — so the minimum is the
+    # steady-state number a quiet cluster delivers and best-of-3 finds a
+    # quiet window with ~88% probability vs 75% for best-of-2)
     from liblevenshtein_rust_ray.stages.cluster import connected_components
 
     runs = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         pairs = er_pairs(pages_path).materialize()
         n_pairs = pairs.count()

@@ -60,8 +60,13 @@ def cmd_convert(args) -> int:
 
 
 def cmd_run_er(args) -> int:
+    import os
+
     import ray
 
+    # before ray.init: workers inherit the raylet env (THP-compaction guard,
+    # see package __init__)
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
     if not ray.is_initialized():
         ray.init(address=args.address, include_dashboard=False,
                  logging_level="ERROR")

@@ -49,6 +49,7 @@ def er_pairs(
     fingerprint: str = "",
     engine: str = "vectorized",
     max_block_strings: int = 512,
+    n_buckets: int = 256,
 ):
     """Pages -> canonical deduped candidate edges (url_a, url_b, distance).
 
@@ -98,14 +99,14 @@ def er_pairs(
                     df, max_distance=max_distance,
                     max_block_strings=max_block_strings, algorithm=algorithm,
                 ),
-                n_buckets=64,
+                n_buckets=n_buckets,
                 empty_result=_empty_edges(),
             )
             return bucketed_apply(
                 edges,
                 ["url_a", "url_b"],
                 lambda df: df.groupby(["url_a", "url_b"], as_index=False)["distance"].min(),
-                n_buckets=64,
+                n_buckets=n_buckets,
                 empty_result=_empty_edges(),
             )
         if engine in ("vectorized", "vectorized_once") and not emit_all_pairs:
@@ -117,7 +118,7 @@ def er_pairs(
                     df, max_distance=max_distance,
                     max_block_strings=max_block_strings, algorithm=algorithm,
                 ),
-                n_buckets=64,
+                n_buckets=n_buckets,
                 empty_result=_empty_candidates(),
             )
             # phase B: exchange on the string pair, score each distinct
@@ -159,7 +160,7 @@ def er_pairs(
                 lambda df: score_candidates_bucket(
                     df, max_distance=max_distance, algorithm=algorithm
                 ),
-                n_buckets=64,
+                n_buckets=n_buckets,
                 empty_result=_empty_edges(),
             )
         scorer = BlockScorer(
@@ -174,7 +175,7 @@ def er_pairs(
             ds,
             "block_key",
             scorer,
-            n_buckets=64,
+            n_buckets=n_buckets,
             min_group_size=2,
             empty_result=_empty_edges(),
         )

@@ -49,7 +49,7 @@ def bucketed_group_apply(
     # yield 1-tuple iteration keys that don't match .size()'s scalar index)
     grouper = key_cols[0] if len(key_cols) == 1 else list(key_cols)
 
-    def apply_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+    def apply_bucket(bucket: pd.DataFrame):
         outs = []
         grouped = bucket.groupby(grouper, sort=False)
         if min_group_size > 1:
@@ -63,7 +63,9 @@ def bucketed_group_apply(
             if out is not None and len(out):
                 outs.append(out)
         if not outs:
-            return empty_result if empty_result is not None else _schema_probe(fn, bucket, key_cols)
+            if empty_result is not None:
+                return _empty_arrow(empty_result)
+            return _schema_probe(fn, bucket, key_cols)
         return pd.concat(outs, ignore_index=True)
 
     out = (
@@ -74,15 +76,13 @@ def bucketed_group_apply(
     return _with_schema_sentinel(out, empty_result)
 
 
-def _with_schema_sentinel(out, empty_result: pd.DataFrame | None):
-    """A groupby over zero groups yields a schema-less empty dataset; union a
-    typed 0-row ARROW block so downstream consumers (schema(), to_pandas,
-    write_parquet) always see the column set."""
-    if empty_result is None:
-        return out
+def _empty_arrow(empty_result: pd.DataFrame):
+    """Typed 0-row Arrow table matching ``empty_result``'s columns.  Empty
+    UDF outputs return THIS instead of an empty object-dtype DataFrame:
+    Arrow block size is exact metadata, while Ray's pandas size estimator
+    np.vectorize()s over object columns and errors loudly on 0 rows."""
     import numpy as np
     import pyarrow as pa
-    import ray.data as rd
 
     def arrow_type(dtype):
         if dtype == object:
@@ -92,11 +92,21 @@ def _with_schema_sentinel(out, empty_result: pd.DataFrame | None):
     schema = pa.schema(
         [(c, arrow_type(empty_result[c].dtype)) for c in empty_result.columns]
     )
-    sentinel = pa.table(
+    return pa.table(
         {c: pa.array([], type=schema.field(c).type) for c in empty_result.columns},
         schema=schema,
     )
-    return out.union(rd.from_arrow(sentinel))
+
+
+def _with_schema_sentinel(out, empty_result: pd.DataFrame | None):
+    """A groupby over zero groups yields a schema-less empty dataset; union a
+    typed 0-row ARROW block so downstream consumers (schema(), to_pandas,
+    write_parquet) always see the column set."""
+    if empty_result is None:
+        return out
+    import ray.data as rd
+
+    return out.union(rd.from_arrow(_empty_arrow(empty_result)))
 
 
 def bucketed_apply(ds, key_cols, bucket_fn, n_buckets: int = 64,
@@ -119,8 +129,11 @@ def bucketed_apply(ds, key_cols, bucket_fn, n_buckets: int = 64,
         ).astype("int32")
         return df
 
-    def apply_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        return bucket_fn(bucket.drop(columns="__bucket"))
+    def apply_bucket(bucket: pd.DataFrame):
+        out = bucket_fn(bucket.drop(columns="__bucket"))
+        if empty_result is not None and out is not None and not len(out):
+            return _empty_arrow(empty_result)
+        return out
 
     out = (
         ds.map_batches(add_bucket, batch_format="pandas")

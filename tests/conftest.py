@@ -3,7 +3,13 @@
 Kernel tests never touch Ray; stage/pipeline tests request ``ray_session``.
 """
 
+import os
+
 import pytest
+
+# before ray.init: workers inherit the raylet's env — numpy's MADV_HUGEPAGE
+# causes synchronous-THP-compaction storms (see liblevenshtein_rust_ray.__init__)
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 
 
 @pytest.fixture(scope="session")
