@@ -97,6 +97,19 @@ def main() -> None:
     timings["er_runs"] = [round(a + b, 2) for a, b in runs]
     headline = timings["er_pairs"] + timings["er_cluster"]
 
+    if os.environ.get("LLRR_HEADLINE_ONLY"):
+        # --scaling children: the efficiency ratio only needs the headline
+        result = {
+            "metric": "er_pipeline_sec", "value": round(headline, 3),
+            "unit": "sec", "queries": timings, "sf": sf,
+            "num_cpus": NUM_CPUS, "pages": warm,
+            "pages_per_sec": round(warm / headline, 1) if headline else None,
+            "candidate_pairs": n_pairs, "clustered_urls": n_clustered,
+        }
+        ray.shutdown()
+        print(json.dumps(result))
+        return
+
     # operator pipelines over the provided tables — best of 2 for the same
     # host-noise reason as the headline
     qs = em.queries()
@@ -150,13 +163,22 @@ def main() -> None:
 
 
 def scaling() -> None:
-    def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    def run_once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), LLRR_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # two fresh processes per size, min headline: the residual host
+        # noise is bimodal (page-cache-reclaim fault storms), so a single
+        # session can land entirely in a slow window; the minimum over
+        # sessions x best-of-3-in-session is the steady-state number.
+        # Symmetric across sizes, so the ratio stays a fair comparison.
+        a, b = run_once(ncpu), run_once(ncpu)
+        return a if a["value"] <= b["value"] else b
 
     lo, hi = run(8), run(32)
     thr_lo = lo["pages"] / lo["value"]
