@@ -88,8 +88,40 @@ def er_pairs(
         ds = ds.map_batches(extract_batch, batch_format="pyarrow")
         ds = ds.map_batches(blocking_keys_batch, batch_format="pyarrow")
         if engine == "vectorized" and not emit_all_pairs and not scorer_concurrency:
-            # single-phase: score within each block bucket, dedup url pairs
-            # in a second (edge-sized) exchange
+            # single-phase, all-Arrow: score within each block bucket, dedup
+            # url pairs in a second (edge-sized) exchange.  Batches stay
+            # pa.Table through both exchanges — row-level strings never
+            # become Python objects (only each bucket's DISTINCT strings
+            # cross into Python, for the DP kernel).
+            from ..stages.grouped import bucketed_apply_arrow
+            from ..stages.scorer import (
+                _empty_edges_arrow,
+                score_bucket_vectorized_arrow,
+            )
+
+            def min_dedup(tbl):
+                g = tbl.group_by(["url_a", "url_b"]).aggregate([("distance", "min")])
+                return g.rename_columns(["url_a", "url_b", "distance"])
+
+            edges = bucketed_apply_arrow(
+                ds,
+                "block_key",
+                lambda tbl: score_bucket_vectorized_arrow(
+                    tbl, max_distance=max_distance,
+                    max_block_strings=max_block_strings, algorithm=algorithm,
+                ),
+                n_buckets=n_buckets,
+                empty_result=_empty_edges_arrow(),
+            )
+            return bucketed_apply_arrow(
+                edges,
+                ["url_a", "url_b"],
+                min_dedup,
+                n_buckets=n_buckets,
+                empty_result=_empty_edges_arrow(),
+            )
+        if engine == "vectorized_pandas" and not emit_all_pairs and not scorer_concurrency:
+            # the pandas-exchange twin, kept for A/B and as fallback
             from ..stages.scorer import score_bucket_vectorized
 
             edges = bucketed_apply(
@@ -109,7 +141,7 @@ def er_pairs(
                 n_buckets=n_buckets,
                 empty_result=_empty_edges(),
             )
-        if engine in ("vectorized", "vectorized_once") and not emit_all_pairs:
+        if engine in ("vectorized", "vectorized_pandas", "vectorized_once") and not emit_all_pairs:
             # phase A: per block-bucket star edges + unscored candidates
             cand = bucketed_apply(
                 ds,

@@ -237,8 +237,6 @@ def score_bucket_vectorized(
     string order and canonical pair order is an int comparison."""
     import numpy as np
 
-    from ..kernel.vectorized import _banded_pairs, batch_distances, encode_concat
-
     n = max_distance
     if not len(bucket):
         return _empty_edges()
@@ -251,9 +249,114 @@ def score_bucket_vectorized(
     bkid, _ = pd.factorize(bucket["block_key"].to_numpy(), sort=False)
     uniq_urls = np.asarray(uniq_urls, dtype=object)
     uniq_strs = list(uniq_strs)
-    uid = uid.astype(np.int64)
-    sid = sid.astype(np.int64)
-    bkid = bkid.astype(np.int64)
+
+    lo, hi, dist = _score_bucket_core(
+        bkid.astype(np.int64), sid.astype(np.int64), uid.astype(np.int64),
+        uniq_strs, max_distance=n, algorithm=algorithm,
+        max_block_strings=max_block_strings, subst=subst,
+    )
+    if not len(lo):
+        return _empty_edges()
+    return pd.DataFrame(
+        {
+            "url_a": uniq_urls[lo],
+            "url_b": uniq_urls[hi],
+            "distance": dist.astype("int32"),
+        }
+    )
+
+
+def _edges_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [("url_a", pa.string()), ("url_b", pa.string()), ("distance", pa.int32())]
+    )
+
+
+def _empty_edges_arrow():
+    import pyarrow as pa
+
+    s = _edges_schema()
+    return pa.table({f.name: pa.array([], type=f.type) for f in s}, schema=s)
+
+
+def _sorted_codes(chunked):
+    """Arrow column -> (lex-rank codes int64, sorted dictionary Array).
+
+    ``dictionary_encode`` + ``array_sort_indices`` keep everything in C —
+    row-level values never become Python objects; only the DISTINCT values
+    exist as an Arrow dictionary (and later as a Python list only where the
+    kernel needs real strings)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    d = pc.dictionary_encode(chunked.combine_chunks())
+    idx = d.indices.to_numpy().astype(np.int64)
+    order = pc.array_sort_indices(d.dictionary).to_numpy().astype(np.int64)
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    return rank[idx], d.dictionary.take(order)
+
+
+def score_bucket_vectorized_arrow(
+    tbl,
+    max_distance: int = 2,
+    algorithm: str = STANDARD,
+    max_block_strings: int = 512,
+    subst=None,
+):
+    """Arrow-native twin of :func:`score_bucket_vectorized`: the exchange
+    hands us a ``pa.Table`` and we never materialize row-level Python
+    strings — dictionary-encode in C, run the same integer core, then
+    ``take`` the output urls straight from the Arrow dictionary.  Measured
+    against the pandas wrapper the per-bucket frontend drops the
+    object-conversion cost of every row (only distinct strings cross into
+    Python, for the DP kernel)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return _empty_edges_arrow()
+    uid, url_dict = _sorted_codes(tbl["url"])
+    sid, str_dict = _sorted_codes(tbl["key_string"])
+    bk = pc.dictionary_encode(tbl["block_key"].combine_chunks())
+    bkid = bk.indices.to_numpy().astype(np.int64)
+    uniq_strs = str_dict.to_pylist()
+
+    lo, hi, dist = _score_bucket_core(
+        bkid, sid, uid, uniq_strs, max_distance=max_distance,
+        algorithm=algorithm, max_block_strings=max_block_strings, subst=subst,
+    )
+    if not len(lo):
+        return _empty_edges_arrow()
+    return pa.table(
+        {
+            "url_a": url_dict.take(pa.array(lo, type=pa.int64())),
+            "url_b": url_dict.take(pa.array(hi, type=pa.int64())),
+            "distance": pa.array(dist.astype(np.int32), type=pa.int32()),
+        },
+        schema=_edges_schema(),
+    )
+
+
+def _score_bucket_core(
+    bkid, sid, uid, uniq_strs, max_distance: int, algorithm: str,
+    max_block_strings: int, subst=None,
+):
+    """All-integer bucket scoring: (block, string, url) id triples ->
+    deduped canonical edges ``(lo_url_idx, hi_url_idx, distance)``.
+
+    ``sid`` codes MUST be assigned in lexicographic string order (both
+    wrappers factorize with sorted uniques) — canonical pair order is an
+    int comparison on sids, and distance-0 star representatives are the
+    min uid per (block, string) group."""
+    import numpy as np
+
+    from ..kernel.vectorized import _banded_pairs, batch_distances, encode_concat
+
+    n = max_distance
 
     # --- dedup (block, string, url) triples via lexsort ------------------
     order = np.lexsort((uid, sid, bkid))
@@ -407,19 +510,14 @@ def score_bucket_vectorized(
     all_hi = np.concatenate([star_hi, hi])
     all_d = np.concatenate([np.zeros(len(star_lo), dtype=np.int64), dist])
     if not len(all_lo):
-        return _empty_edges()
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
     order = np.lexsort((all_d, all_hi, all_lo))
     all_lo, all_hi, all_d = all_lo[order], all_hi[order], all_d[order]
     keep = np.empty(len(all_lo), dtype=bool)
     keep[:1] = True
     keep[1:] = (all_lo[1:] != all_lo[:-1]) | (all_hi[1:] != all_hi[:-1])
-    return pd.DataFrame(
-        {
-            "url_a": uniq_urls[all_lo[keep]],
-            "url_b": uniq_urls[all_hi[keep]],
-            "distance": all_d[keep].astype("int32"),
-        }
-    )
+    return all_lo[keep], all_hi[keep], all_d[keep]
 
 
 # ======================================================================
