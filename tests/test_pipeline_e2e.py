@@ -163,6 +163,20 @@ def test_er_pairs_engine_parity(corpus):
     assert key(default) == key(once)
 
 
+def test_er_pairs_arrow_vs_pandas_exchange_parity(corpus):
+    """The all-Arrow exchange (default) and its pandas twin must stay
+    EXACTLY identical — same rows, same canonical order keys, same dtypes
+    after to_pandas (they share the integer scoring core; this pins the
+    two frontends and the two exchange implementations together)."""
+    import pandas as pd
+
+    tab, _ = corpus
+    srt = lambda df: df.sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    arrow = srt(er_pairs(tab, engine="vectorized").to_pandas())
+    pandas_ = srt(er_pairs(tab, engine="vectorized_pandas").to_pandas())
+    pd.testing.assert_frame_equal(arrow, pandas_)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_er_pipeline_writes_partitioned_output(tmp_path, corpus):
     import glob
