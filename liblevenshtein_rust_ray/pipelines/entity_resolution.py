@@ -100,7 +100,11 @@ def er_pairs(
             )
 
             def min_dedup(tbl):
-                g = tbl.group_by(["url_a", "url_b"]).aggregate([("distance", "min")])
+                # use_threads=False: this runs inside a 1-CPU Ray task —
+                # Acero's own thread pool would oversubscribe the worker
+                g = tbl.group_by(["url_a", "url_b"], use_threads=False).aggregate(
+                    [("distance", "min")]
+                )
                 return g.rename_columns(["url_a", "url_b", "distance"])
 
             edges = bucketed_apply_arrow(
