@@ -20,6 +20,16 @@ def configure_data_context() -> None:
     # shuffle and get the same win from vectorized bucketed aggregation
     # (stages/grouped.py) instead.
     ctx.execution_options.verbose_progress = False
+    # Push-based shuffle for the sort exchanges: pipelines the reduce side
+    # instead of a hard map/reduce barrier.  Measured on the flagship ER
+    # blocking exchange at sf0.5/32 CPUs: 13.1 s vs 38.7 s best-of-3
+    # (same-window) — ~3x, with identical output (parity pinned by tests);
+    # no HASH_SHUFFLE-style aggregator-actor deadlock at num_cpus=4
+    # (repeat-run repro verified).  This is also the multi-node story:
+    # push-based shuffle is Ray's large-scale shuffle implementation.
+    from ray.data.context import ShuffleStrategy
+
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     # Block-count discipline: Ray's default read_op_min_num_blocks=200
     # splits small reads into hundreds of tiny blocks, and a downstream
     # sort-shuffle then creates (in_blocks x out_partitions) intermediate
