@@ -43,7 +43,11 @@ def _lsh_planes(dim: int, n_planes: int, n_tables: int):
 # ----------------------------------------------------------------------
 def exact_dedup(ds, text_col: str, id_col: str):
     """Keep one row (min id) per distinct text.  Hash-partition on a content
-    hash so the groupby shuffles 8-byte keys, not the payloads."""
+    hash so the groupby shuffles co-locates duplicates by an 8-byte key, but
+    dedup WITHIN the bucket compares the text itself — a 64-bit hash alone
+    has ~3x10^7 expected birthday collisions at 10^12 docs, each of which
+    would silently merge two distinct documents; text-compare makes a
+    collision cost a slightly bigger bucket instead of a wrong answer."""
 
     def add_hash(t: pa.Table) -> pa.Table:
         hs = pa.array(
@@ -55,7 +59,7 @@ def exact_dedup(ds, text_col: str, id_col: str):
     from .grouped import bucketed_apply
 
     def keep_min_id(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(id_col).drop_duplicates("__content_hash", keep="first")
+        return df.sort_values(id_col).drop_duplicates(text_col, keep="first")
 
     return bucketed_apply(
         ds.map_batches(add_hash, batch_format="pyarrow"), "__content_hash", keep_min_id

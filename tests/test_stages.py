@@ -319,3 +319,25 @@ def test_numpy_thp_madvise_disabled_in_ray_workers(ray_session):
 
     out = rd.from_items([{"x": i} for i in range(8)]).map_batches(probe).to_pandas()
     assert out["off"].all()
+
+
+def test_exact_dedup_survives_hash_collision(ray_session, monkeypatch):
+    """Two DISTINCT texts that collide on the 64-bit content hash must both
+    survive: the hash is only the shuffle key, the in-bucket dedup compares
+    the text itself (at 10^12 docs a 64-bit hash alone has ~3x10^7 birthday
+    collisions, each silently merging two different documents)."""
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages import dedup as dd
+
+    monkeypatch.setattr(dd, "hash64", lambda x: 42)  # force total collision
+    ds = rd.from_items(
+        [
+            {"id": 1, "text": "alpha"},
+            {"id": 2, "text": "alpha"},
+            {"id": 3, "text": "beta"},
+        ]
+    )
+    out = dd.exact_dedup(ds, "text", "id").to_pandas().sort_values("id")
+    assert list(out["id"]) == [1, 3]
+    assert set(out["text"]) == {"alpha", "beta"}
