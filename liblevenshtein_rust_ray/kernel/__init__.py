@@ -35,6 +35,8 @@ from .distance import (
 )
 from .dawg import Trie, Dawg, build_trie, build_dawg
 from .arraytrie import ArrayTrie, batched_query, build_array_trie
+from .pathmap import MappedTrie, build_mapped_trie
+from .zipper import Zipper, with_prefix
 from .query import query, ordered_query, Candidate
 from .automaton import LevenshteinAutomaton
 from .builder import TransducerBuilder, QueryBuilder, Transducer, BuilderError
@@ -65,6 +67,10 @@ __all__ = [
     "ArrayTrie",
     "build_array_trie",
     "batched_query",
+    "MappedTrie",
+    "build_mapped_trie",
+    "Zipper",
+    "with_prefix",
     "query",
     "ordered_query",
     "Candidate",

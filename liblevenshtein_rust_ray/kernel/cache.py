@@ -238,9 +238,72 @@ class MemoryPressureCache:
         return v
 
 
+class LruOptimizedCache:
+    """Approximate LRU with coarse timestamps + sampled eviction (reference
+    lru_optimized.rs:198 — compact metadata, coarse-grained clock to avoid a
+    syscall per access, eviction by scanning a bounded candidate sample
+    rather than maintaining a strict recency list).  Per-access cost is one
+    dict probe + one int store; eviction is O(sample) instead of O(1), the
+    standard approximated-LRU trade (cf. lru_optimized.rs feature flags
+    ``eviction-coarse-timestamps`` / ``eviction-compact-metadata``)."""
+
+    #: bump the coarse clock every this many calls (the "coarse timestamp
+    #: thread" analogue, lru_optimized.rs:40 init_coarse_timestamp_thread)
+    CLOCK_STRIDE = 64
+
+    def __init__(self, fn, max_size: int = 65536, sample: int = 16):
+        self.fn = fn
+        self.max = max_size
+        self.sample = sample
+        self._d: dict = {}
+        self._stamp: dict = {}  # key -> coarse tick of last access
+        self._tick = 0
+        self._calls = 0
+        self.hits = 0
+        self.misses = 0
+
+    def _now(self) -> int:
+        self._calls += 1
+        if self._calls % self.CLOCK_STRIDE == 0:
+            self._tick += 1
+        return self._tick
+
+    def recency(self, *key):
+        """Coarse last-access tick (reference lru_optimized.rs:283)."""
+        return self._stamp.get(key)
+
+    def __call__(self, *key):
+        now = self._now()
+        got = self._d.get(key)
+        if got is not None:
+            self.hits += 1
+            # re-insert so dict order approximates access order: coarse
+            # stamps tie constantly, and the sampled scan below starts from
+            # the front of the dict — refreshed keys must leave the sample.
+            del self._stamp[key]
+            self._stamp[key] = now
+            return got
+        self.misses += 1
+        v = self.fn(*key)
+        if len(self._d) >= self.max:
+            # sampled approximate-LRU victim (find_lru over a candidate
+            # slice, lru_optimized.rs:309): deterministic sample — iterate
+            # the first `sample` keys in dict order (insertion-ordered in
+            # CPython, so old entries are scanned first) and evict the
+            # stalest stamp among them.
+            it = iter(self._stamp)
+            cands = [k for k, _ in zip(it, range(self.sample))]
+            victim = min(cands, key=self._stamp.get)
+            del self._d[victim], self._stamp[victim]
+        self._d[key] = v
+        self._stamp[key] = now
+        return v
+
+
 POLICIES = {
     "noop": NoopCache,
     "lru": LruCache,
+    "lru_optimized": LruOptimizedCache,
     "lfu": LfuCache,
     "ttl": TtlCache,
     "age": AgeCache,

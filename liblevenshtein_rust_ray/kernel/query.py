@@ -22,7 +22,7 @@ from typing import Iterator, NamedTuple, Union
 
 from .algorithm import STANDARD
 from .automaton import LevenshteinAutomaton
-from .dawg import Trie, Dawg, _join
+from .dawg import _join
 
 
 class Candidate(NamedTuple):
@@ -59,7 +59,7 @@ def query(
                                      algorithm, subst=subst):
             yield Candidate(term, d)
         return
-    root = dictionary.root if isinstance(dictionary, (Trie, Dawg)) else dictionary
+    root = getattr(dictionary, "root", dictionary)
     aut = LevenshteinAutomaton(
         query_term,
         max_distance,

@@ -19,7 +19,15 @@ from ..kernel import build_dawg, build_trie
 
 
 def dict_to_table(d) -> pa.Table:
-    """Dump a kernel dictionary (Trie/Dawg) to its sorted term table."""
+    """Dump a kernel dictionary (Trie/Dawg/MappedTrie) to its sorted term
+    table; mapped dictionaries add a ``value`` column (the reference's
+    ``MappedDictionary`` serialization carries values alongside terms)."""
+    if hasattr(d, "iter_items"):
+        items = sorted(d.iter_items())
+        return pa.table({
+            "term": pa.array([t for t, _ in items], type=pa.string()),
+            "value": pa.array([v for _, v in items]),
+        })
     terms = sorted(d.iter_terms())
     return pa.table({"term": pa.array(terms, type=pa.string())})
 
@@ -36,6 +44,13 @@ def table_to_dict(t: pa.Table, backend: str = "dawg"):
         from ..kernel import build_array_trie
 
         return build_array_trie(terms, presorted=True)
+    if backend == "path_map":
+        from ..kernel import build_mapped_trie
+
+        if "value" in t.column_names:
+            pairs = zip(t.column("term").to_pylist(), t.column("value").to_pylist())
+            return build_mapped_trie((term, v) for term, v in pairs if term is not None)
+        return build_mapped_trie((term, None) for term in terms)
     raise ValueError(f"unknown dictionary backend: {backend!r}")
 
 

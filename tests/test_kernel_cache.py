@@ -129,10 +129,11 @@ def test_memory_pressure_cache_byte_budget():
     assert (1000,) not in c._d
 
 
-def test_policy_factory_has_all_eight():
+def test_policy_factory_has_all_nine():
     from liblevenshtein_rust_ray.kernel.cache import POLICIES, cached
 
-    assert set(POLICIES) == {"noop", "lru", "lfu", "ttl", "age", "lazy_init",
-                             "cost_aware", "memory_pressure"}
+    assert set(POLICIES) == {"noop", "lru", "lru_optimized", "lfu", "ttl",
+                             "age", "lazy_init", "cost_aware",
+                             "memory_pressure"}
     f = cached(lambda k: k + 1, policy="age", max_size=4)
     assert f(1) == 2
