@@ -80,20 +80,23 @@ def _zipf_pick(rng: random.Random, n: int) -> int:
     return n - 1
 
 
-def generate_pages(n_entities: int, seed: int = 42):
-    """Return ``(pages: pa.Table, labeled_pairs: pa.Table)``.
+def _entity_range(e_lo: int, e_hi: int, n_entities: int, seed: int):
+    """Generate entities [e_lo, e_hi) with LOCAL page indices.
 
-    ``labeled_pairs`` holds every within-entity pair (url_a < url_b) — the
-    ground truth for pairwise F1 (FIXTURES.md §2).
+    Every entity derives from its own blake2b-seeded RNG, so any entity
+    range is generated independently and byte-identically to the serial
+    pass — the ONE cross-entity value is the global page index feeding
+    ``warc_ts``, which is just row order and is stamped by the caller
+    after concatenation.  Returns ``(pages_without_ts, pairs, n_pages)``.
     """
     vocab = _get_vocab()
     hosts = _hosts(n_entities)
 
-    urls, tss, htmls, texts, langs = [], [], [], [], []
+    urls, htmls, texts, langs = [], [], [], []
     pair_a, pair_b, pair_e = [], [], []
     page_index = 0
 
-    for e in range(n_entities):
+    for e in range(e_lo, e_hi):
         rng = random.Random(hash64(f"entity-{seed}-{e}"))
         typo = TypoGenerator(seed=hash64(f"typo-{seed}-{e}") & 0x7FFFFFFF)
 
@@ -124,7 +127,6 @@ def generate_pages(n_entities: int, seed: int = 42):
             lang = rng.choices(["en", "de", "fr", ""], weights=[90, 4, 4, 2])[0]
 
             urls.append(url)
-            tss.append(_EPOCH_US + page_index * 1_000_000)
             htmls.append(html)
             texts.append(text if ship_text else "")
             langs.append(lang)
@@ -141,33 +143,102 @@ def generate_pages(n_entities: int, seed: int = 42):
     pages = pa.table(
         {
             "url": urls,
-            "warc_ts": pa.array(tss, type=pa.timestamp("us")),
             "html": htmls,
             "text": texts,
             "lang": langs,
         },
-        schema=PAGES_SCHEMA,
     )
     pairs = pa.table(
         {"url_a": pair_a, "url_b": pair_b, "entity_id": pair_e}, schema=PAIRS_SCHEMA
     )
-    return pages, pairs
+    return pages, pairs, len(urls)
 
 
-def generate_corpus(sf: float, seed: int = 42):
-    """Scale-factor entry: sf=0.001 → ~600 entities (~2k pages)."""
+def _stamp_ts(pages_no_ts: pa.Table, first_page_index: int) -> pa.Table:
+    """Insert the ``warc_ts`` column: ``_EPOCH_US + global_row_index·1s``."""
+    n = pages_no_ts.num_rows
+    ts = pa.array(
+        range(
+            _EPOCH_US + first_page_index * 1_000_000,
+            _EPOCH_US + (first_page_index + n) * 1_000_000,
+            1_000_000,
+        ),
+        type=pa.timestamp("us"),
+    )
+    return pa.table(
+        {
+            "url": pages_no_ts.column("url"),
+            "warc_ts": ts,
+            "html": pages_no_ts.column("html"),
+            "text": pages_no_ts.column("text"),
+            "lang": pages_no_ts.column("lang"),
+        },
+        schema=PAGES_SCHEMA,
+    )
+
+
+def generate_pages(n_entities: int, seed: int = 42):
+    """Return ``(pages: pa.Table, labeled_pairs: pa.Table)``.
+
+    ``labeled_pairs`` holds every within-entity pair (url_a < url_b) — the
+    ground truth for pairwise F1 (FIXTURES.md §2).
+    """
+    pages, pairs, _n = _entity_range(0, n_entities, n_entities, seed)
+    return _stamp_ts(pages, 0), pairs
+
+
+def _entity_range_star(args):
+    return _entity_range(*args)
+
+
+def generate_corpus(sf: float, seed: int = 42, workers: int | None = None):
+    """Scale-factor entry: sf=0.001 → ~600 entities (~2k pages).
+
+    ``workers`` parallelizes generation across entity chunks
+    (byte-identical to the serial pass — entities are independently
+    seeded and ``warc_ts`` is stamped from global row order afterwards;
+    pinned by ``tests/test_pipeline_e2e.py::test_parallel_corpus_identical``).
+    Default: serial below 50k entities, one chunk per CPU above.
+    """
     n_entities = max(20, int(sf * 600_000))
-    return generate_pages(n_entities, seed)
+    if workers is None:
+        import os as _os
+
+        workers = 1 if n_entities < 50_000 else min(16, _os.cpu_count() or 1)
+    if workers <= 1:
+        return generate_pages(n_entities, seed)
+
+    from multiprocessing import get_context
+
+    bounds = [
+        (n_entities * w // workers, n_entities * (w + 1) // workers)
+        for w in range(workers)
+    ]
+    with get_context("fork").Pool(workers) as pool:
+        parts = pool.map(
+            _entity_range_star,
+            [(lo, hi, n_entities, seed) for lo, hi in bounds],
+        )
+    page_tabs, pair_tabs, offset = [], [], 0
+    for pages_no_ts, pairs, n in parts:
+        page_tabs.append(_stamp_ts(pages_no_ts, offset))
+        pair_tabs.append(pairs)
+        offset += n
+    return (
+        pa.concat_tables(page_tabs).combine_chunks(),
+        pa.concat_tables(pair_tabs).combine_chunks(),
+    )
 
 
-def write_corpus(out_dir: str, sf: float, seed: int = 42, shards: int = 8):
+def write_corpus(out_dir: str, sf: float, seed: int = 42, shards: int = 8,
+                 workers: int | None = None):
     """Write pages + labeled pairs as partitioned parquet under ``out_dir``
     (one file per shard — the resumable layout)."""
     import os
 
     import pyarrow.parquet as pq
 
-    pages, pairs = generate_corpus(sf, seed)
+    pages, pairs = generate_corpus(sf, seed, workers=workers)
     os.makedirs(f"{out_dir}/pages", exist_ok=True)
     os.makedirs(f"{out_dir}/labeled_pairs", exist_ok=True)
     n = pages.num_rows

@@ -117,6 +117,18 @@ def test_write_corpus_layout(tmp_path):
     assert total == pages.num_rows
 
 
+def test_parallel_corpus_identical():
+    """Chunk-parallel generation is byte-identical to the serial pass
+    (entities are independently seeded; warc_ts is global row order)."""
+    from liblevenshtein_rust_ray.sources.pages import generate_corpus
+
+    sp, sl = generate_corpus(0.002, seed=42, workers=1)
+    pp, pl = generate_corpus(0.002, seed=42, workers=5)
+    assert sp.schema.equals(pp.schema)
+    assert sp.equals(pp)
+    assert sl.equals(pl)
+
+
 def test_er_pairs_incremental_equals_full(corpus):
     """Appending pages and re-scoring only affected blocks: the merged edge
     set is a superset of the from-scratch run (extras are stale-
