@@ -90,24 +90,158 @@ def _driver_cc(pairs) -> pa.Table:
 # ----------------------------------------------------------------------
 def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
                     stats: dict | None = None):
-    import ray.data as rd
+    """Min-label propagation over INT64 node ids.
 
-    def to_edges(t: pa.Table) -> pa.Table:
-        # zero-copy-ish Arrow concat — no Python list round-trip
-        a = t.column("url_a").combine_chunks()
-        b = t.column("url_b").combine_chunks()
-        return pa.table(
-            {
-                "node": pa.concat_arrays([a.cast(pa.string()), b.cast(pa.string())]),
-                "neighbor": pa.concat_arrays([b.cast(pa.string()), a.cast(pa.string())]),
-            }
-        )
+    The label rounds move the full edge table twice per round; with url
+    strings that was ~120 B/row (at 10^12 edges, ~30 TB of exchange per
+    round).  Encoding nodes once to int64 cuts the per-round exchange
+    payload ~7x (16 B/row) — the lever that matters on a real cluster,
+    where rounds are network-bound — and turns the label groupby-min onto
+    the int64 C path (init-labels exchange measured 8 s vs 37 s on 9.7M
+    string rows).  On THIS single node rounds are conversion-bound, not
+    byte-bound, so local wall is roughly a wash: the encode adds two
+    url-keyed join exchanges up front (~38 s at 4.86M edges) and the final
+    relabel adds two more, offset by the cheaper init/min-combines.
+
+    Ids are ORDER-PRESERVING (url lex order) without a global sort:
+    sampled range boundaries (driver sees ≤64k sample urls at any scale)
+    + per-range local rank, ``id = range << 40 | rank`` — unique with no
+    cross-range offset coordination.  Order preservation is load-bearing
+    for round count: min-label + link shortcutting is O(log diameter)
+    only when id order gives one basin per component (measured on a
+    256-chain: 9 rounds ordered vs 40 random).  A final per-component
+    min-url pass pins exact driver-path parity independent of the id
+    scheme."""
+    import numpy as np
+    import pyarrow.compute as pc
 
     from .grouped import bucketed_apply
 
-    # Edge list both directions; small vs corpus → safe to pin.
-    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    # ---- 0a. distinct nodes (per-batch pre-distinct = combiner) ---------
+    def to_nodes(t: pa.Table) -> pa.Table:
+        a = t.column("url_a").combine_chunks().cast(pa.string())
+        b = t.column("url_b").combine_chunks().cast(pa.string())
+        u = pc.unique(pa.chunked_array([a, b]).combine_chunks())
+        return pa.table({"url": u})
 
+    # ---- 0b. ORDER-PRESERVING unique ids via sampled range partition ----
+    # Min-label + link shortcutting is O(log diameter) only when id order
+    # correlates with label flow (one basin per component); with random
+    # ids a path graph degrades to ~Θ(diameter) rounds (measured: 16-chain
+    # 5 rounds ordered vs 8-12 random, 256-chain 9 vs 40).  Ids therefore
+    # preserve url lexicographic order WITHOUT a global sort: sample
+    # boundary urls (driver sees ≤64k samples regardless of scale), range-
+    # partition distinct urls, local sort rank per range, and
+    # ``id = range_index << 40 | rank`` — order-preserving and unique with
+    # NO cross-range offset coordination (ids need not be dense).
+    nodes = pairs.map_batches(to_nodes, batch_format="pyarrow")
+
+    def batch_sample(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"url": pa.array([], type=pa.string())})
+        k = min(64, t.num_rows)
+        idx = np.linspace(0, t.num_rows - 1, k).astype(np.int64)
+        return pa.table({"url": t.column("url").take(pa.array(idx))})
+
+    sample = sorted(
+        set(
+            nodes.map_batches(batch_sample, batch_format="pyarrow")
+            .limit(65536)
+            .to_pandas()["url"]
+        )
+    )
+    # n_buckets-1 cut points at sample quantiles
+    if len(sample) > 1:
+        cuts = [
+            sample[(i * len(sample)) // n_buckets]
+            for i in range(1, n_buckets)
+        ]
+        bnd = np.array(sorted(set(cuts)), dtype=object)
+    else:
+        bnd = np.array([], dtype=object)
+
+    def add_range_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = np.searchsorted(
+            bnd, df["url"].to_numpy(dtype=object), side="right"
+        ).astype("int32")
+        return df
+
+    def assign_ranked_ids(g: pd.DataFrame) -> pd.DataFrame:
+        urls = np.unique(g["url"].to_numpy(dtype=object))  # sorted distinct
+        b = np.int64(g["__bucket"].iloc[0])
+        ids = (b << np.int64(40)) + np.arange(len(urls), dtype=np.int64)
+        return pd.DataFrame({"url": urls, "id": ids})
+
+    ids = (
+        nodes.map_batches(add_range_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(assign_ranked_ids, batch_format="pandas")
+        .materialize()
+    )
+
+    # ---- 0c. edges -> (id_a, id_b): two co-partitioned merge exchanges --
+    def half_a(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["url_a"].astype(str), "other": df["url_b"].astype(str),
+             "id": np.int64(-1)}
+        )
+
+    def tag_ids(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["url"], "other": "", "id": df["id"]}
+        )
+
+    def join_key_id(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["id"] >= 0][["key", "id"]]
+        edg = g[g["id"] < 0][["key", "other"]]
+        m = edg.merge(lab, on="key", how="inner")
+        return pd.DataFrame({"key": m["other"], "ida": m["id"]})
+
+    half = bucketed_apply(
+        pairs.map_batches(half_a, batch_format="pandas").union(
+            ids.map_batches(tag_ids, batch_format="pandas")
+        ),
+        "key",
+        join_key_id,
+        n_buckets,
+        empty_result=pd.DataFrame({"key": pd.Series(dtype=str),
+                                   "ida": pd.Series(dtype="int64")}),
+    )
+
+    def tag_half(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["key"], "ida": df["ida"]})
+
+    def tag_ids2(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["url"], "ida": -1 - df["id"]})
+
+    def join_to_int_edges(g: pd.DataFrame) -> pd.DataFrame:
+        # rows with ida < 0 carry this key's id as -(id)-1
+        own = g[g["ida"] < 0]
+        edg = g[g["ida"] >= 0]
+        m = edg.merge(
+            pd.DataFrame({"key": own["key"], "idb": -own["ida"] - 1}),
+            on="key", how="inner",
+        )
+        a = m["ida"].to_numpy(dtype=np.int64)
+        b = m["idb"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"node": np.concatenate([a, b]), "neighbor": np.concatenate([b, a])}
+        )
+
+    # Edge list both directions, int64; small vs corpus → safe to pin.
+    edges = bucketed_apply(
+        half.map_batches(tag_half, batch_format="pandas").union(
+            ids.map_batches(tag_ids2, batch_format="pandas")
+        ),
+        "key",
+        join_to_int_edges,
+        n_buckets,
+        empty_result=pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                   "neighbor": pd.Series(dtype="int64")}),
+    ).materialize()
+
+    # ---- 1. label rounds (all int64) ------------------------------------
     def init_labels(df):
         out = df.groupby("node", as_index=False)["neighbor"].min()
         out["label"] = out[["node", "neighbor"]].min(axis=1)
@@ -116,25 +250,41 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
     labels = bucketed_apply(edges, "node", init_labels, n_buckets).materialize()
 
     def signature(lab) -> int:
-        """Order-independent fingerprint of the label assignment: per-batch
-        vectorized row hashes (pandas siphash, fixed key — process-stable)
-        summed mod 2^61.  No per-row Python."""
+        """Order- AND partition-independent fingerprint of the label
+        assignment: per-batch uint64 row-hash sums (wrapping mod 2^64 —
+        associative, so any batch split yields the same total), combined
+        on the driver with exact Python ints.  The per-batch partials are
+        one tiny row per block, so the driver collect is O(#blocks)
+        regardless of scale.  (The previous form pushed ``%``-reduced
+        partials through ``Dataset.sum`` — NOT partition-independent once
+        the label table spans multiple blocks, so converged label sets
+        could keep hashing differently and termination dragged ~D rounds
+        past the actual fixpoint.)"""
 
         def part(df: pd.DataFrame) -> pd.DataFrame:
-            h = pd.util.hash_pandas_object(
-                df["node"].astype(str) + "\x00" + df["label"].astype(str),
-                index=False,
-            ).to_numpy(dtype="uint64")
-            s = int(h.sum(dtype="uint64") % (1 << 61))
-            return pd.DataFrame({"s": [s]})
+            h = (
+                df["node"].to_numpy(dtype=np.int64).astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                ^ df["label"].to_numpy(dtype=np.int64).astype(np.uint64)
+            )
+            # second-order term makes the sum collision-resistant against
+            # multiset swaps that preserve the first-order sum
+            h2 = h * h
+            return pd.DataFrame({
+                "s1": [int(h.sum(dtype="uint64"))],
+                "s2": [int(h2.sum(dtype="uint64"))],
+            })
 
-        return int(lab.map_batches(part, batch_format="pandas").sum("s")) % (1 << 61)
+        parts = lab.map_batches(part, batch_format="pandas").take_all()
+        s1 = sum(int(r["s1"]) for r in parts) % (1 << 64)
+        s2 = sum(int(r["s2"]) for r in parts) % (1 << 64)
+        return (s1 << 64) | s2
 
     sig = signature(labels)
     for _round in range(max_rounds):
         # message pass: per bucket, pandas-merge labels onto edges (C path).
-        # "" marks the absent column (urls are never empty) so the union
-        # schema stays plain string throughout.
+        # -1 marks the absent column (ids are >= 0) so the union schema
+        # stays int64 throughout.
         # label rows AND label-link rows from ONE pass over the label
         # table.  The links treat (node <-> label(node)) as extra edges:
         # feeding them through the same message exchange lets labels
@@ -145,7 +295,7 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
         with_links = _round > 0  # shallow graphs converge before links help
 
         def lab_and_links(df: pd.DataFrame) -> pd.DataFrame:
-            lab = df.assign(neighbor="")[["node", "label", "neighbor"]]
+            lab = df.assign(neighbor=np.int64(-1))[["node", "label", "neighbor"]]
             if not with_links:
                 return lab
             linked = df[df["node"] != df["label"]]
@@ -153,7 +303,7 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
                 {
                     "node": pd.concat([linked["node"], linked["label"]],
                                       ignore_index=True),
-                    "label": "",
+                    "label": np.int64(-1),
                     "neighbor": pd.concat([linked["label"], linked["node"]],
                                           ignore_index=True),
                 }
@@ -162,24 +312,23 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
 
         lab_tagged = labels.map_batches(lab_and_links, batch_format="pandas")
         edg_tagged = edges.map_batches(
-            lambda df: df.assign(label=""), batch_format="pandas"
+            lambda df: df.assign(label=np.int64(-1)), batch_format="pandas"
         ).select_columns(["node", "label", "neighbor"])
 
         def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
             df["__bucket"] = (
-                pd.util.hash_pandas_object(df["node"], index=False) % n_buckets
+                df["node"].to_numpy(dtype=np.int64).astype(np.uint32)
+                % np.uint32(n_buckets)
             ).astype("int32")
             return df
 
         def bucket_messages(g: pd.DataFrame) -> pd.DataFrame:
-            lab = g[g["label"] != ""][["node", "label"]]
-            edg = g[g["neighbor"] != ""][["node", "neighbor"]]
+            lab = g[g["label"] >= 0][["node", "label"]]
+            edg = g[g["neighbor"] >= 0][["node", "neighbor"]]
             msgs = edg.merge(lab, on="node", how="inner")[["neighbor", "label"]]
             msgs.columns = ["node", "label"]
-            out = pd.concat([lab, msgs], ignore_index=True)
-            out["label"] = out["label"].astype(str)
-            return out
+            return pd.concat([lab, msgs], ignore_index=True)
 
         candidates = (
             lab_tagged.union(edg_tagged)
@@ -204,8 +353,50 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
         if stats is not None:
             stats["rounds"] = max_rounds
 
-    return labels.map_batches(
-        lambda t: pa.table({"url": t.column("node"), "cluster_id": t.column("label")}),
+    # ---- 2. ids back to urls + exact min-url labels ---------------------
+    # exchange on id: (node_id -> url) onto (node_id -> comp_id)
+    def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["node"], "comp": df["label"], "url": ""})
+
+    def tag_ids3(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["id"], "comp": np.int64(-1),
+                             "url": df["url"]})
+
+    def join_url_comp(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["comp"] >= 0][["key", "comp"]]
+        own = g[g["comp"] < 0][["key", "url"]]
+        m = lab.merge(own, on="key", how="inner")
+        return pd.DataFrame({"comp": m["comp"], "url": m["url"]})
+
+    with_urls = bucketed_apply(
+        labels.map_batches(tag_labels, batch_format="pandas").union(
+            ids.map_batches(tag_ids3, batch_format="pandas")
+        ),
+        "key",
+        join_url_comp,
+        n_buckets,
+        empty_result=pd.DataFrame({"comp": pd.Series(dtype="int64"),
+                                   "url": pd.Series(dtype=str)}),
+    )
+
+    # exchange on comp: every member of a component lands in one group, so
+    # the lexicographically smallest member url labels them all — exact
+    # driver-path parity, independent of the arbitrary id order.
+    def min_url_label(df: pd.DataFrame) -> pd.DataFrame:
+        rep = df.groupby("comp")["url"].transform("min")
+        return pd.DataFrame({"url": df["url"], "cluster_id": rep})
+
+    out = bucketed_apply(
+        with_urls,
+        "comp",
+        min_url_label,
+        n_buckets,
+        empty_result=pd.DataFrame({"url": pd.Series(dtype=str),
+                                   "cluster_id": pd.Series(dtype=str)}),
+    )
+    return out.map_batches(
+        lambda t: pa.table({"url": t.column("url").cast(pa.string()),
+                            "cluster_id": t.column("cluster_id").cast(pa.string())}),
         batch_format="pyarrow",
     )
 

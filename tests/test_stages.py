@@ -275,6 +275,38 @@ def test_distributed_cc_label_link_shortcut_chain():
     assert stats["rounds"] <= 8, stats
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_cc_multiblock_termination():
+    """Termination must fire as soon as labels stop changing even when the
+    label table spans several blocks/components (regression: the old
+    signature pushed %-reduced partials through Dataset.sum — not
+    partition-independent — so 30 converged 20-chains kept 'changing' for
+    ~27 rounds instead of 6)."""
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.cluster import connected_components
+
+    rows_a, rows_b = [], []
+    for c in range(8):
+        for i in range(12):
+            rows_a.append(f"https://chain{c}.x/p{i:03d}")
+            rows_b.append(f"https://chain{c}.x/p{i + 1:03d}")
+    pairs = rd.from_pandas(
+        pd.DataFrame({"url_a": rows_a, "url_b": rows_b, "distance": 1})
+    )
+    stats = {}
+    got = connected_components(
+        pairs, mode="distributed", n_buckets=8, stats=stats
+    ).to_pandas()
+    assert got["cluster_id"].nunique() == 8
+    assert stats["rounds"] <= 8, stats
+    # exact parity with the driver path (min-url labels)
+    drv = connected_components(pairs, mode="driver").to_pandas()
+    a = got.sort_values("url").reset_index(drop=True)
+    b = drv.sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_empty_arrow_matches_edge_schema():
     """Empty bucket outputs are typed Arrow tables with the SAME column set
     and compatible types as real edge frames (they union downstream)."""
