@@ -280,6 +280,29 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
         s2 = sum(int(r["s2"]) for r in parts) % (1 << 64)
         return (s1 << 64) | s2
 
+    # Edge message-rows are loop-invariant: tag (label = -1 sentinel) and
+    # pre-bucket them ONCE, Arrow-native, instead of re-converting the
+    # whole edge table to pandas every round.
+    def tag_and_bucket_edges(t: pa.Table) -> pd.DataFrame:
+        node = t.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+        bucket = (node.astype(np.uint32) % np.uint32(n_buckets)).astype(np.int32)
+        # pandas blocks (int64-only, near-zero-copy) so the in-loop union
+        # with the pandas label side stays one block type
+        return pd.DataFrame(
+            {
+                "node": node,
+                "label": np.full(t.num_rows, -1, dtype=np.int64),
+                "neighbor": t.column("neighbor")
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False),
+                "__bucket": bucket,
+            }
+        )
+
+    edg_tagged = edges.map_batches(
+        tag_and_bucket_edges, batch_format="pyarrow"
+    ).materialize()
+
     sig = signature(labels)
     for _round in range(max_rounds):
         # message pass: per bucket, pandas-merge labels onto edges (C path).
@@ -311,9 +334,6 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
             return pd.concat([lab, links], ignore_index=True)
 
         lab_tagged = labels.map_batches(lab_and_links, batch_format="pandas")
-        edg_tagged = edges.map_batches(
-            lambda df: df.assign(label=np.int64(-1)), batch_format="pandas"
-        ).select_columns(["node", "label", "neighbor"])
 
         def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
@@ -331,8 +351,8 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
             return pd.concat([lab, msgs], ignore_index=True)
 
         candidates = (
-            lab_tagged.union(edg_tagged)
-            .map_batches(add_bucket, batch_format="pandas")
+            lab_tagged.map_batches(add_bucket, batch_format="pandas")
+            .union(edg_tagged)
             .groupby("__bucket")
             .map_groups(bucket_messages, batch_format="pandas")
         )
