@@ -269,9 +269,14 @@ def er_clusters(
     algorithm: str = STANDARD,
     checkpoints: CheckpointManager | None = None,
     fingerprint: str = "",
+    cc_mode: str = "auto",
     **kwargs,
 ):
-    """Pages -> (url, cluster_id): the transitive entity clusters."""
+    """Pages -> (url, cluster_id): the transitive entity clusters.
+
+    ``cc_mode`` selects the clustering path ("auto" / "driver" /
+    "distributed" — see :func:`~..stages.cluster.connected_components`);
+    the default edge-count auto-switch is right for almost every run."""
     ck = checkpoints or CheckpointManager("", enabled=False)
     pairs = er_pairs(
         source,
@@ -282,7 +287,9 @@ def er_clusters(
         **kwargs,
     )
     fp = f"{fingerprint}|x{EXTRACTOR_VERSION}|d{max_distance}|{algorithm}|cc"
-    return ck.run_stage("clusters", fp, lambda: connected_components(pairs))
+    return ck.run_stage(
+        "clusters", fp, lambda: connected_components(pairs, mode=cc_mode)
+    )
 
 
 def er_pipeline(source, out_dir: str | None = None, output_partitions: int | None = None, **kwargs):
