@@ -16,9 +16,13 @@ Two execution paths behind one API:
   diameters tiny.
 
 ``mode="auto"`` counts edges once (the pair Dataset is materialized anyway)
-and picks a path.  Both produce identical output: ``(url, cluster_id)``
-with cluster_id = lexicographically smallest member url — deterministic
-across runs, partitionings and paths.
+and picks a path; above the threshold it first CONTRACTS the edge set —
+per-partition union-find replaces each partition's edges by its spanning
+star (a shuffle-free combiner, exact for connectivity), then alternating-
+key passes à la Kiveris et al. (SoCC'14) — and finishes on whichever path
+the contracted size selects.  All paths produce identical output:
+``(url, cluster_id)`` with cluster_id = lexicographically smallest member
+url — deterministic across runs, partitionings and paths.
 """
 
 import pandas as pd
@@ -28,31 +32,21 @@ from ..functions.simhash import hash64
 
 
 # ----------------------------------------------------------------------
-def _driver_cc(pairs) -> pa.Table:
-    """Vectorized union-find on the driver, all-Arrow: no Python string
-    objects are ever materialized.  Urls are dictionary-encoded in C++
-    (hash factorize), uniques ranked by one Arrow sort (so min code ==
-    lexicographically smallest member), then min-label propagation with
-    pointer jumping — O(log diameter) numpy passes over int codes.
-    scipy's csgraph is used when available (the pointer-jump loop is
-    ~0.1 s / 1.2M edges regardless: scorer star edges keep diameters
-    tiny).  Measured at sf0.5 (1.2M edges, 1M urls): ~3 s vs ~13 s for
-    the previous iter_batches + pd.factorize(object) + from_pandas
-    version — the object-array round trips were the whole difference."""
+def _cc_core(chunks_a, chunks_b):
+    """Shared vectorized union-find core, all-Arrow: urls are
+    dictionary-encoded in C++ (hash factorize), uniques ranked by one
+    Arrow sort (so min code == lexicographically smallest member), then
+    components via scipy csgraph (or min-label pointer jumping as the
+    fallback).  Returns ``(uniq_sorted: pa.Array, label: np.int64[n])``
+    with ``uniq_sorted[label[i]]`` the smallest member url of node i's
+    component."""
     import numpy as np
-    import ray
+    import pyarrow.compute as pc
 
-    tabs = [t for t in (ray.get(r) for r in pairs.to_arrow_refs()) if t.num_rows]
-    if not tabs:
-        return pa.table({"url": pa.array([], type=pa.string()),
-                         "cluster_id": pa.array([], type=pa.string())})
-    chunks = [c for t in tabs for c in t.column("url_a").cast(pa.string()).chunks]
-    chunks += [c for t in tabs for c in t.column("url_b").cast(pa.string()).chunks]
-    both = pa.chunked_array(chunks).combine_chunks()
+    both = pa.chunked_array(list(chunks_a) + list(chunks_b)).combine_chunks()
     enc = both.dictionary_encode()
     inv = enc.indices.to_numpy().astype(np.int64)
     uniq = enc.dictionary
-    import pyarrow.compute as pc
 
     order = pc.array_sort_indices(uniq).to_numpy().astype(np.int64)
     rank_of = np.empty(len(uniq), dtype=np.int64)
@@ -84,7 +78,99 @@ def _driver_cc(pairs) -> pa.Table:
             if np.array_equal(label, before):
                 break
 
+    return uniq, label
+
+
+def _driver_cc(pairs) -> pa.Table:
+    """Vectorized union-find on the driver, all-Arrow: no Python string
+    objects are ever materialized (see :func:`_cc_core`).  Measured at
+    sf0.5 (1.2M edges, 1M urls): ~3 s vs ~13 s for the previous
+    iter_batches + pd.factorize(object) + from_pandas version — the
+    object-array round trips were the whole difference."""
+    import ray
+
+    tabs = [t for t in (ray.get(r) for r in pairs.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({"url": pa.array([], type=pa.string()),
+                         "cluster_id": pa.array([], type=pa.string())})
+    chunks = [c for t in tabs for c in t.column("url_a").cast(pa.string()).chunks]
+    chunks_b = [c for t in tabs for c in t.column("url_b").cast(pa.string()).chunks]
+    uniq, label = _cc_core(chunks, chunks_b)
     return pa.table({"url": uniq, "cluster_id": uniq.take(pa.array(label))})
+
+
+# ----------------------------------------------------------------------
+_EMPTY_EDGES = pa.table({"url_a": pa.array([], type=pa.string()),
+                         "url_b": pa.array([], type=pa.string())})
+
+
+def _contract_table(t: pa.Table) -> pa.Table:
+    """Contract ONE partition's edges to their spanning star: union-find
+    over the batch, emit ``(member, local_min_url)`` per non-root node.
+
+    Exactness: a star edge set has the same connected components as the
+    sub-graph it came from, and components of a union of edge sets depend
+    only on the union — so replacing each partition's edges by its local
+    stars preserves the GLOBAL components while shrinking the edge count
+    from |E_partition| to (#nodes − #local components).  Every endpoint
+    survives (a node with any edge sits in a ≥2-node local component, so
+    it appears as a member or as a root).  This is the per-partition
+    combine of the CC exchange, same idea as pre-aggregation before a
+    groupby."""
+    import numpy as np
+
+    if t.num_rows == 0:
+        return _EMPTY_EDGES
+    uniq, label = _cc_core(t.column("url_a").cast(pa.string()).chunks,
+                           t.column("url_b").cast(pa.string()).chunks)
+    member = np.flatnonzero(label != np.arange(len(uniq), dtype=np.int64))
+    if len(member) == 0:
+        return _EMPTY_EDGES
+    mi = pa.array(member)
+    return pa.table({"url_a": uniq.take(mi),
+                     "url_b": uniq.take(pa.array(label[member]))})
+
+
+def _contract(pairs, driver_threshold: int, n_buckets: int,
+              stats: dict | None = None):
+    """Shrink the edge set by repeated star contraction until it fits the
+    driver path (or stops improving).  Pass 0 is shuffle-free — pure
+    ``map_batches`` per existing partition (scorer output co-locates a
+    block's edges, so most merging happens here).  Later passes alternate
+    the co-location key between ``url_a`` (merges a member's stars across
+    partitions, linking their roots) and ``url_b`` (regroups by root) —
+    one exchange each, over an already-shrunk set; this is the
+    small-star/large-star alternation of Kiveris et al., "Connected
+    Components in MapReduce and Beyond" (SoCC'14).  Returns
+    ``(edges, n_edges)``."""
+    from .grouped import bucketed_apply_arrow
+
+    # batch_size=None → whole blocks: the scorer emits a block per bucket
+    # group, so one batch holds a whole blocking region and the local
+    # union-find merges maximally before any shuffle.
+    cur = pairs.map_batches(
+        _contract_table, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    cnt = cur.count()
+    if stats is not None:
+        stats["contract_passes"] = 1
+        stats["contract_edges"] = [cnt]
+    key = "url_a"
+    max_passes = 4  # bounds exchanges; alternation halves chains per pass
+    while cnt > driver_threshold and max_passes > 0:
+        max_passes -= 1
+        nxt = bucketed_apply_arrow(
+            cur, key, _contract_table, n_buckets, empty_result=_EMPTY_EDGES
+        ).materialize()
+        new = nxt.count()
+        if stats is not None:
+            stats["contract_passes"] += 1
+            stats["contract_edges"].append(new)
+        if new >= cnt:  # no progress: residual graph is genuinely large
+            break
+        cur, cnt = nxt, new
+        key = "url_b" if key == "url_a" else "url_a"
+    return cur, cnt
 
 
 # ----------------------------------------------------------------------
@@ -434,9 +520,20 @@ def connected_components(
     Only matched nodes appear; unmatched pages are implicit singletons (at
     10^12 docs the label table must scale with the EDGE set, not the
     corpus).  The distributed path pointer-jumps, so ``max_rounds=30``
-    covers diameters ~2^29."""
+    covers diameters ~2^29.
+
+    ``auto`` over the threshold first CONTRACTS: per-partition union-find
+    replaces each partition's edges by its spanning star (shuffle-free
+    combine), alternating-key passes shrink the residual further, and the
+    contracted set goes to the driver if it now fits, else to the
+    distributed rounds (which then run over the smaller star set — fewer
+    bytes per exchange and star diameter ≤ 2 per merged region)."""
     import ray.data as rd
 
     if mode == "driver" or (mode == "auto" and pairs.count() <= driver_threshold):
         return rd.from_arrow(_driver_cc(pairs))
+    if mode == "auto":
+        pairs, n_edges = _contract(pairs, driver_threshold, n_buckets, stats)
+        if n_edges <= driver_threshold:
+            return rd.from_arrow(_driver_cc(pairs))
     return _distributed_cc(pairs, max_rounds, n_buckets=n_buckets, stats=stats)

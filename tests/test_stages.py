@@ -172,6 +172,66 @@ def test_connected_components_modes_agree():
     assert a.equals(b)
 
 
+def test_contract_table_stars():
+    from liblevenshtein_rust_ray.stages.cluster import _contract_table
+
+    t = pa.table({
+        "url_a": ["b", "c", "y", "c"],
+        "url_b": ["a", "b", "x", "b"],  # dup edge + two components
+    })
+    out = _contract_table(t)
+    stars = dict(zip(out["url_a"].to_pylist(), out["url_b"].to_pylist()))
+    # every non-root points at the lexicographic min of its component
+    assert stars == {"b": "a", "c": "a", "y": "x"}
+    # empty input keeps the schema
+    empty = _contract_table(t.slice(0, 0))
+    assert empty.num_rows == 0
+    assert empty.column_names == ["url_a", "url_b"]
+    assert empty.schema.field("url_a").type == pa.string()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("threshold", [1, 30])
+def test_connected_components_auto_contraction_parity(threshold):
+    """auto above the driver threshold contracts first; the result must be
+    identical to the pure driver path whether the contracted set then fits
+    the driver (threshold=30) or falls through to the distributed rounds
+    (threshold=1)."""
+    import random
+
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.cluster import connected_components
+
+    rng = random.Random(11)
+    edges = []
+    # chains spanning blocks + a dense clique + random cross edges
+    for i in range(60):
+        edges.append({"url_a": f"c{i:03d}", "url_b": f"c{i + 1:03d}"})
+    for i in range(10):
+        for j in range(i + 1, 10):
+            edges.append({"url_a": f"k{i}", "url_b": f"k{j}"})
+    for _ in range(40):
+        a, b = rng.randrange(60), rng.randrange(60)
+        edges.append({"url_a": f"r{a:03d}", "url_b": f"r{b:03d}"})
+    # many small blocks so contraction crosses partition boundaries
+    pairs = rd.from_pandas(pd.DataFrame(edges)).repartition(13)
+    stats: dict = {}
+    got = (
+        connected_components(pairs, mode="auto", driver_threshold=threshold,
+                             n_buckets=4, stats=stats)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    want = (
+        connected_components(pairs, mode="driver")
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert stats.get("contract_passes", 0) >= 1
+    # contraction must not grow the edge set
+    assert stats["contract_edges"][0] <= len(edges)
+
+
 def test_vectorized_bucket_scorer_parity():
     """score_bucket_vectorized ≡ BlockScorer per block + global pair dedup,
     including identical-string stars, representative edges, and salting."""
