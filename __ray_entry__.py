@@ -668,6 +668,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def er_pairs_q(sf_dir):
         return er_pairs(_pages_path(sf_dir))
 
+    def er_f1(sf_dir):
+        """The north-rule acceptance metric as a query: pairwise
+        precision/recall/F1 of the flagship clusters' co-membership
+        against the corpus generator's labeled within-entity pairs
+        (BASELINE.json: F1 >= 0.99).  One metrics row; the 0.99 gate is
+        also enforced in pytest (tests/test_pipeline_e2e.py)."""
+        import pandas as pd
+
+        from liblevenshtein_rust_ray.pipelines.entity_resolution import evaluate_f1
+
+        cdir = _corpus_dir(_sf_of(sf_dir))
+        clusters = er_clusters(os.path.join(cdir, "pages"))
+        labeled = pd.read_parquet(os.path.join(cdir, "labeled_pairs"),
+                                  columns=["url_a", "url_b"])
+        m = evaluate_f1(clusters, labeled)
+        return pd.DataFrame([{
+            "precision": float(m["precision"]),
+            "recall": float(m["recall"]),
+            "f1": float(m["f1"]),
+            "predicted_pairs": int(m["predicted_pairs"]),
+            "true_pairs": int(m["true_pairs"]),
+            "tp": int(m["tp"]),
+        }])
+
     def er_pairs_corpus(sf_dir):
         """The flagship over the REAL synthetic page corpus — including the
         html-extraction path for the ~10% of rows that ship html only —
@@ -946,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_tokens": top_docs_by_tokens,
         "er_clusters": er_clusters_q,
         "er_pairs": er_pairs_q,
+        "er_f1": er_f1,
         "er_pairs_allpairs": er_pairs_allpairs,
         "er_clusters_allpairs": er_clusters_allpairs,
         "er_pairs_allpairs_transposition_d1": er_pairs_allpairs_transposition_d1,

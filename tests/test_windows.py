@@ -62,10 +62,10 @@ def test_asof_join(ray_session):
 
     rows = _events()
     ds = rd.from_items(rows)
-    clicks = ds.filter(lambda r: r["event_type"] == "click").select_columns(
+    clicks = ds.filter(expr="event_type == 'click'").select_columns(
         ["event_id", "ts", "user_id"]
     )
-    errors = ds.filter(lambda r: r["event_type"] == "error").select_columns(
+    errors = ds.filter(expr="event_type == 'error'").select_columns(
         ["ts", "user_id", "value"]
     )
     out = asof_join(clicks, errors, "user_id", "ts", ["value"]).to_pandas()
@@ -76,10 +76,10 @@ def test_asof_join(ray_session):
     rows.append({"user_id": 1, "ts": pd.Timestamp("2024-01-01 00:15:00"),
                  "value": 9.0, "event_type": "error", "event_id": 99})
     ds = rd.from_items(rows)
-    clicks = ds.filter(lambda r: r["event_type"] == "click").select_columns(
+    clicks = ds.filter(expr="event_type == 'click'").select_columns(
         ["event_id", "ts", "user_id"]
     )
-    errors = ds.filter(lambda r: r["event_type"] == "error").select_columns(
+    errors = ds.filter(expr="event_type == 'error'").select_columns(
         ["ts", "user_id", "value"]
     )
     out = asof_join(clicks, errors, "user_id", "ts", ["value"]).to_pandas()
