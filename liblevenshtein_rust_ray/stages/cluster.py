@@ -3,11 +3,15 @@
 Two execution paths behind one API:
 
 * ``driver`` — when the EDGE set is small (≤ ``driver_threshold`` edges,
-  default 8M ≈ ~1 GB of url strings — the vectorized union-find handles
-  1.2M edges in ~1.5 s), stream the edges to the driver.  Edges are the SCORER's output — orders of
-  magnitude smaller than the corpus — so this is the right call for
-  small-to-medium runs (the guide's "union-find on the driver only if the
-  candidate set is provably small").
+  default 32M: the all-Arrow union-find dictionary-encodes urls in C++,
+  so 32M edges ≈ ~2 GB of distinct url strings + 0.5 GB int edge arrays
+  + ~1 GB scipy COO ≈ 4-5 GB peak driver heap; measured 7.2M edges in
+  ~10 s), stream the edges to the driver.  Edges are the SCORER's output
+  — orders of magnitude smaller than the corpus — so this is the right
+  call for small-to-medium runs (the guide's "union-find on the driver
+  only if the candidate set is provably small").  Size it down for a
+  memory-thin driver; at 10^12-doc scale the edge set is billions of
+  rows and auto picks the distributed path regardless.
 * ``distributed`` — hash-partitioned min-label propagation with ONLY
   C-path operations per round (no per-node Python):
   bucketed pandas merge for message passing, built-in Min aggregate for the
@@ -135,14 +139,16 @@ def _contract(pairs, driver_threshold: int, n_buckets: int,
               stats: dict | None = None):
     """Shrink the edge set by repeated star contraction until it fits the
     driver path (or stops improving).  Pass 0 is shuffle-free — pure
-    ``map_batches`` per existing partition (scorer output co-locates a
-    block's edges, so most merging happens here).  Later passes alternate
-    the co-location key between ``url_a`` (merges a member's stars across
-    partitions, linking their roots) and ``url_b`` (regroups by root) —
-    one exchange each, over an already-shrunk set; this is the
-    small-star/large-star alternation of Kiveris et al., "Connected
-    Components in MapReduce and Beyond" (SoCC'14).  Returns
-    ``(edges, n_edges)``."""
+    ``map_batches`` per existing partition — and turns each partition's
+    edges into local stars (measured at sf5.0 it shrinks little by itself:
+    the pair-dedup exchange scatters co-cluster edges, and raw pairs
+    rarely share an endpoint).  The keyed passes do the real work over
+    the STAR set, alternating between ``url_b`` (regroups star fragments
+    by root — measured: one pass collapses sf5.0's 11.6M edges to the
+    7.2M star floor) and ``url_a`` — one exchange each, over an
+    already-edge-scale table; this is the small-star/large-star
+    alternation of Kiveris et al., "Connected Components in MapReduce
+    and Beyond" (SoCC'14).  Returns ``(edges, n_edges)``."""
     from .grouped import bucketed_apply_arrow
 
     # batch_size=None → whole blocks: the scorer emits a block per bucket
@@ -155,7 +161,10 @@ def _contract(pairs, driver_threshold: int, n_buckets: int,
     if stats is not None:
         stats["contract_passes"] = 1
         stats["contract_edges"] = [cnt]
-    key = "url_a"
+    # url_b first: scorer pairs are canonically ordered (url_a < url_b), and
+    # measured at sf5.0 a url_b-keyed pass collapses 11.6M edges to the
+    # 7.2M star floor while a url_a pass removes ~1%.
+    key = "url_b"
     max_passes = 4  # bounds exchanges; alternation halves chains per pass
     while cnt > driver_threshold and max_passes > 0:
         max_passes -= 1
@@ -169,7 +178,7 @@ def _contract(pairs, driver_threshold: int, n_buckets: int,
         if new >= cnt:  # no progress: residual graph is genuinely large
             break
         cur, cnt = nxt, new
-        key = "url_b" if key == "url_a" else "url_a"
+        key = "url_a" if key == "url_b" else "url_b"
     return cur, cnt
 
 
@@ -512,7 +521,7 @@ def connected_components(
     pairs,
     max_rounds: int = 30,
     mode: str = "auto",
-    driver_threshold: int = 8_000_000,
+    driver_threshold: int = 32_000_000,
     n_buckets: int = 64,
     stats: dict | None = None,
 ):
