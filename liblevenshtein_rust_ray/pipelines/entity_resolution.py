@@ -291,8 +291,14 @@ def er_clusters(
         **kwargs,
     )
     fp = f"{fingerprint}|x{EXTRACTOR_VERSION}|d{max_distance}|{algorithm}|cc"
+    # cc_stats is filled during compute() and lands in the stage manifest's
+    # counters (path chosen, contraction pass sizes, label rounds) — the
+    # per-stage metrics a resumed or audited run reads back.
+    cc_stats: dict = {}
     return ck.run_stage(
-        "clusters", fp, lambda: connected_components(pairs, mode=cc_mode)
+        "clusters", fp,
+        lambda: connected_components(pairs, mode=cc_mode, stats=cc_stats),
+        counters=cc_stats,
     )
 
 

@@ -540,9 +540,15 @@ def connected_components(
     import ray.data as rd
 
     if mode == "driver" or (mode == "auto" and pairs.count() <= driver_threshold):
+        if stats is not None:
+            stats["path"] = "driver"
         return rd.from_arrow(_driver_cc(pairs))
     if mode == "auto":
         pairs, n_edges = _contract(pairs, driver_threshold, n_buckets, stats)
         if n_edges <= driver_threshold:
+            if stats is not None:
+                stats["path"] = "contract+driver"
             return rd.from_arrow(_driver_cc(pairs))
+    if stats is not None:
+        stats["path"] = ("contract+" if mode == "auto" else "") + "distributed"
     return _distributed_cc(pairs, max_rounds, n_buckets=n_buckets, stats=stats)

@@ -65,6 +65,8 @@ def test_checkpoint_resume(tmp_path, corpus):
 
     assert os.path.exists(os.path.join(run_dir, "pairs.manifest.json"))
     assert os.path.exists(os.path.join(run_dir, "clusters.manifest.json"))
+    # the clusters manifest records which CC path ran (per-stage metrics)
+    assert ck.manifest("clusters")["counters"]["path"] == "driver"
 
     # resume: a fresh manager with the same fingerprint must reuse the
     # checkpoints (byte-identical outputs, no recompute)
