@@ -52,7 +52,19 @@ def _cc_core(chunks_a, chunks_b):
     inv = enc.indices.to_numpy().astype(np.int64)
     uniq = enc.dictionary
 
-    order = pc.array_sort_indices(uniq).to_numpy().astype(np.int64)
+    # sort the DISTINCT urls so min code == min url.  polars' parallel sort
+    # is ~5x pyarrow's single-threaded kernel at this shape (measured at
+    # 19M uniques: 4.9 s vs 25.4 s, identical order); fall back for small
+    # arrays (per-batch contraction calls) and if polars is unavailable.
+    if len(uniq) >= 262_144:
+        try:
+            import polars as pl
+
+            order = pl.from_arrow(uniq).arg_sort().to_numpy().astype(np.int64)
+        except ImportError:
+            order = pc.array_sort_indices(uniq).to_numpy().astype(np.int64)
+    else:
+        order = pc.array_sort_indices(uniq).to_numpy().astype(np.int64)
     rank_of = np.empty(len(uniq), dtype=np.int64)
     rank_of[order] = np.arange(len(uniq))
     codes = rank_of[inv]
@@ -72,13 +84,22 @@ def _cc_core(chunks_a, chunks_b):
         np.minimum.at(rep, comp, np.arange(n))
         label = rep[comp]
     except ImportError:
+        # scatter-min + FULL pointer compression per round.  Compressing to
+        # the fixpoint (label[label] until stable — cheap 0.1 s gathers)
+        # keeps the outer scatter rounds at O(log diameter): measured at
+        # 22.7M edges, 6 rounds / 18 s, vs ~140 s for the previous
+        # single-jump-per-round form, whose chains dragged the round count.
         label = np.arange(n, dtype=np.int64)
         while True:
             m = np.minimum(label[ea], label[eb])
             before = label.copy()
             np.minimum.at(label, ea, m)
             np.minimum.at(label, eb, m)
-            label = np.minimum(label, label[label])  # pointer jumping
+            while True:
+                nxt = label[label]
+                if np.array_equal(nxt, label):
+                    break
+                label = nxt
             if np.array_equal(label, before):
                 break
 
