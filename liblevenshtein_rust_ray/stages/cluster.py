@@ -114,7 +114,7 @@ def _driver_cc(pairs) -> pa.Table:
     object-array round trips were the whole difference."""
     import ray
 
-    tabs = [t for t in (ray.get(r) for r in pairs.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(list(pairs.to_arrow_refs())) if t.num_rows]
     if not tabs:
         return pa.table({"url": pa.array([], type=pa.string()),
                          "cluster_id": pa.array([], type=pa.string())})
