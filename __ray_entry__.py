@@ -248,6 +248,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             threshold=0.5, hasher="md5", max_bucket=1_000_000,
         )
 
+    def minhash_neardup_docs_md5_join(sf_dir):
+        """The md5 twin forced through ``sig_transport="join"`` — the
+        100-TB signature transport (thin ~40 B band rows, signatures
+        attached once per distinct pair by id-keyed exchanges) checked
+        against the SAME SQL oracle as the banded md5 path: the scale
+        path itself is value-hash-verified, not just parity-tested."""
+        return D.minhash_lsh_pairs(
+            _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+            threshold=0.5, hasher="md5", max_bucket=1_000_000,
+            sig_transport="join",
+        )
+
     def simhash_pairs_docs(sf_dir):
         return D.simhash_pairs(
             _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", max_hamming=6
@@ -931,6 +943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_part": exact_dedup_part,
         "minhash_neardup_docs": minhash_neardup_docs,
         "minhash_neardup_docs_md5": minhash_neardup_docs_md5,
+        "minhash_neardup_docs_md5_join": minhash_neardup_docs_md5_join,
         "simhash_pairs_docs": simhash_pairs_docs,
         "simhash_pairs_docs_md5": simhash_pairs_docs_md5,
         "ngram_jaccard_docs": ngram_jaccard_docs,
@@ -1346,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_counts": "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang",
         "minhash_neardup_docs_md5": _minhash_md5_oracle_sql(),
+        "minhash_neardup_docs_md5_join": _minhash_md5_oracle_sql(),
         "simhash_pairs_docs_md5": _simhash_md5_oracle_sql(),
         "substring_positions_d1": _substring_d1_oracle_sql("custoner"),
         # best hit per doc = smallest distance then leftmost end over the

@@ -67,6 +67,9 @@ def exact_dedup(ds, text_col: str, id_col: str):
 
 
 # ----------------------------------------------------------------------
+_BANDED_SIG_EXCHANGE_CAP = 1 << 30  # banded -> join above 1 GiB of band rows
+
+
 def minhash_lsh_pairs(
     ds,
     text_col: str,
@@ -77,6 +80,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     max_bucket: int = 256,
     hasher: str = "blake2b",
+    sig_transport: str = "auto",
 ):
     """Near-duplicate candidate pairs via MinHash LSH, verified with the
     signature Jaccard estimate >= ``threshold``.
@@ -94,8 +98,35 @@ def minhash_lsh_pairs(
     the DuckDB-reproducible md5 forms (functions.minhash md5 variant) so
     the whole LSH pipeline can be checked against a SQL oracle; output
     semantics are identical, only the hash family differs.
+
+    ``sig_transport`` picks how full signatures reach the verify step —
+    the 100-TB knob (output rows are identical either way, pinned by test):
+
+    * ``"banded"`` — the full ``num_perm*8``-byte signature rides on every
+      band row, so the ONE band exchange carries ``n_bands`` copies per doc
+      (~16 KB/doc at the defaults — ~16x a typical web page's text).  Two
+      exchanges total; optimal while the band table fits shared memory.
+    * ``"join"`` — band rows carry only ``(id, band_key, sig_hash64, two
+      salt bytes)`` (~40 B/row); candidate pairs form on the hash (stars +
+      salting identical to banded), and the full signatures are attached
+      ONCE per distinct pair by two id-keyed exchanges against a
+      materialized ``(id, sig)`` table.  Exchange bytes ≈ ``40*n_bands +
+      3*num_perm*8``/doc (~2.8 KB at the defaults, 6x less; the band
+      exchange itself shrinks 12x) and the verify runs once per distinct
+      pair instead of once per co-occurring bucket.  The sig table is the
+      one deliberate materialization — ``num_perm*8`` B/doc, 12x smaller
+      than the band payload it replaces, and it spills via the object
+      store at scale.
+    * ``"auto"`` (default) — banded until the band-exchange payload would
+      exceed 1 GiB (row count from parquet/block metadata, no scan), join
+      beyond.
     """
     from ..functions.minhash import minhash_bands_md5, minhash_signature_md5
+
+    if sig_transport == "auto":
+        n_docs = ds.count()  # parquet/block metadata, no scan
+        banded_bytes = n_docs * n_bands * (num_perm * 8 + 48)
+        sig_transport = "join" if banded_bytes > _BANDED_SIG_EXCHANGE_CAP else "banded"
 
     def sign(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
@@ -121,6 +152,12 @@ def minhash_lsh_pairs(
                 "bucket": pa.array(out_band, type=pa.string()),
                 "sig": pa.array(out_sig, type=pa.binary()),
             }
+        )
+
+    if sig_transport == "join":
+        return _minhash_pairs_sig_join(
+            ds, text_col, id_col, threshold, num_perm, n_bands, shingle_k,
+            max_bucket, hasher,
         )
 
     _empty = pd.DataFrame(
@@ -196,6 +233,248 @@ def minhash_lsh_pairs(
         ["id_a", "id_b"],
         lambda df: df.groupby(["id_a", "id_b"], as_index=False)["jaccard"].max(),
         empty_result=_empty,
+    )
+
+
+# ----------------------------------------------------------------------
+def _minhash_pairs_sig_join(ds, text_col, id_col, threshold, num_perm,
+                            n_bands, shingle_k, max_bucket, hasher):
+    """``sig_transport="join"`` body of :func:`minhash_lsh_pairs` — output
+    rows are IDENTICAL to the banded path (pinned by test); only where the
+    signature bytes travel differs.  Three exchanges:
+
+    1. band bucket over thin rows ``(id, band_key, sig_hash64, salt0/1)`` —
+       star edges (identical sig hashes) + cross-rep candidate pairs, with
+       the same ``max_bucket`` salting as banded (the salt bytes are the
+       same two signature bytes, carried as columns);
+    2. id_a-keyed: dedup ``(id_a, id_b)`` globally (every copy of a pair
+       shares its id_a bucket) and attach ``sig_a`` from the sig table;
+    3. id_b-keyed: attach ``sig_b`` and verify the Jaccard estimate once
+       per distinct pair.
+
+    Stars re-verify trivially (identical signatures estimate exactly 1.0),
+    so every pair flows through one code path.
+    """
+    import ray.data as rd
+
+    from ..functions.minhash import minhash_bands_md5, minhash_signature_md5
+    from .grouped import bucketed_apply, bucketed_apply_arrow
+
+    def sign_docs(t: pa.Table) -> pa.Table:
+        """One row per doc: id, sig bytes, 64-bit sig hash, two salt bytes
+        (the same signature bytes the banded path salts with)."""
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        sigs, hs, s0s, s1s = [], [], [], []
+        for x in texts:
+            feats = shingles(tokenize(x or ""), shingle_k)
+            if hasher == "md5":
+                sig = minhash_signature_md5(feats, num_perm)
+            else:
+                sig = minhash_signature(feats, num_perm)
+            sb = sig.tobytes()
+            sigs.append(sb)
+            hs.append(hash64(sb))
+            s0s.append(sb[3 % len(sb)])
+            s1s.append(sb[28 % len(sb)])
+        return pa.table(
+            {
+                "id": pa.array(ids, type=pa.int64()),
+                "sig": pa.array(sigs, type=pa.binary()),
+                "h": pa.array(hs, type=pa.uint64()),
+                "s0": pa.array(s0s, type=pa.uint8()),
+                "s1": pa.array(s1s, type=pa.uint8()),
+            }
+        )
+
+    # the ONE deliberate materialization: num_perm*8 B/doc, consumed by the
+    # band explode and both attach exchanges (3 consumers — without it Ray
+    # would re-run read+sign per consumer); spills via the object store.
+    sigs = ds.map_batches(sign_docs, batch_format="pyarrow").materialize()
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        """Thin band rows from stored signatures — no text access."""
+        out_id, out_band, out_h, out_s0, out_s1 = [], [], [], [], []
+        ids = t.column("id").to_pylist()
+        hs = t.column("h").to_pylist()
+        s0s = t.column("s0").to_pylist()
+        s1s = t.column("s1").to_pylist()
+        for i, sb, h, s0, s1 in zip(ids, t.column("sig").to_pylist(), hs, s0s, s1s):
+            sig = np.frombuffer(sb, dtype=np.uint64)
+            if hasher == "md5":
+                bands = (f"{band_id}:{bk}" for band_id, bk
+                         in enumerate(minhash_bands_md5(sig, n_bands)))
+            else:
+                bands = (f"{band_id}:{bh:016x}" for band_id, bh
+                         in enumerate(minhash_bands(sig, n_bands)))
+            for band_key in bands:
+                out_id.append(i)
+                out_band.append(band_key)
+                out_h.append(h)
+                out_s0.append(s0)
+                out_s1.append(s1)
+        return pa.table(
+            {
+                "id": pa.array(out_id, type=pa.int64()),
+                "bucket": pa.array(out_band, type=pa.string()),
+                "h": pa.array(out_h, type=pa.uint64()),
+                "s0": pa.array(out_s0, type=pa.uint8()),
+                "s1": pa.array(out_s1, type=pa.uint8()),
+            }
+        )
+
+    _empty_cand = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    )
+
+    def pairs_in_hashbucket(df: pd.DataFrame) -> pd.DataFrame:
+        # mirrors the banded in-bucket logic with sig -> (h, s0, s1):
+        # identical hashes collapse to stars, oversized buckets are salted
+        # by the same two signature bytes.  Pairs leave UNVERIFIED (the
+        # estimate needs full signatures, attached downstream once per
+        # distinct pair).
+        df = df.drop_duplicates(["bucket", "id"])
+        rep = df.groupby(["bucket", "h"], sort=False)["id"].transform("min")
+        member = df["id"].to_numpy()
+        star = member != rep.to_numpy()
+        stars = pd.DataFrame(
+            {"id_a": rep.to_numpy()[star], "id_b": member[star]}
+        ).drop_duplicates(["id_a", "id_b"])
+
+        dd = df.groupby(["bucket", "h"], as_index=False, sort=False).agg(
+            id=("id", "min"), s0=("s0", "first"), s1=("s1", "first")
+        )
+        sizes = dd.groupby("bucket", sort=False)["h"].transform("size")
+        small = dd[sizes <= max_bucket]
+        big = dd[sizes > max_bucket]
+        if len(big):
+            salted = []
+            for view, col in enumerate(("s0", "s1")):
+                b = big.copy()
+                b["bucket"] = [
+                    f"{k}#v{view}|{s:02x}" for k, s in zip(b["bucket"], b[col])
+                ]
+                salted.append(b)
+            dd = pd.concat([small, *salted], ignore_index=True)
+        else:
+            dd = small
+
+        m = dd.merge(dd[["bucket", "id"]], on="bucket", suffixes=("_a", "_b"))
+        m = m[m["id_a"] < m["id_b"]].drop_duplicates(["id_a", "id_b"])
+        out = m[["id_a", "id_b"]]
+        return pd.concat([stars, out], ignore_index=True) if len(stars) else out
+
+    cand = bucketed_apply(
+        sigs.map_batches(explode_bands, batch_format="pyarrow"),
+        "bucket",
+        pairs_in_hashbucket,
+        empty_result=_empty_cand,
+    )
+
+    # ---- attach sig_a (id_a-keyed; global pair dedup happens here) -----
+    def pairs_for_a(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t.column("id_a").cast(pa.int64()),
+                "o": t.column("id_b").cast(pa.int64()),
+                "sig": pa.nulls(t.num_rows, pa.binary()),
+                "role": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def sigs_for_attach(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t.column("id").cast(pa.int64()),
+                "o": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                "sig": t.column("sig"),
+                "role": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    schema_a = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("sig_a", pa.binary())]
+    )
+
+    def attach_a(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        s = df[df["role"] == 1]
+        p = df[df["role"] == 0].drop_duplicates(["k", "o"])
+        if not len(p):
+            return schema_a.empty_table()
+        m = p[["k", "o"]].merge(s[["k", "sig"]], on="k", how="left")
+        return pa.table(
+            {
+                "id_a": pa.array(m["k"].to_numpy(), type=pa.int64()),
+                "id_b": pa.array(m["o"].to_numpy(), type=pa.int64()),
+                "sig_a": pa.array(m["sig"].tolist(), type=pa.binary()),
+            }
+        )
+
+    with_a = bucketed_apply_arrow(
+        cand.map_batches(pairs_for_a, batch_format="pyarrow").union(
+            sigs.map_batches(sigs_for_attach, batch_format="pyarrow")
+        ),
+        "k",
+        attach_a,
+        n_buckets=64,
+        empty_result=schema_a.empty_table(),
+    )
+
+    # ---- attach sig_b (id_b-keyed) + verify once per distinct pair -----
+    def pairs_for_b(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t.column("id_b"),
+                "o": t.column("id_a"),
+                "sig_a": t.column("sig_a"),
+                "sig": pa.nulls(t.num_rows, pa.binary()),
+                "role": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def sigs_for_b(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t.column("id").cast(pa.int64()),
+                "o": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                "sig_a": pa.nulls(t.num_rows, pa.binary()),
+                "sig": t.column("sig"),
+                "role": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    schema_out = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
+    )
+
+    def attach_b_verify(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        s = df[df["role"] == 1]
+        p = df[df["role"] == 0]
+        if not len(p):
+            return schema_out.empty_table()
+        m = p[["k", "o", "sig_a"]].merge(s[["k", "sig"]], on="k", how="left")
+        A = np.frombuffer(b"".join(m["sig_a"]), dtype=np.uint64).reshape(len(m), -1)
+        B = np.frombuffer(b"".join(m["sig"]), dtype=np.uint64).reshape(len(m), -1)
+        est = (A == B).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(m["o"].to_numpy()[keep], type=pa.int64()),
+                "id_b": pa.array(m["k"].to_numpy()[keep], type=pa.int64()),
+                "jaccard": pa.array(est[keep], type=pa.float64()),
+            }
+        )
+
+    return bucketed_apply_arrow(
+        with_a.map_batches(pairs_for_b, batch_format="pyarrow").union(
+            sigs.map_batches(sigs_for_b, batch_format="pyarrow")
+        ),
+        "k",
+        attach_b_verify,
+        n_buckets=64,
+        empty_result=schema_out.empty_table(),
     )
 
 

@@ -205,6 +205,40 @@ def test_minhash_salting_keeps_near_pairs(ray_session):
     assert len({find(i) for i in range(40)}) == 1
 
 
+def test_minhash_sig_transport_join_parity(ray_session):
+    """``sig_transport="join"`` (thin band rows + per-pair sig attach — the
+    100-TB transport: ~40 B/band row instead of the full num_perm*8-byte
+    signature on every one) emits IDENTICAL rows to the banded path, across
+    both hash families, duplicate floods, and salted oversized buckets."""
+    import pandas as pd
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.dedup import minhash_lsh_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [{"doc_id": i, "text": f"{base} tail{i}"} for i in range(40)]
+    rows += [{"doc_id": 100 + i, "text": "the same exact document body " * 5} for i in range(30)]
+    rows += [{"doc_id": 200 + i, "text": f"unrelated filler {i} {i * 7} {i * 13}"} for i in range(10)]
+    ds = rd.from_items(rows)
+    for hasher in ("blake2b", "md5"):
+        frames = {}
+        for mode in ("banded", "join"):
+            out = minhash_lsh_pairs(
+                ds, "text", "doc_id", threshold=0.5, max_bucket=8,
+                hasher=hasher, sig_transport=mode,
+            ).to_pandas()
+            frames[mode] = (
+                out[["id_a", "id_b", "jaccard"]]
+                .sort_values(["id_a", "id_b"])
+                .reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(frames["banded"], frames["join"])
+        # flood stays linear through the join transport too
+        dup = frames["join"]
+        dup = dup[(dup["id_a"] >= 100) & (dup["id_b"] < 200)]
+        assert len(dup) == 29 and set(dup["id_a"]) == {100}
+
+
 def test_ngram_jaccard_exact_with_duplicate_flood(ray_session):
     """Identical-set collapse keeps the output EXACT (full pair set incl.
     internal jaccard-1.0 pairs) while the inverted index holds one entry
