@@ -295,6 +295,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding", "vec_id", threshold=0.42, method="lsh",
         )
 
+    def embedding_neardup_lsh_join(sf_dir):
+        """Same LSH pipeline through the ``vec_transport="join"`` scale path
+        (thin bucket rows; vectors attached once per distinct pair) — pair
+        set is pinned identical to the banded transport by pytest parity."""
+        return D.embedding_neardup_pairs(
+            _rd(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            "embedding", "vec_id", threshold=0.42, method="lsh",
+            vec_transport="join",
+        )
+
     # -------------------------- text analysis -------------------------
     def token_stats(sf_dir):
         return _rd(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -949,6 +959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "embedding_neardup": embedding_neardup,
         "embedding_neardup_lsh": embedding_neardup_lsh,
+        "embedding_neardup_lsh_join": embedding_neardup_lsh_join,
         "scoped_completion": scoped_completion,
         "fuzzy_selfjoin_part_transposition": fuzzy_selfjoin_part_transposition,
         "fuzzy_selfjoin_part_transposition_d1": fuzzy_selfjoin_part_transposition_d1,

@@ -8,8 +8,10 @@ Datasets; shuffles are explicit:
 * ``minhash_lsh_pairs``— shingle → minhash → band → bucket groupby →
   candidate pairs → exact-jaccard verify (near-dedup)
 * ``simhash_pairs``    — 64-bit simhash, band buckets, Hamming verify
-* ``embedding_neardup_pairs`` — LSH-free cosine near-dup over an embedding
-  column (bucketed by coarse random-projection sign bits)
+* ``embedding_neardup_pairs`` — cosine near-dup over an embedding column
+  (exact broadcast-matmul baseline; random-hyperplane LSH scale path with
+  star collapse, salted hot buckets, and a thin-row ``vec_transport="join"``
+  mode that never ships vectors through the bucket exchange)
 
 Pair outputs are canonical (id_a < id_b) and deduplicated.
 """
@@ -30,14 +32,31 @@ _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 _LSH_PLANES_CACHE: dict = {}
 
 
-def _lsh_planes(dim: int, n_planes: int, n_tables: int):
-    key = (dim, n_planes, n_tables)
+def _lsh_planes(dim: int, n_planes: int, n_tables: int, seed: int = 1234):
+    key = (dim, n_planes, n_tables, seed)
     if key not in _LSH_PLANES_CACHE:
-        rng = np.random.default_rng(1234)
+        rng = np.random.default_rng(seed)
         _LSH_PLANES_CACHE[key] = [
             rng.standard_normal((dim, n_planes)) for _ in range(n_tables)
         ]
     return _LSH_PLANES_CACHE[key]
+
+
+def _vec_hash_and_salts(m_raw, m_norm):
+    """Per-row 64-bit content hash (byte-identical rows collapse to stars)
+    plus two 8-bit sign salts from EXTRA hyperplanes (distinct seed so salt
+    bits never repeat a bucket table's own key bits).  Near-dup pairs agree
+    on each extra sign bit with prob 1-θ/π, so salting an oversized bucket
+    keeps most true pairs co-salted while splitting random floods ~256-way."""
+    m_raw = np.ascontiguousarray(m_raw)
+    h = np.fromiter(
+        (hash64(r.tobytes()) for r in m_raw), dtype=np.uint64, count=len(m_raw)
+    )
+    sp = _lsh_planes(m_norm.shape[1], 8, 2, seed=99991)
+    weights = 1 << np.arange(8)
+    s0 = (((m_norm @ sp[0]) > 0) @ weights).astype(np.uint8)
+    s1 = (((m_norm @ sp[1]) > 0) @ weights).astype(np.uint8)
+    return h, s0, s1
 
 
 # ----------------------------------------------------------------------
@@ -713,9 +732,14 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, threshold: float = 0.5,
 _EXACT_MATRIX_BYTES_CAP = 256 * 1024 * 1024  # flip exact -> lsh above this
 
 
+def _norm_rows(m):
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(nrm, 1e-12)
+
+
 def embedding_neardup_pairs(
     ds, vec_col: str, id_col: str, threshold: float = 0.9, method: str = "auto",
-    n_planes: int = 8,
+    n_planes: int = 8, vec_transport: str = "auto", max_bucket: int = 512,
 ):
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
@@ -730,13 +754,35 @@ def embedding_neardup_pairs(
     ``method="auto"`` (default) picks: exact while the matrix stays under
     ``_EXACT_MATRIX_BYTES_CAP`` (row count x dim from parquet metadata +
     one peeked row — no data materialization), lsh beyond — so the default
-    never drags a 100-TB embedding table onto the driver."""
+    never drags a 100-TB embedding table onto the driver.
+
+    LSH hot-bucket discipline (mirrors :func:`minhash_lsh_pairs`): byte-wise
+    identical vectors collapse to star edges (rep = min id) instead of a
+    clique — a flood of f exact-duplicate embeddings emits O(f) rows, not
+    f²/2 — and buckets with more than ``max_bucket`` DISTINCT vectors are
+    re-salted by two extra 8-plane sign bytes (near-dups agree on extra
+    sign bits with high probability, random vectors split ~256 ways).
+
+    ``vec_transport`` picks how vectors reach the in-bucket verify:
+
+    * ``"banded"`` — the full vector rides every one of the 16 table rows
+      per doc (simple, one exchange; payload amplification 16x vec bytes).
+    * ``"join"`` — table rows carry only ``(id, bucket, vec_hash, salts)``
+      (~40 B); full vectors are attached once per DISTINCT candidate pair
+      via two id-keyed exchanges from a materialized thin vector table.
+      At web scale (dim 768 float64 ≈ 6 KB/vec → ~98 KB/doc banded) this
+      is the only sane transport.
+    * ``"auto"`` (default) — banded until the table-row exchange payload
+      would exceed 1 GiB (row count from parquet metadata, no scan)."""
     import ray
 
-    if method == "auto":
+    n_tables = 16
+    n_rows = dim = None
+    if method == "auto" or (method != "exact" and vec_transport == "auto"):
         n_rows = ds.count()  # parquet metadata / block metadata, no scan
         row = ds.take(1)
         dim = len(row[0][vec_col]) if row else 0
+    if method == "auto":
         method = "exact" if n_rows * dim * 8 <= _EXACT_MATRIX_BYTES_CAP else "lsh"
 
     def load_matrix():
@@ -745,10 +791,6 @@ def embedding_neardup_pairs(
         order = np.argsort(ids)
         m = np.array(df[vec_col].tolist(), dtype=np.float64)[order]
         return ids[order], _norm_rows(m)
-
-    def _norm_rows(m):
-        nrm = np.linalg.norm(m, axis=1, keepdims=True)
-        return m / np.maximum(nrm, 1e-12)
 
     if method == "exact":
         ids, mat = load_matrix()
@@ -780,41 +822,116 @@ def embedding_neardup_pairs(
     # pair at angle θ, hit prob = 1-(1-(1-θ/π)^k)^L — sized for the
     # near-duplicate regime (cosine >= ~0.85); low-threshold searches
     # should use method="exact".
-    n_tables = 16
+    if vec_transport == "auto":
+        banded_bytes = n_rows * n_tables * (dim * 8 + 40)
+        vec_transport = (
+            "join" if banded_bytes > _BANDED_SIG_EXCHANGE_CAP else "banded"
+        )
+    if vec_transport == "join":
+        return _embedding_pairs_vec_join(
+            ds, vec_col, id_col, threshold, n_planes, n_tables, max_bucket
+        )
 
     def bucketize(t: pa.Table) -> pa.Table:
-        m = _norm_rows(np.array(t.column(vec_col).to_pylist(), dtype=np.float64))
+        raw = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        if raw.ndim != 2 or raw.shape[0] == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "id": pa.array([], type=pa.int64()),
+                    "vec": pa.array([], type=pa.list_(pa.float64())),
+                    "h": pa.array([], type=pa.uint64()),
+                    "s0": pa.array([], type=pa.uint8()),
+                    "s1": pa.array([], type=pa.uint8()),
+                }
+            )
+        m = _norm_rows(raw)
         # plane matrices are deterministic (seeded) and shared by every
         # batch: built once per worker process via the module-level cache,
         # not regenerated per batch
         planes_all = _lsh_planes(m.shape[1], n_planes, n_tables)
-        out_bucket, out_idx = [], []
+        h, s0, s1 = _vec_hash_and_salts(raw, m)
+        nb = m.shape[0]
+        out_bucket = np.empty(n_tables * nb, dtype=np.int64)
         for table_id in range(n_tables):
             bits = (m @ planes_all[table_id]) > 0
             keys = (bits * (1 << np.arange(n_planes))).sum(axis=1)
-            out_bucket.extend((np.int64(table_id) << 32 | keys).tolist())
-            out_idx.extend(range(m.shape[0]))
-        ids = t.column(id_col).to_pylist()
+            out_bucket[table_id * nb:(table_id + 1) * nb] = (
+                np.int64(table_id) << 32
+            ) | keys
+        ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
         vecs = t.column(vec_col).to_pylist()
+        tile = np.tile(np.arange(nb), n_tables)
         return pa.table(
             {
                 "bucket": pa.array(out_bucket, type=pa.int64()),
-                "id": pa.array([ids[i] for i in out_idx]),
-                "vec": pa.array([vecs[i] for i in out_idx]),
+                "id": pa.array(ids[tile]),
+                "vec": pa.array([vecs[i] for i in tile]),
+                "h": pa.array(h[tile]),
+                "s0": pa.array(s0[tile]),
+                "s1": pa.array(s1[tile]),
             }
         )
 
+    _empty_pairs = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return _empty_pairs
         g = g.sort_values("id")
-        ids = g["id"].to_numpy()
-        m = _norm_rows(np.array(g["vec"].tolist(), dtype=np.float64))
-        sims = m @ m.T
-        ii, jj = np.nonzero(np.triu(sims >= threshold, 1))
-        return pd.DataFrame(
-            {"id_a": ids[ii], "id_b": ids[jj], "cosine": sims[ii, jj]}
-        )
+        out = []
+        # star collapse: byte-identical vectors pair only with their rep
+        # (min id) — a flood of f exact-dup embeddings emits f-1 rows
+        rep = g.groupby("h", sort=False)["id"].transform("min")
+        member = g["id"].to_numpy()
+        star = member != rep.to_numpy()
+        if star.any():
+            sv = _norm_rows(np.array(g["vec"][star].tolist(), dtype=np.float64))
+            out.append(
+                pd.DataFrame(
+                    {
+                        "id_a": rep.to_numpy()[star],
+                        "id_b": member[star],
+                        "cosine": (sv * sv).sum(axis=1),
+                    }
+                )
+            )
+        dd = g.drop_duplicates("h", keep="first")  # id-sorted -> rep rows
+
+        def allpairs(sub: pd.DataFrame):
+            if len(sub) < 2:
+                return None
+            ids = sub["id"].to_numpy()
+            m = _norm_rows(np.array(sub["vec"].tolist(), dtype=np.float64))
+            sims = m @ m.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, 1))
+            if not len(ii):
+                return None
+            return pd.DataFrame(
+                {"id_a": ids[ii], "id_b": ids[jj], "cosine": sims[ii, jj]}
+            )
+
+        if len(dd) > max_bucket:
+            # oversized bucket: re-salt by the two extra sign bytes (true
+            # near-dups mostly co-salt; random floods split ~256-way)
+            for col in ("s0", "s1"):
+                for _, sub in dd.groupby(col, sort=False):
+                    r = allpairs(sub)
+                    if r is not None:
+                        out.append(r)
+        else:
+            r = allpairs(dd)
+            if r is not None:
+                out.append(r)
+        if not out:
+            return _empty_pairs
+        return pd.concat(out, ignore_index=True).drop_duplicates(["id_a", "id_b"])
 
     from .grouped import bucketed_apply
 
@@ -824,4 +941,237 @@ def embedding_neardup_pairs(
         pairs,
         ["id_a", "id_b"],
         lambda df: df.groupby(["id_a", "id_b"], as_index=False)["cosine"].max(),
+        empty_result=_empty_pairs,
+    )
+
+
+def _embedding_pairs_vec_join(ds, vec_col, id_col, threshold, n_planes,
+                              n_tables, max_bucket):
+    """``vec_transport="join"`` body of :func:`embedding_neardup_pairs` —
+    same candidate discipline as the banded path (star collapse on identical
+    vectors, salted oversized buckets), but table rows through the bucket
+    exchange are THIN ``(id, bucket, h, s0, s1)`` (~40 B instead of
+    40 + dim·8 B, a 16x-amplified saving at dim 768); full (normalized)
+    vectors are attached once per DISTINCT candidate pair via two id-keyed
+    exchanges from a materialized thin vector table, mirroring
+    :func:`_minhash_pairs_sig_join`."""
+    from .grouped import bucketed_apply, bucketed_apply_arrow
+
+    sign_schema = pa.schema(
+        [
+            ("id", pa.int64()),
+            ("vb", pa.binary()),
+            ("h", pa.uint64()),
+            ("s0", pa.uint8()),
+            ("s1", pa.uint8()),
+        ]
+    )
+
+    def sign_vecs(t: pa.Table) -> pa.Table:
+        raw = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        if raw.ndim != 2 or raw.shape[0] == 0:
+            return sign_schema.empty_table()
+        m = _norm_rows(raw)
+        h, s0, s1 = _vec_hash_and_salts(raw, m)
+        return pa.table(
+            {
+                "id": t.column(id_col).cast(pa.int64()),
+                "vb": pa.array([r.tobytes() for r in m], type=pa.binary()),
+                "h": pa.array(h),
+                "s0": pa.array(s0),
+                "s1": pa.array(s1),
+            }
+        )
+
+    # the ONE deliberate materialization: dim*8 B/doc, consumed by the
+    # bucket explode and both attach exchanges; spills via the object store
+    vecs = ds.map_batches(sign_vecs, batch_format="pyarrow").materialize()
+
+    bucket_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("id", pa.int64()),
+            ("h", pa.uint64()),
+            ("s0", pa.uint8()),
+            ("s1", pa.uint8()),
+        ]
+    )
+
+    def explode_tables(t: pa.Table) -> pa.Table:
+        nb = t.num_rows
+        if nb == 0:
+            return bucket_schema.empty_table()
+        m = np.frombuffer(
+            b"".join(t.column("vb").to_pylist()), dtype=np.float64
+        ).reshape(nb, -1)
+        planes_all = _lsh_planes(m.shape[1], n_planes, n_tables)
+        buckets = np.empty(n_tables * nb, dtype=np.int64)
+        for table_id in range(n_tables):
+            bits = (m @ planes_all[table_id]) > 0
+            keys = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+            buckets[table_id * nb:(table_id + 1) * nb] = (
+                np.int64(table_id) << 32
+            ) | keys
+        tile = np.tile(np.arange(nb), n_tables)
+        return pa.table(
+            {
+                "bucket": pa.array(buckets),
+                "id": pa.array(t.column("id").to_numpy()[tile]),
+                "h": pa.array(t.column("h").to_numpy()[tile]),
+                "s0": pa.array(t.column("s0").to_numpy()[tile]),
+                "s1": pa.array(t.column("s1").to_numpy()[tile]),
+            }
+        )
+
+    _empty_cand = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    )
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # mirrors the banded verify's candidate logic with vec -> (h, s0, s1):
+        # identical hashes collapse to stars, oversized buckets re-salted.
+        # Pairs leave UNVERIFIED (cosine needs the vectors, attached
+        # downstream once per distinct pair).
+        df = df.drop_duplicates(["bucket", "id"])
+        rep = df.groupby(["bucket", "h"], sort=False)["id"].transform("min")
+        member = df["id"].to_numpy()
+        star = member != rep.to_numpy()
+        stars = pd.DataFrame(
+            {"id_a": rep.to_numpy()[star], "id_b": member[star]}
+        ).drop_duplicates(["id_a", "id_b"])
+
+        dd = df.groupby(["bucket", "h"], as_index=False, sort=False).agg(
+            id=("id", "min"), s0=("s0", "first"), s1=("s1", "first")
+        )
+        sizes = dd.groupby("bucket", sort=False)["h"].transform("size")
+        small = dd[sizes <= max_bucket]
+        big = dd[sizes > max_bucket]
+        if len(big):
+            salted = []
+            for view, col in enumerate(("s0", "s1")):
+                b = big.copy()
+                b["bucket"] = [
+                    f"{k}#v{view}|{s:02x}" for k, s in zip(b["bucket"], b[col])
+                ]
+                salted.append(b)
+            dd = pd.concat([small, *salted], ignore_index=True)
+        else:
+            dd = small
+
+        m = dd.merge(dd[["bucket", "id"]], on="bucket", suffixes=("_a", "_b"))
+        m = m[m["id_a"] < m["id_b"]].drop_duplicates(["id_a", "id_b"])
+        out = m[["id_a", "id_b"]]
+        return pd.concat([stars, out], ignore_index=True) if len(stars) else out
+
+    cand = bucketed_apply(
+        vecs.map_batches(explode_tables, batch_format="pyarrow"),
+        "bucket",
+        pairs_in_bucket,
+        empty_result=_empty_cand,
+    )
+
+    # ---- attach vb_a (id_a-keyed; global pair dedup happens here) ------
+    def pairs_for_a(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t.column("id_a").cast(pa.int64()),
+                "o": t.column("id_b").cast(pa.int64()),
+                "vb": pa.nulls(t.num_rows, pa.binary()),
+                "role": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def vecs_for_attach(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t.column("id").cast(pa.int64()),
+                "o": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                "vb": t.column("vb"),
+                "role": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    schema_a = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("vb_a", pa.binary())]
+    )
+
+    def attach_a(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        s = df[df["role"] == 1]
+        p = df[df["role"] == 0].drop_duplicates(["k", "o"])
+        if not len(p):
+            return schema_a.empty_table()
+        m = p[["k", "o"]].merge(s[["k", "vb"]], on="k", how="left")
+        return pa.table(
+            {
+                "id_a": pa.array(m["k"].to_numpy(), type=pa.int64()),
+                "id_b": pa.array(m["o"].to_numpy(), type=pa.int64()),
+                "vb_a": pa.array(m["vb"].tolist(), type=pa.binary()),
+            }
+        )
+
+    with_a = bucketed_apply_arrow(
+        cand.map_batches(pairs_for_a, batch_format="pyarrow").union(
+            vecs.map_batches(vecs_for_attach, batch_format="pyarrow")
+        ),
+        "k",
+        attach_a,
+        n_buckets=64,
+        empty_result=schema_a.empty_table(),
+    )
+
+    # ---- attach vb_b (id_b-keyed) + verify once per distinct pair ------
+    def pairs_for_b(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t.column("id_b"),
+                "o": t.column("id_a"),
+                "vb_a": t.column("vb_a"),
+                "vb": pa.nulls(t.num_rows, pa.binary()),
+                "role": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def vecs_for_b(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t.column("id").cast(pa.int64()),
+                "o": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                "vb_a": pa.nulls(t.num_rows, pa.binary()),
+                "vb": t.column("vb"),
+                "role": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    schema_out = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("cosine", pa.float64())]
+    )
+
+    def attach_b_verify(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        s = df[df["role"] == 1]
+        p = df[df["role"] == 0]
+        if not len(p):
+            return schema_out.empty_table()
+        m = p[["k", "o", "vb_a"]].merge(s[["k", "vb"]], on="k", how="left")
+        A = np.frombuffer(b"".join(m["vb_a"]), dtype=np.float64).reshape(len(m), -1)
+        B = np.frombuffer(b"".join(m["vb"]), dtype=np.float64).reshape(len(m), -1)
+        cos = (A * B).sum(axis=1)
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(m["o"].to_numpy()[keep], type=pa.int64()),
+                "id_b": pa.array(m["k"].to_numpy()[keep], type=pa.int64()),
+                "cosine": pa.array(cos[keep], type=pa.float64()),
+            }
+        )
+
+    return bucketed_apply_arrow(
+        with_a.map_batches(pairs_for_b, batch_format="pyarrow").union(
+            vecs.map_batches(vecs_for_b, batch_format="pyarrow")
+        ),
+        "k",
+        attach_b_verify,
+        n_buckets=64,
+        empty_result=schema_out.empty_table(),
     )

@@ -116,6 +116,38 @@ def test_embedding_neardup_exact_and_lsh(ray_session):
     assert len(got_lsh & want) / len(want) >= 0.95  # amplified recall
 
 
+def test_embedding_vec_transport_join_parity(ray_session):
+    """``vec_transport="join"`` (thin ``(id, bucket, h, salts)`` table rows +
+    per-distinct-pair vector attach — the 100-TB transport: ~40 B/row instead
+    of dim*8 B on every one of the 16 table rows per doc) emits the SAME pair
+    set as the banded path, including identical-vector star collapse and
+    salted oversized buckets; cosines agree to float ulps (matmul vs
+    elementwise-dot summation order)."""
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.dedup import embedding_neardup_pairs
+
+    rows = _clustered_vectors()
+    # flood: 80 byte-identical copies of one extra vector
+    base = rows[0]["embedding"]
+    rows = rows + [{"vec_id": 10_000 + j, "embedding": list(base)} for j in range(80)]
+    ds = rd.from_items(rows)
+    frames = {}
+    for mode in ("banded", "join"):
+        out = embedding_neardup_pairs(
+            ds, "embedding", "vec_id", threshold=0.9, method="lsh",
+            vec_transport=mode, max_bucket=16,
+        ).to_pandas()
+        frames[mode] = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b, j = frames["banded"], frames["join"]
+    assert list(zip(b["id_a"], b["id_b"])) == list(zip(j["id_a"], j["id_b"]))
+    assert float(abs(b["cosine"].to_numpy() - j["cosine"].to_numpy()).max()) < 1e-9
+    # flood stays linear: rep (vec_id 0, the byte-identical min id) stars
+    flood = j[(j["id_b"] >= 10_000)]
+    assert len(flood) == 80 and set(flood["id_a"]) == {0}
+    assert (flood["cosine"] > 0.999999).all()
+
+
 # ----------------------------------------------------------------------
 def test_scoped_completion_visibility(ray_session):
     import ray.data as rd
