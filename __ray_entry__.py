@@ -90,6 +90,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def fuzzy_selfjoin_part(sf_dir):
         return F.fuzzy_self_join(_rd(sf_dir, "part", ["p_name"]), "p_name", n=2)
 
+    def fuzzy_selfjoin_part_arraytrie(sf_dir):
+        """Same join through the CSR ArrayTrie backend (the reference's
+        DoubleArrayTrie default-backend role, double_array_trie.rs:204) —
+        per-bucket level-synchronous automaton walk instead of the banded
+        DP; shares fuzzy_selfjoin_part's SQL oracle."""
+        return F.fuzzy_self_join(_rd(sf_dir, "part", ["p_name"]), "p_name",
+                                 n=2, engine="arraytrie")
+
     def fuzzy_selfjoin_customer(sf_dir):
         return F.fuzzy_self_join(_rd(sf_dir, "customer", ["c_name"]), "c_name", n=1)
 
@@ -115,6 +123,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def fuzzy_lookup_parts(sf_dir):
         part = _rd(sf_dir, "part", ["p_partkey", "p_name"])
         return F.fuzzy_lookup_agg(part, part, "p_name", "p_name", "p_partkey", n=1)
+
+    def fuzzy_lookup_parts_pathmap(sf_dir):
+        """Same multimap lookup with the mapped-dictionary backend: hits
+        resolve their payload through MappedTrie.get (the reference's
+        ``PathMapDictionary<V>`` surface, pathmap.rs:44) instead of a side
+        table; shares fuzzy_lookup_parts's SQL oracle."""
+        part = _rd(sf_dir, "part", ["p_partkey", "p_name"])
+        return F.fuzzy_lookup_agg(part, part, "p_name", "p_name", "p_partkey",
+                                  n=1, backend="path_map")
 
     def fuzzy_topk_part(sf_dir):
         """Ordered/ranked fuzzy matches: 3 nearest other part names, d<=2."""
@@ -215,6 +232,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     for cand in kq(trie, p, 0, prefix_mode=True):
                         out_p.append(p)
                         out_t.append(cand.term)
+            return pd.DataFrame({"prefix": pd.Series(out_p, dtype="object"),
+                                 "term": pd.Series(out_t, dtype="object")})
+
+        return bucketed_apply(
+            _vocab_ds(sf_dir).map_batches(add_c0, batch_format="pyarrow"),
+            "c0",
+            expand,
+            empty_result=pd.DataFrame({"prefix": pd.Series(dtype="object"),
+                                       "term": pd.Series(dtype="object")}),
+        )
+
+    def prefix_search_tokens_zipper(sf_dir):
+        """Same prefix expansion through the zipper surface
+        (``with_prefix`` over an ArrayTrie — the contiguous-slice
+        PrefixZipper path, kernel/zipper.py; reference
+        prefix_zipper.rs:1-50): O(log n) descent + O(m) subtree iteration
+        per prefix instead of an automaton walk; shares
+        prefix_search_tokens's SQL oracle."""
+        import pandas as pd
+
+        from liblevenshtein_rust_ray.kernel.arraytrie import ArrayTrie
+        from liblevenshtein_rust_ray.kernel.zipper import with_prefix
+        from liblevenshtein_rust_ray.stages.grouped import bucketed_apply
+
+        def add_c0(t: pa.Table) -> pa.Table:
+            toks = t.column("tok").to_pylist()
+            return pa.table({
+                "tok": t.column("tok"),
+                "c0": pa.array([x[:1] for x in toks], type=pa.string()),
+            })
+
+        def expand(df: pd.DataFrame) -> pd.DataFrame:
+            out_p, out_t = [], []
+            for _c, g in df.groupby("c0", sort=False):
+                toks = sorted(set(g["tok"]))
+                at = ArrayTrie.from_terms(toks, presorted=True)
+                for p in sorted({x[:3] for x in toks if len(x) >= 3}):
+                    it = with_prefix(at, p)
+                    if it is None:
+                        continue
+                    for term, _v in it:
+                        out_p.append(p)
+                        out_t.append(term)
             return pd.DataFrame({"prefix": pd.Series(out_p, dtype="object"),
                                  "term": pd.Series(out_t, dtype="object")})
 
@@ -938,9 +998,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "fuzzy_selfjoin_part": fuzzy_selfjoin_part,
+        "fuzzy_selfjoin_part_arraytrie": fuzzy_selfjoin_part_arraytrie,
         "fuzzy_selfjoin_customer": fuzzy_selfjoin_customer,
         "fuzzy_vocab_pairs": fuzzy_vocab_pairs,
         "fuzzy_lookup_parts": fuzzy_lookup_parts,
+        "fuzzy_lookup_parts_pathmap": fuzzy_lookup_parts_pathmap,
         "fuzzy_lookup_parts_filtered": fuzzy_lookup_parts_filtered,
         "fuzzy_lookup_parts_valueset": fuzzy_lookup_parts_valueset,
         "fuzzy_topk_part": fuzzy_topk_part,
@@ -950,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_positions_d0": substring_positions_d0,
         "substring_positions_d1": substring_positions_d1,
         "prefix_search_tokens": prefix_search_tokens,
+        "prefix_search_tokens_zipper": prefix_search_tokens_zipper,
         "exact_dedup_part": exact_dedup_part,
         "minhash_neardup_docs": minhash_neardup_docs,
         "minhash_neardup_docs_md5": minhash_neardup_docs_md5,
@@ -1199,7 +1262,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT DISTINCT t.tok FROM documents, "
         "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)"
     )
-    return {
+    sql = {
         "fuzzy_selfjoin_part": """
             WITH d AS (SELECT DISTINCT p_name FROM part)
             SELECT a.p_name AS val_a, b.p_name AS val_b,
@@ -1638,3 +1701,10 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
     }
+    # backend variants compute the SAME relation through a different
+    # dictionary structure (ArrayTrie / MappedTrie / zipper) — identical
+    # oracle by construction
+    sql["fuzzy_selfjoin_part_arraytrie"] = sql["fuzzy_selfjoin_part"]
+    sql["fuzzy_lookup_parts_pathmap"] = sql["fuzzy_lookup_parts"]
+    sql["prefix_search_tokens_zipper"] = sql["prefix_search_tokens"]
+    return sql

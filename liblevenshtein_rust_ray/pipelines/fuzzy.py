@@ -91,7 +91,7 @@ def _distinct(ds, col: str):
 
 def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD, subst=None,
                     pair_scorer=None, max_score=None, len_diff=None,
-                    score_dtype: str = "int64"):
+                    score_dtype: str = "int64", engine: str = "auto"):
     """Dataset[(val_a, val_b, distance)] over distinct values of ``col``,
     val_a < val_b, distance <= n.  ``subst`` grants zero-cost substitutions
     (kernel.substitution presets).
@@ -100,7 +100,12 @@ def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD, subst=N
     engine into the same length-bucketed distributed plan (weighted
     operation sets, universal automaton — see ``_vec_self_pairs``);
     ``score_dtype`` pins the output distance dtype (float64 for weighted
-    cost models)."""
+    cost models).
+
+    ``engine`` selects the per-bucket scorer: ``"auto"`` (vectorized
+    banded DP with automaton fallback) or ``"arraytrie"`` (the CSR
+    DoubleArrayTrie-role backend, kernel/arraytrie.py — the reference's
+    fast default backend, src/dictionary/double_array_trie.rs:204)."""
     eff_len = n if len_diff is None else len_diff
 
     def explode(t: pa.Table) -> pa.Table:
@@ -119,6 +124,21 @@ def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD, subst=N
         vals = sorted(set(g["val"]))
         a_out, b_out, d_out = [], [], []
         if len(vals) > 1:
+            if engine == "arraytrie":
+                from ..kernel.arraytrie import ArrayTrie, batched_query
+
+                at = ArrayTrie.from_terms(vals, presorted=True)
+                for q in vals:
+                    for term, dist in batched_query(at, q, n, algorithm,
+                                                    subst=subst):
+                        if term > q:
+                            a_out.append(q)
+                            b_out.append(term)
+                            d_out.append(dist)
+                return pd.DataFrame(
+                    {"val_a": pd.Series(a_out, dtype="object"),
+                     "val_b": pd.Series(b_out, dtype="object"),
+                     "distance": pd.Series(d_out, dtype=score_dtype)})
             vec = _vec_self_pairs(vals, n, algorithm, subst,
                                   pair_scorer=pair_scorer, max_score=max_score,
                                   len_diff=len_diff)
@@ -353,7 +373,7 @@ def substring_positions(ds, text_col: str, id_col: str, pattern: str, n: int = 1
 
 def fuzzy_lookup_agg(queries, dictionary, query_col: str, term_col: str,
                      value_col: str, n: int = 1, algorithm: str = STANDARD,
-                     value_pred=None):
+                     value_pred=None, backend: str = "trie"):
     """FuzzyMultiMap: per query, the sorted-distinct union of payload values
     of ALL dictionary terms within distance n, comma-joined (plus match
     count and min distance) — mirrors union-semantics multimap lookups.
@@ -364,7 +384,13 @@ def fuzzy_lookup_agg(queries, dictionary, query_col: str, term_col: str,
     (a term with no surviving values disappears entirely), so filtered
     branches are never traversed — the reference prunes during traversal;
     pruning the broadcast dictionary gives the same visible semantics one
-    step earlier."""
+    step earlier.
+
+    ``backend`` picks the per-actor dictionary structure: ``"trie"``
+    (default), ``"path_map"`` (MappedTrie — values resolved through the
+    mapped-dictionary surface itself, the reference's
+    ``PathMapDictionary<V>`` role, src/dictionary/pathmap.rs:44), or
+    ``"array_trie"`` (CSR trie + level-synchronous batched query)."""
     import ray
 
     # dictionary term -> sorted distinct values, broadcast (small side)
@@ -388,19 +414,42 @@ def fuzzy_lookup_agg(queries, dictionary, query_col: str, term_col: str,
         def __call__(self, batch: pa.Table) -> pa.Table:
             if self.tv is None:
                 self.tv = ray.get(ref)
-                self.trie = build_trie(sorted(self.tv))
+                if backend == "path_map":
+                    from ..kernel.pathmap import MappedTrie
+
+                    self.trie = MappedTrie(
+                        (t, frozenset(vs)) for t, vs in sorted(self.tv.items()))
+                elif backend == "array_trie":
+                    from ..kernel.arraytrie import ArrayTrie
+
+                    self.trie = ArrayTrie.from_terms(sorted(self.tv),
+                                                     presorted=True)
+                else:
+                    self.trie = build_trie(sorted(self.tv))
             out_q, out_v, out_c, out_d = [], [], [], []
+            if backend == "array_trie":
+                from ..kernel.arraytrie import batched_query as _bq
+
+                def hits(q):
+                    return _bq(self.trie, q, n, algorithm)
+            else:
+                def hits(q):
+                    return ((c.term, c.distance)
+                            for c in kernel_query(self.trie, q, n, algorithm))
             for q in batch.column(query_col).to_pylist():
                 if q is None:
                     continue
                 vals: set = set()
                 cnt = 0
                 mind = None
-                for cand in kernel_query(self.trie, q, n, algorithm):
-                    vals |= self.tv[cand.term]
+                for term, dist in hits(q):
+                    if backend == "path_map":
+                        vals |= self.trie.get(term)
+                    else:
+                        vals |= self.tv[term]
                     cnt += 1
-                    if mind is None or cand.distance < mind:
-                        mind = cand.distance
+                    if mind is None or dist < mind:
+                        mind = dist
                 out_q.append(q)
                 out_v.append(",".join(sorted(vals)))
                 out_c.append(cnt)
