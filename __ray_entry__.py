@@ -350,10 +350,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["id_a", "id_b"])
 
     def embedding_neardup_lsh(sf_dir):
+        """LSH sign-bucket near-dup pairs; id columns only so the exact
+        plane-literal SQL oracle compares pair SETS, not float cosines."""
         return D.embedding_neardup_pairs(
             _rd(sf_dir, "embeddings", ["vec_id", "embedding"]),
             "embedding", "vec_id", threshold=0.42, method="lsh",
-        )
+        ).select_columns(["id_a", "id_b"])
 
     def embedding_neardup_lsh_join(sf_dir):
         """Same LSH pipeline through the ``vec_transport="join"`` scale path
@@ -1106,6 +1108,57 @@ def _langid_oracle_sql() -> str:
     """
 
 
+def _embedding_lsh_oracle_sql(dim: int = 64, threshold: float = 0.42) -> str:
+    """The sign-bucket embedding-LSH pipeline as SQL, generated from the
+    SAME seeded hyperplane matrices the Ray stage uses
+    (stages.dedup._lsh_planes) so the two can't drift: 16 tables x 8
+    hyperplane sign bits -> per-table bucket keys over byte-identical-vector
+    class representatives -> candidate pairs co-bucketed in >=1 table ->
+    exact cosine verify, plus identical-vector stars (rep = min id).
+    Covers the un-salted regime (every bucket under max_bucket distinct
+    vectors — always true at the driver's sf0.01 scale: 500 vectors).
+    Sign bits use the raw vector (sign(v.p) = sign((v/|v|).p)); the only
+    divergence risk is a dot product within float ulp of 0."""
+    from liblevenshtein_rust_ray.stages.dedup import _lsh_planes
+
+    planes = _lsh_planes(dim, 8, 16)
+    rows = []
+    for tid in range(16):
+        for pid in range(8):
+            vec = ", ".join(repr(float(x)) for x in planes[tid][:, pid])
+            rows.append(f"({tid}, {pid}, [{vec}])")
+    values = ",\n             ".join(rows)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                          CAST(embedding AS VARCHAR) AS cls
+                   FROM embeddings),
+             c AS (SELECT vec_id, v,
+                          min(vec_id) OVER (PARTITION BY cls) AS rep
+                   FROM e),
+             stars AS (SELECT rep AS id_a, vec_id AS id_b
+                       FROM c WHERE vec_id <> rep),
+             reps AS (SELECT vec_id, v FROM c WHERE vec_id = rep),
+             pl(tid, pid, p) AS (VALUES {values}),
+             keys AS (SELECT r.vec_id, pl.tid,
+                             sum(CASE WHEN list_dot_product(r.v, pl.p) > 0
+                                      THEN 1 << pl.pid ELSE 0 END) AS key
+                      FROM reps r CROSS JOIN pl
+                      GROUP BY r.vec_id, pl.tid),
+             cand AS (SELECT DISTINCT k1.vec_id AS id_a, k2.vec_id AS id_b
+                      FROM keys k1 JOIN keys k2
+                        ON k1.tid = k2.tid AND k1.key = k2.key
+                           AND k1.vec_id < k2.vec_id),
+             ver AS (SELECT c2.id_a, c2.id_b
+                     FROM cand c2
+                     JOIN reps a ON a.vec_id = c2.id_a
+                     JOIN reps b ON b.vec_id = c2.id_b
+                     WHERE list_cosine_similarity(a.v, b.v) >= {threshold})
+        SELECT id_a, id_b FROM ver
+        UNION
+        SELECT id_a, id_b FROM stars
+    """
+
+
 def _minhash_md5_oracle_sql() -> str:
     """The full MinHash-LSH pipeline as SQL, generated from the SAME md5
     permutation constants the Ray stage uses (functions.minhash
@@ -1707,4 +1760,5 @@ def oracle_sql() -> dict[str, str]:
     sql["fuzzy_selfjoin_part_arraytrie"] = sql["fuzzy_selfjoin_part"]
     sql["fuzzy_lookup_parts_pathmap"] = sql["fuzzy_lookup_parts"]
     sql["prefix_search_tokens_zipper"] = sql["prefix_search_tokens"]
+    sql["embedding_neardup_lsh"] = _embedding_lsh_oracle_sql()
     return sql
