@@ -699,12 +699,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["query_id", "match_id", "rank"])
 
     def ann_lsh_topk_q(sf_dir):
-        """LSH-bucketed ANN (the scale path; approximate, rows-only —
-        recall vs the brute-force baseline is pinned in tests)."""
+        """LSH-bucketed ANN (the scale path): approximate by bucket
+        pruning, but DETERMINISTIC — checked against the plane-literal SQL
+        oracle (rank-only; float sims dropped); recall vs the brute-force
+        baseline is additionally pinned in tests."""
         from liblevenshtein_rust_ray.stages.similarity import ann_lsh_topk
 
         ds = _rd(sf_dir, "embeddings", ["vec_id", "embedding"])
-        return ann_lsh_topk(ds, _load_queries(sf_dir), k=5)
+        return ann_lsh_topk(ds, _load_queries(sf_dir), k=5).select_columns(
+            ["query_id", "match_id", "rank"])
 
     def ann_ivf_topk_q(sf_dir):
         """IVF centroid-partitioned ANN (approximate scale path)."""
@@ -1156,6 +1159,48 @@ def _embedding_lsh_oracle_sql(dim: int = 64, threshold: float = 0.42) -> str:
         SELECT id_a, id_b FROM ver
         UNION
         SELECT id_a, id_b FROM stars
+    """
+
+
+def _ann_lsh_oracle_sql(dim: int = 64, k: int = 5, probe_hamming: int = 1) -> str:
+    """The LSH-pruned ANN pipeline as SQL, with the stage's own seeded
+    hyperplanes (stages.similarity ann_lsh_topk: RandomState(42).randn)
+    embedded as literals: 8 sign bits per vector -> candidates within
+    ``probe_hamming`` bits of the query bucket -> exact cosine top-k with
+    (sim DESC, match_id) tie order.  rank-only output (float sims are
+    dropped by the driver query)."""
+    import numpy as np
+
+    planes = np.random.RandomState(42).randn(8, dim)
+    rows = []
+    for pid in range(8):
+        vec = ", ".join(repr(float(x)) for x in planes[pid])
+        rows.append(f"({pid}, [{vec}])")
+    values = ",\n             ".join(rows)
+    return f"""
+        WITH pl(pid, p) AS (VALUES {values}),
+             e AS (SELECT vec_id, embedding,
+                          CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+             b AS (SELECT e.vec_id,
+                          CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                                        THEN 1 << pl.pid ELSE 0 END)
+                               AS BIGINT) AS bkt
+                   FROM e CROSS JOIN pl GROUP BY e.vec_id),
+             q AS (SELECT e.vec_id, e.embedding, b.bkt
+                   FROM e JOIN b ON b.vec_id = e.vec_id
+                   WHERE e.vec_id < {k}),
+             s AS (SELECT q.vec_id AS query_id, e2.vec_id AS match_id,
+                          list_cosine_similarity(q.embedding, e2.embedding) AS sim
+                   FROM q
+                   JOIN b b2 ON bit_count(xor(q.bkt, b2.bkt)) <= {probe_hamming}
+                   JOIN e e2 ON e2.vec_id = b2.vec_id)
+        SELECT query_id, match_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, match_id) AS BIGINT) AS rank
+        FROM s
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, match_id) <= {k}
     """
 
 
@@ -1761,4 +1806,5 @@ def oracle_sql() -> dict[str, str]:
     sql["fuzzy_lookup_parts_pathmap"] = sql["fuzzy_lookup_parts"]
     sql["prefix_search_tokens_zipper"] = sql["prefix_search_tokens"]
     sql["embedding_neardup_lsh"] = _embedding_lsh_oracle_sql()
+    sql["ann_lsh_topk"] = _ann_lsh_oracle_sql()
     return sql
