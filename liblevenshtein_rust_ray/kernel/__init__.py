@@ -37,6 +37,7 @@ from .dawg import Trie, Dawg, build_trie, build_dawg
 from .arraytrie import ArrayTrie, batched_query, build_array_trie
 from .pathmap import MappedTrie, build_mapped_trie
 from .zipper import Zipper, with_prefix
+from .bloom import BloomFilter, BloomBackedDict
 from .query import query, ordered_query, Candidate
 from .automaton import LevenshteinAutomaton
 from .builder import TransducerBuilder, QueryBuilder, Transducer, BuilderError

@@ -144,6 +144,29 @@ def test_fuzzy_join_two_sided():
     }
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_self_join_arraytrie_engine_parity():
+    """engine="arraytrie" (CSR-trie automaton walk) must emit exactly the
+    pairs the default vectorized engine does, per algorithm."""
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.pipelines.fuzzy import fuzzy_self_join
+
+    vocab = [
+        "scan", "span", "spam", "scant", "merge", "merges", "mere",
+        "liter", "litre", "tiler", "ab", "ba", "abc", "cab", "x",
+        "receive", "recieve", "sépar", "separ",
+    ]
+    ds = rd.from_items([{"w": w} for w in vocab])
+    for algo in ("standard", "transposition"):
+        base = fuzzy_self_join(ds, "w", n=2, algorithm=algo).to_pandas()
+        at = fuzzy_self_join(ds, "w", n=2, algorithm=algo,
+                             engine="arraytrie").to_pandas()
+        key = lambda df: sorted(map(tuple, df[["val_a", "val_b", "distance"]]
+                                    .itertuples(index=False)))
+        assert key(base) == key(at), algo
+
+
 def test_multimodal_actor_pool(ray_session):
     """concurrency engages the actor-pool form of the decode stage; output
     identical to the task form."""
