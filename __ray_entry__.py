@@ -723,6 +723,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return spelling_recall(_vocab_ds(sf_dir), "tok", n=2, per_word=2)
 
+    def vocab_membership(sf_dir):
+        """Bloom-screened dictionary membership of every distinct corpus
+        token against the reference's real 124k-word dictionary (broadcast
+        once; per-actor Bloom+ArrayTrie, vectorized contains_batch) — the
+        negative-lookup path a denylist/allowlist screen runs at 100 TB.
+        Oracle: SQL IN over the same dictionary written as parquet."""
+        from liblevenshtein_rust_ray.pipelines.spelling import (
+            dictionary_membership, load_dictionary_words)
+
+        return dictionary_membership(_vocab_ds(sf_dir), "tok",
+                                     load_dictionary_words())
+
     def corpus_recall_real(sf_dir):
         """The reference's corpus-validation gate over its REAL bundled
         dictionary (data/english_words.txt, 124k words,
@@ -1046,6 +1058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann_lsh_topk_q,
         "ann_ivf_topk": ann_ivf_topk_q,
         "spelling_recall": spelling_recall_q,
+        "vocab_membership": vocab_membership,
         "corpus_recall_real": corpus_recall_real,
         "token_stats": token_stats,
         "quality_docs": quality_docs,
@@ -1351,11 +1364,32 @@ def _substring_d1_oracle_sql(pattern: str = "custoner") -> str:
     """
 
 
+def _dict_parquet_path() -> str:
+    """The reference's real dictionary as a cached one-column parquet so
+    SQL oracles can join against it by path (same device as the corpus
+    cache; written once, deterministic)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from liblevenshtein_rust_ray.pipelines.spelling import load_dictionary_words
+
+    path = os.path.join(_CORPUS_CACHE, "english_words.parquet")
+    if not os.path.exists(path):
+        os.makedirs(_CORPUS_CACHE, exist_ok=True)
+        tmp = path + ".tmp"
+        _pq.write_table(
+            _pa.table({"word": _pa.array(load_dictionary_words(),
+                                         type=_pa.string())}), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def oracle_sql() -> dict[str, str]:
     # the er_pairs_corpus oracle reads the synthetic corpus parquet by
     # path; make sure it exists even if the oracle runs before any
     # corpus-generating query (generation is deterministic + cached)
     corpus_pages = os.path.join(_corpus_dir(0.001), "pages", "*.parquet")
+    dict_parquet = _dict_parquet_path()
     vocab = (
         "SELECT DISTINCT t.tok FROM documents, "
         "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)"
@@ -1807,4 +1841,10 @@ def oracle_sql() -> dict[str, str]:
     sql["prefix_search_tokens_zipper"] = sql["prefix_search_tokens"]
     sql["embedding_neardup_lsh"] = _embedding_lsh_oracle_sql()
     sql["ann_lsh_topk"] = _ann_lsh_oracle_sql()
+    sql["vocab_membership"] = f"""
+        WITH v AS ({vocab})
+        SELECT v.tok,
+               v.tok IN (SELECT word FROM '{dict_parquet}') AS in_dict
+        FROM v
+    """
     return sql

@@ -222,3 +222,40 @@ def corpus_validation(words: list[str] | None = None, n: int = 2,
 
     return parts.repartition(1).map_batches(finalize, batch_format="pandas",
                                             batch_size=None)
+
+
+def dictionary_membership(ds, col: str, words: list[str],
+                          concurrency: int | None = None):
+    """Dataset[(col, in_dict)] — membership of a token column against a
+    dictionary, screened per actor by a Bloom prefilter in front of an
+    ArrayTrie (the reference's DynamicDawg-with-bloom composition,
+    dynamic_dawg.rs ``with_config``; kernel/bloom.py measures misses at
+    0.76 µs/probe vs a 35 µs trie walk on the 124k dictionary — and a
+    web-scale token stream is overwhelmingly misses).
+
+    Distribution shape: the dictionary is broadcast ONCE via ``ray.put``
+    (sorted term list, ~1.5 MB for 124k words); each actor builds its
+    Bloom+ArrayTrie in ``__init__`` and every batch is one vectorized
+    ``contains_batch`` probe."""
+    import ray
+
+    ref = ray.put(sorted(set(words)))
+
+    class Member:
+        def __init__(self):
+            from ..kernel.arraytrie import ArrayTrie
+            from ..kernel.bloom import BloomBackedDict
+
+            terms = ray.get(ref)
+            self.d = BloomBackedDict(
+                ArrayTrie.from_terms(terms, presorted=True), terms)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks = t.column(col).to_pylist()
+            return pa.table({
+                col: t.column(col),
+                "in_dict": pa.array(self.d.contains_batch(toks), type=pa.bool_()),
+            })
+
+    return ds.map_batches(Member, concurrency=concurrency or 4,
+                          batch_format="pyarrow")
