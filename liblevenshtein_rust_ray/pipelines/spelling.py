@@ -236,8 +236,17 @@ def dictionary_membership(ds, col: str, words: list[str],
     Distribution shape: the dictionary is broadcast ONCE via ``ray.put``
     (sorted term list, ~1.5 MB for 124k words); each actor builds its
     Bloom+ArrayTrie in ``__init__`` and every batch is one vectorized
-    ``contains_batch`` probe."""
+    ``contains_batch`` probe.
+
+    Default actor count leaves CPU slots for the upstream exchange: a pool
+    sized to the WHOLE session (e.g. 4 actors on 4 CPUs) pins every slot
+    and starves the operators feeding it — observed live-lock in the
+    4-CPU test session."""
     import ray
+
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, min(8, ncpu // 4))
 
     ref = ray.put(sorted(set(words)))
 
@@ -257,5 +266,5 @@ def dictionary_membership(ds, col: str, words: list[str],
                 "in_dict": pa.array(self.d.contains_batch(toks), type=pa.bool_()),
             })
 
-    return ds.map_batches(Member, concurrency=concurrency or 4,
+    return ds.map_batches(Member, concurrency=concurrency,
                           batch_format="pyarrow")
