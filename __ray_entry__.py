@@ -723,6 +723,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return spelling_recall(_vocab_ds(sf_dir), "tok", n=2, per_word=2)
 
+    def curate_docs(sf_dir):
+        """End-to-end curation: quality screen -> langid filter -> exact
+        dedup -> md5 MinHash near-dup drop (pipelines/curation.py); whole
+        composition value-checked by one composed SQL oracle."""
+        from liblevenshtein_rust_ray.pipelines.curation import curate_documents
+
+        return curate_documents(_rd(sf_dir, "documents", ["doc_id", "text"]))
+
     def vocab_membership(sf_dir):
         """Bloom-screened dictionary membership of every distinct corpus
         token against the reference's real 124k-word dictionary (broadcast
@@ -1059,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf_topk_q,
         "spelling_recall": spelling_recall_q,
         "vocab_membership": vocab_membership,
+        "curate_docs": curate_docs,
         "corpus_recall_real": corpus_recall_real,
         "token_stats": token_stats,
         "quality_docs": quality_docs,
@@ -1087,10 +1096,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ======================================================================
-def _langid_oracle_sql() -> str:
+def _langid_oracle_sql(source: str = "documents") -> str:
     """The trigram-profile langid heuristic as SQL, generated from the SAME
     profile tables the Ray stage uses (functions/textstats.py) so the two
-    can't drift; tie-breaking mirrors the dict-order strict-> loop."""
+    can't drift; tie-breaking mirrors the dict-order strict-> loop.
+    ``source`` parameterizes the input relation so composed pipelines
+    (curate_docs) can run it over a filtered CTE."""
     from liblevenshtein_rust_ray.functions.textstats import _LANG_PROFILES
 
     def lit(prof):
@@ -1100,13 +1111,15 @@ def _langid_oracle_sql() -> str:
         f"len(list_intersect(grams, {lit(_LANG_PROFILES[lang])})) AS s_{lang}"
         for lang in ["en", "de", "fr", "es"]
     )
+    lang_given = ("lang AS lang_given" if source == "documents"
+                  else "NULL AS lang_given")
     return f"""
         WITH t0 AS (
-          SELECT doc_id, lang AS lang_given,
+          SELECT doc_id, {lang_given},
                  ' ' || substr(regexp_replace(trim(lower(text),
                      ' ' || chr(9) || chr(10) || chr(13)), '\\s+', ' ', 'g'),
                      1, 400) || ' ' AS t
-          FROM documents),
+          FROM {source}),
          t1 AS (
           SELECT doc_id, lang_given,
                  CASE WHEN length(t) < 5 THEN []
@@ -1217,13 +1230,47 @@ def _ann_lsh_oracle_sql(dim: int = 64, k: int = 5, probe_hamming: int = 1) -> st
     """
 
 
-def _minhash_md5_oracle_sql() -> str:
+def _curate_oracle_sql(min_tokens: int = 10, max_punct: float = 0.2,
+                       lang: str = "en", threshold: float = 0.5) -> str:
+    """The composed curation pipeline (pipelines/curation.py) as one SQL
+    statement: quality screen + trigram langid filter + exact dedup
+    (min doc_id per text) + md5 MinHash-LSH near-dup drop (the greater id
+    of every candidate pair) — each piece is the SAME generated SQL the
+    standalone oracles use, re-sourced over the composition's CTEs."""
+    return f"""
+        WITH lid AS ({_langid_oracle_sql()}),
+             q AS (SELECT doc_id, text,
+                          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+                          CASE WHEN length(text) = 0 THEN 0.0
+                               ELSE len(regexp_extract_all(text, '[^\\w\\s]')) / length(text)
+                          END AS punct_ratio
+                   FROM documents),
+             kept AS (SELECT q.doc_id, q.text, q.n_tokens
+                      FROM q JOIN lid ON lid.doc_id = q.doc_id
+                      WHERE lid.lang_pred = '{lang}'
+                        AND q.n_tokens >= {min_tokens}
+                        AND q.punct_ratio <= {max_punct}),
+             dedup AS (SELECT k.doc_id, k.text, k.n_tokens
+                       FROM kept k
+                       JOIN (SELECT text, min(doc_id) AS mk
+                             FROM kept GROUP BY text) m
+                         ON k.doc_id = m.mk),
+             mh AS ({_minhash_md5_oracle_sql(source="dedup")}),
+             drops AS (SELECT DISTINCT id_b FROM mh)
+        SELECT d.doc_id, d.n_tokens
+        FROM dedup d
+        WHERE d.doc_id NOT IN (SELECT id_b FROM drops)
+    """
+
+
+def _minhash_md5_oracle_sql(source: str = "documents") -> str:
     """The full MinHash-LSH pipeline as SQL, generated from the SAME md5
     permutation constants the Ray stage uses (functions.minhash
     md5_perm_params) so the two can't drift: shingle -> md5 hash -> exact
     modular permutations -> 32 two-row bands -> per-(bucket, signature)
     representatives -> candidate pairs -> signature-agreement estimate
-    >= 0.5, plus identical-signature stars at jaccard 1.0."""
+    >= 0.5, plus identical-signature stars at jaccard 1.0.  ``source``
+    parameterizes the input relation for composed pipelines."""
     from liblevenshtein_rust_ray.functions.minhash import md5_perm_params
 
     P = (1 << 61) - 1
@@ -1236,7 +1283,7 @@ def _minhash_md5_oracle_sql() -> str:
     return f"""
         WITH t AS (SELECT doc_id,
                           regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-                   FROM documents),
+                   FROM {source}),
              s AS (SELECT doc_id,
                           CASE WHEN len(toks) = 0 THEN []
                                WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -1841,6 +1888,7 @@ def oracle_sql() -> dict[str, str]:
     sql["prefix_search_tokens_zipper"] = sql["prefix_search_tokens"]
     sql["embedding_neardup_lsh"] = _embedding_lsh_oracle_sql()
     sql["ann_lsh_topk"] = _ann_lsh_oracle_sql()
+    sql["curate_docs"] = _curate_oracle_sql()
     sql["vocab_membership"] = f"""
         WITH v AS ({vocab})
         SELECT v.tok,
