@@ -68,25 +68,68 @@ from .simhash import md5_hash64  # noqa: F401  (re-export; shared md5 family)
 _P_INT = (1 << 61) - 1
 
 
+_MD5_PARAM_CACHE: dict[int, tuple[list[int], list[int]]] = {}
+
+
 def md5_perm_params(num_perm: int = 64) -> tuple[list[int], list[int]]:
     """Permutation constants for the md5 variant; embedded as literals in
     the generated oracle SQL so both engines share them by construction."""
-    a = [(md5_hash64(f"minhash-a-{i}") | 1) % _P_INT for i in range(num_perm)]
-    b = [md5_hash64(f"minhash-b-{i}") % _P_INT for i in range(num_perm)]
-    return a, b
+    if num_perm not in _MD5_PARAM_CACHE:
+        a = [(md5_hash64(f"minhash-a-{i}") | 1) % _P_INT for i in range(num_perm)]
+        b = [md5_hash64(f"minhash-b-{i}") % _P_INT for i in range(num_perm)]
+        _MD5_PARAM_CACHE[num_perm] = (a, b)
+    return _MD5_PARAM_CACHE[num_perm]
+
+
+_M61 = np.uint64((1 << 61) - 1)
+_MD5_VEC_CACHE: dict[int, tuple] = {}
+
+
+def _mulmod_m61(a1, a0, h: np.ndarray) -> np.ndarray:
+    """Exact ``a*h mod 2^61-1`` in uint64 (a = a1*2^30 + a0, a,h < p).
+
+    2^61 ≡ 1 (mod p) folds every partial product below 2^61 before any
+    addition, so the running sum of the 4 partials stays under 2^64:
+    a*h = a1·h1·2^61 + a1·h0·2^30 + a0·h1·2^31 + a0·h0 with h = h1·2^31+h0
+    (h1 < 2^30, h0 < 2^31; a1 < 2^31, a0 < 2^30)."""
+    h1 = h >> np.uint64(31)
+    h0 = h & np.uint64((1 << 31) - 1)
+    mask30 = np.uint64((1 << 30) - 1)
+    mask31 = np.uint64((1 << 31) - 1)
+    t = a1 * h1  # < 2^61 : times 2^61 ≡ itself
+    x = a1 * h0  # < 2^62 : times 2^30 → fold
+    t += ((x & mask31) << np.uint64(30)) + (x >> np.uint64(31))
+    y = a0 * h1  # < 2^60 : times 2^31 → fold
+    t += ((y & mask30) << np.uint64(31)) + (y >> np.uint64(30))
+    t += a0 * h0  # < 2^61
+    # t < 4·2^61 + small: two folds land in [0, p]
+    t = (t & _M61) + (t >> np.uint64(61))
+    t = (t & _M61) + (t >> np.uint64(61))
+    return np.where(t >= _M61, t - _M61, t)
 
 
 def minhash_signature_md5(features: list[str], num_perm: int = 64) -> np.ndarray:
     """uint64[num_perm] signature via exact (a*h + b) mod 2^61-1 over
-    md5-derived shingle hashes; empty feature set -> all-max sentinel."""
+    md5-derived shingle hashes; empty feature set -> all-max sentinel.
+    Vectorized Mersenne-61 mulmod — bit-identical to the Python-int
+    formula (pinned by test) and to the generated oracle SQL."""
     if not features:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-    a, b = md5_perm_params(num_perm)
-    hs = [md5_hash64(f) % _P_INT for f in features]
-    return np.array(
-        [min((ai * h + bi) % _P_INT for h in hs) for ai, bi in zip(a, b)],
-        dtype=np.uint64,
-    )
+    if num_perm not in _MD5_VEC_CACHE:
+        a, b = md5_perm_params(num_perm)
+        av = np.array(a, dtype=np.uint64)
+        _MD5_VEC_CACHE[num_perm] = (
+            (av >> np.uint64(30))[:, None],
+            (av & np.uint64((1 << 30) - 1))[:, None],
+            np.array(b, dtype=np.uint64)[:, None],
+        )
+    a1, a0, bv = _MD5_VEC_CACHE[num_perm]
+    hs = np.fromiter((md5_hash64(f) % _P_INT for f in features),
+                     dtype=np.uint64, count=len(features))
+    vals = _mulmod_m61(a1, a0, hs[None, :]) + bv  # < p + p < 2^62
+    vals = (vals & _M61) + (vals >> np.uint64(61))
+    vals = np.where(vals >= _M61, vals - _M61, vals)
+    return vals.min(axis=1).astype(np.uint64)
 
 
 def minhash_bands_md5(sig: np.ndarray, n_bands: int = 32) -> list[str]:

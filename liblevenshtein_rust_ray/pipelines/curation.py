@@ -26,13 +26,18 @@ import pyarrow as pa
 
 
 def curate_documents(ds, min_tokens: int = 10, max_punct: float = 0.2,
-                     lang: str = "en", threshold: float = 0.5):
+                     lang: str = "en", threshold: float = 0.5,
+                     hasher: str = "md5"):
     """Dataset[(doc_id, n_tokens)] of curated documents.
 
     Keep rule: trigram language-ID == ``lang``, at least ``min_tokens``
     tokens, punctuation ratio ≤ ``max_punct``; then exact-dedup (min
     doc_id per text wins); then drop any doc that is the greater element
-    of a MinHash-LSH candidate pair (md5 family, jaccard ≥ threshold)."""
+    of a MinHash-LSH candidate pair at jaccard ≥ threshold.
+
+    ``hasher="md5"`` (default) keeps the near-dup step SQL-reproducible —
+    the curate_docs oracle depends on it; pass ``"blake2b"`` for the
+    fastest production hash family (same pipeline, different pair RNG)."""
     from ..functions.textstats import langid_ngram, quality_scores
     from ..stages.dedup import exact_dedup, minhash_lsh_pairs
     from ..stages.grouped import bucketed_apply
@@ -59,7 +64,7 @@ def curate_documents(ds, min_tokens: int = 10, max_punct: float = 0.2,
     deduped = exact_dedup(kept, "text", "doc_id")
 
     pairs = minhash_lsh_pairs(deduped, "text", "doc_id",
-                              threshold=threshold, hasher="md5")
+                              threshold=threshold, hasher=hasher)
     drops = pairs.select_columns(["id_b"]).map_batches(
         lambda t: pa.table({
             "doc_id": t.column("id_b").cast(pa.int64()),

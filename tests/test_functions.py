@@ -227,3 +227,33 @@ def test_rewrite_weight():
     assert rewrite_weight(PHONETIC_RULES, "think") == 0.15      # th fired
     assert rewrite_weight(PHONETIC_RULES, "quick") == 0.30      # qu->kw, kw->qu
     assert rewrite_weight(PHONETIC_RULES, "plain") == 0.0
+
+
+def test_minhash_md5_vectorized_exact_parity():
+    """The uint64 Mersenne-61 mulmod must be bit-identical to the
+    Python-int (a*h + b) % p formula the SQL oracle mirrors."""
+    import numpy as np
+
+    from liblevenshtein_rust_ray.functions.minhash import (
+        _P_INT, _mulmod_m61, md5_hash64, md5_perm_params,
+        minhash_signature_md5)
+
+    a, b = md5_perm_params(64)
+    feats = [f"tok {i} x" for i in range(150)]
+    hs = [md5_hash64(f) % _P_INT for f in feats]
+    want = np.array(
+        [min((ai * h + bi) % _P_INT for h in hs) for ai, bi in zip(a, b)],
+        dtype=np.uint64)
+    got = minhash_signature_md5(feats)
+    assert (got == want).all()
+
+    # adversarial operands: boundary values of every limb split
+    av = np.array(a, dtype=np.uint64)
+    a1 = (av >> np.uint64(30))[:, None]
+    a0 = (av & np.uint64((1 << 30) - 1))[:, None]
+    edge = np.array([0, 1, (1 << 31) - 1, 1 << 31, (1 << 60),
+                     _P_INT - 2, _P_INT - 1], dtype=np.uint64)
+    got2 = _mulmod_m61(a1, a0, edge[None, :])
+    want2 = np.array([[(ai * int(x)) % _P_INT for x in edge] for ai in a],
+                     dtype=np.uint64)
+    assert (got2 == want2).all()
