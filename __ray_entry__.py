@@ -359,13 +359,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def embedding_neardup_lsh_join(sf_dir):
         """Same LSH pipeline through the ``vec_transport="join"`` scale path
-        (thin bucket rows; vectors attached once per distinct pair) — pair
-        set is pinned identical to the banded transport by pytest parity."""
+        (thin bucket rows; vectors attached once per distinct pair) —
+        checked against the same plane-literal SQL oracle as the banded
+        transport (and transport parity is additionally pinned in pytest)."""
         return D.embedding_neardup_pairs(
             _rd(sf_dir, "embeddings", ["vec_id", "embedding"]),
             "embedding", "vec_id", threshold=0.42, method="lsh",
             vec_transport="join",
-        )
+        ).select_columns(["id_a", "id_b"])
 
     # -------------------------- text analysis -------------------------
     def token_stats(sf_dir):
@@ -1887,6 +1888,7 @@ def oracle_sql() -> dict[str, str]:
     sql["fuzzy_lookup_parts_pathmap"] = sql["fuzzy_lookup_parts"]
     sql["prefix_search_tokens_zipper"] = sql["prefix_search_tokens"]
     sql["embedding_neardup_lsh"] = _embedding_lsh_oracle_sql()
+    sql["embedding_neardup_lsh_join"] = sql["embedding_neardup_lsh"]
     sql["ann_lsh_topk"] = _ann_lsh_oracle_sql()
     sql["curate_docs"] = _curate_oracle_sql()
     sql["vocab_membership"] = f"""
