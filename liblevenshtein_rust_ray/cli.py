@@ -94,6 +94,36 @@ def cmd_run_er(args) -> int:
     return 0
 
 
+def cmd_run_curate(args) -> int:
+    import os
+
+    import ray
+
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    if not ray.is_initialized():
+        ray.init(address=args.address, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data as rd
+
+    from .pipelines.context import configure_data_context
+    from .pipelines.curation import curate_documents
+
+    configure_data_context()
+    out = curate_documents(
+        rd.read_parquet(args.input, columns=["doc_id", "text"]),
+        min_tokens=args.min_tokens,
+        max_punct=args.max_punct,
+        lang=args.lang,
+        threshold=args.threshold,
+        hasher=args.hasher,
+    )
+    out.write_parquet(args.output)
+    n = rd.read_parquet(args.output).count()
+    print(json.dumps({"curated_docs": n, "output": args.output}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="liblevenshtein_rust_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -126,6 +156,21 @@ def main(argv=None) -> int:
                    help="clustering path (auto = edge-count switch)")
     r.add_argument("--address", default="local")
     r.set_defaults(fn=cmd_run_er)
+
+    cu = sub.add_parser("run-curate",
+                        help="run the document curation pipeline")
+    cu.add_argument("--input", required=True,
+                    help="documents parquet path/dir (doc_id, text)")
+    cu.add_argument("--output", required=True, help="curated parquet dir")
+    cu.add_argument("--min-tokens", type=int, default=10)
+    cu.add_argument("--max-punct", type=float, default=0.2)
+    cu.add_argument("--lang", default="en")
+    cu.add_argument("--threshold", type=float, default=0.5)
+    cu.add_argument("--hasher", default="blake2b",
+                    choices=["blake2b", "md5"],
+                    help="near-dup hash family (md5 = SQL-reproducible)")
+    cu.add_argument("--address", default="local")
+    cu.set_defaults(fn=cmd_run_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)
