@@ -182,3 +182,31 @@ def test_multimodal_actor_pool(ray_session):
         .sort_values("url")
     )
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_documents_semantics():
+    """Handcrafted corpus: short doc and non-English filtered, exact dup
+    keeps min id, near-dup drops the greater id of the candidate pair."""
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.pipelines.curation import curate_documents
+
+    base = ("the quick brown fox jumps over the lazy dog and then the "
+            "dog walks away to the house and sleeps for the day")
+    near = base + " extra"
+    docs = [
+        {"doc_id": 1, "text": base},                  # keep (rep of near-dups)
+        {"doc_id": 2, "text": base},                  # exact dup -> dropped
+        {"doc_id": 3, "text": near},                  # near dup -> dropped
+        {"doc_id": 4, "text": "short text"},          # < min_tokens
+        {"doc_id": 5, "text": "der hund läuft durch die stadt und der "
+                              "mann ist mit dem hund in das haus gegangen "
+                              "und sie sind dann die strasse entlang"},  # de
+        {"doc_id": 6, "text": "a completely different english document "
+                              "about the weather in the mountains where "
+                              "the rain falls on the green valley below"},
+    ]
+    out = curate_documents(rd.from_items(docs)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 6]
+    assert dict(zip(out["doc_id"], out["n_tokens"]))[1] == len(base.split())
