@@ -186,7 +186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         d<=1 when phonetic_basic substitutions (f/p, c/k, c/s, s/z, a/e,
         i/y) are free — the reference's SubstitutionSet presets
         (substitution_set.rs:414-510; leet/qwerty/ocr are the same plumbing
-        with different pair tables)."""
+        with different pair tables).  Oracle-checked by the recursive-CTE
+        free-substitution DP behind a class-canonicalized translate()
+        lower-bound prefilter."""
         from liblevenshtein_rust_ray.kernel.substitution import phonetic_basic
 
         return F.fuzzy_self_join(_vocab_ds(sf_dir), "tok", n=1, subst=phonetic_basic())
@@ -457,10 +459,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return scoped_fuzzy_complete(terms, tree, prefix_len=4, n=0)
 
     def fuzzy_selfjoin_part_transposition(sf_dir):
-        """OSA/transposition algorithm variant (reference Table 7.1); DuckDB's
-        damerau_levenshtein is unrestricted Damerau, not OSA, so rows-only at
-        n=2 (OSA('ca','abc')=3 vs Damerau 2); the d1 variant below is the
-        oracle-checked row."""
+        """OSA/transposition algorithm variant (reference Table 7.1) at n=2.
+        DuckDB's damerau_levenshtein is unrestricted Damerau, not OSA
+        (OSA('ca','abc')=3 vs Damerau 2), so the oracle computes the exact
+        OSA DP as a recursive CTE on the DL=2 candidate frontier (OSA == DL
+        whenever DL <= 1)."""
         return F.fuzzy_self_join(_rd(sf_dir, "part", ["p_name"]), "p_name", n=2,
                                  algorithm="transposition")
 
@@ -479,7 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         arbitrary char) or one split (the reverse) — every case is a
         split-point predicate DuckDB can enumerate, giving the
         merge-split transition tables an exact independent SQL oracle
-        (the n=2 variant above stays rows-only/property-tested)."""
+        (the n=2 variant is checked by the recursive-CTE suffix DP)."""
         return F.fuzzy_self_join(_rd(sf_dir, "part", ["p_name"]), "p_name", n=1,
                                  algorithm="merge_and_split")
 
@@ -500,8 +503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def fuzzy_selfjoin_part_ocr(sf_dir):
         """Weighted operation-set scoring (GeneralizedAutomaton/OperationSet
         capability): OCR cost model (substitute/merge/split 0.5), pairs with
-        weighted distance <= 1.0; rows-only (weighted costs have no SQL
-        analogue).  Runs through the length-bucketed distributed
+        weighted distance <= 1.0; oracle-checked by the recursive-CTE
+        weighted DP.  Runs through the length-bucketed distributed
         fuzzy_self_join plan with the weighted kernel as the per-bucket
         scorer — no repartition(1), no O(n^2) single task.  len_diff=2:
         merge/split change length by 1 at cost 0.5, so weight <= 1.0
@@ -525,7 +528,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(fin, batch_format="pandas")
 
     def fuzzy_selfjoin_part_merge_split(sf_dir):
-        """Merge-and-split algorithm variant (reference Table 8.1); rows-only."""
+        """Merge-and-split algorithm variant (reference Table 8.1) at n=2,
+        oracle-checked by the recursive-CTE greedy-match suffix DP."""
         return F.fuzzy_self_join(_rd(sf_dir, "part", ["p_name"]), "p_name", n=2,
                                  algorithm="merge_and_split")
 
@@ -866,8 +870,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """The ER all-pairs flagship under the transposition algorithm at
         n=1, where OSA == unrestricted Damerau — so the whole blocking +
         automaton-scoring chain is damerau_levenshtein-oracle-checked
-        (the n=2 er_pairs_transposition stays rows-only: OSA != Damerau
-        at distance 2)."""
+        (er_pairs_allpairs_transposition below covers n=2 via the
+        recursive-CTE OSA DP)."""
         import pandas as pd
 
         docs = _rd(sf_dir, "documents", ["doc_id", "text"])
@@ -896,6 +900,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages = docs.map_batches(to_pages, batch_format="pyarrow")
         out = er_pairs(pages, emit_all_pairs=True, max_block_strings=1_000_000,
                        algorithm="transposition", max_distance=1)
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["distance"] = df["distance"].astype("int64")
+            return df
+
+        return out.map_batches(fin, batch_format="pandas")
+
+    def er_pairs_allpairs_transposition(sf_dir):
+        """The ER all-pairs flagship under transposition at the PRODUCTION
+        distance n=2, oracle-checked by the recursive-CTE OSA DP (DuckDB's
+        damerau_levenshtein is unrestricted Damerau, != OSA at d=2; the
+        oracle computes the exact OSA on the DL=2 candidate frontier)."""
+        import pandas as pd
+
+        docs = _rd(sf_dir, "documents", ["doc_id", "text"])
+        tok_re2 = re.compile(r"[a-z0-9]+")
+
+        def to_pages(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            texts = t.column("text").to_pylist()
+            urls, outs = [], []
+            for i, x in zip(ids, texts):
+                x = x or ""
+                title = " ".join(tok_re2.findall(x.lower())[:5])
+                urls.append(f"https://h{i % 16:02d}.example.com/d{i}")
+                outs.append(f"{title}\n{x}")
+            n = len(ids)
+            return pa.table(
+                {
+                    "url": pa.array(urls, type=pa.string()),
+                    "warc_ts": pa.array([0] * n, type=pa.timestamp("us")),
+                    "html": pa.array([b""] * n, type=pa.binary()),
+                    "text": pa.array(outs, type=pa.string()),
+                    "lang": pa.array([""] * n, type=pa.string()),
+                }
+            )
+
+        pages = docs.map_batches(to_pages, batch_format="pyarrow")
+        out = er_pairs(pages, emit_all_pairs=True, max_block_strings=1_000_000,
+                       algorithm="transposition")
 
         def fin(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
@@ -1089,6 +1134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_pairs_allpairs": er_pairs_allpairs,
         "er_clusters_allpairs": er_clusters_allpairs,
         "er_pairs_allpairs_transposition_d1": er_pairs_allpairs_transposition_d1,
+        "er_pairs_allpairs_transposition": er_pairs_allpairs_transposition,
         "er_pairs_corpus": er_pairs_corpus,
         "multimodal_stub": multimodal_stub,
         "multimodal_image_features": multimodal_image_features,
@@ -1430,6 +1476,175 @@ def _dict_parquet_path() -> str:
                                          type=_pa.string())}), tmp)
         os.replace(tmp, path)
     return path
+
+
+# ----------------------------------------------------------------------
+# Recursive-CTE edit-distance DPs: exact SQL oracles for the algorithm
+# variants DuckDB has no builtin for (OSA/transposition at n>=2,
+# merge-and-split, weighted operation sets, restricted substitutions).
+# Each CTE walks the DP row by row carrying the previous row(s) as list
+# columns; the within-row insert chain (row[j] depends on row[j-1]) is
+# broken with a prefix-min pass (row[p] = min_k<=p t[k] + (p-k)*w_ins),
+# exact because insert cost is constant.  Every formulation is pinned
+# bit-exact against the Python kernels by tests/test_dp_oracle_sql.py.
+# Inputs are a CTE named ``hard(a, b)`` of candidate string pairs; the
+# result CTE exposes (a, b, d).
+
+_OSA_DP_CTE = """
+ dp AS (
+   SELECT a, b, 0 AS i,
+          range(0, length(b)+1) AS row_i,
+          CAST(NULL AS BIGINT[]) AS row_im1
+   FROM hard
+   UNION ALL
+   SELECT a, b, i+1,
+          (WITH t AS (
+             SELECT list_prepend(CAST(i+1 AS BIGINT),
+               [least(
+                  row_i[j+1] + 1,
+                  row_i[j] + (CASE WHEN a[i+1] = b[j] THEN 0 ELSE 1 END),
+                  CASE WHEN i >= 1 AND j >= 2 AND a[i+1] = b[j-1] AND a[i] = b[j]
+                       THEN row_im1[j-1] + 1 ELSE 999999 END
+                ) for j in range(1, length(b)+1)]) AS tl
+           )
+           SELECT [list_min([tl[k] - (k-1) for k in range(1, p+1)]) + (p-1)
+                   for p in range(1, length(b)+2)]
+           FROM t),
+          row_i
+   FROM dp WHERE i < length(a)
+ ),
+ dpres AS (SELECT a, b, row_i[length(b)+1] AS d FROM dp WHERE i = length(a))
+"""
+
+# Merge-and-split is a greedy-match recursion (a match FORBIDS the other
+# ops at that cell — reference distance/mod.rs:624-746), so the DP runs
+# as a SUFFIX recursion (i from |a| down to 0) and the within-row insert
+# chain is a suffix-min BLOCKED at match cells and at the fixed j=|b|
+# boundary (their values don't admit the insert alternative).
+_MS_DP_CTE = """
+ dp AS (
+   SELECT a, b, length(a) AS i,
+          [length(b) - j for j in range(0, length(b)+1)] AS row_i,
+          CAST(NULL AS BIGINT[]) AS row_ip1
+   FROM hard
+   UNION ALL
+   SELECT a, b, i-1,
+          (WITH h AS (
+             SELECT
+               [CASE WHEN p = length(b)+1 THEN true
+                     WHEN a[i] = b[p] THEN true ELSE false END
+                for p in range(1, length(b)+2)] AS blocked,
+               [CASE WHEN p = length(b)+1 THEN length(a) - (i-1)
+                     WHEN a[i] = b[p] THEN row_i[p+1]
+                     ELSE 1 + least(
+                        row_i[p],
+                        row_i[p+1],
+                        CASE WHEN p+2 <= length(b)+1 THEN row_i[p+2] ELSE 999999 END,
+                        CASE WHEN i+1 <= length(a) THEN row_ip1[p+1] ELSE 999999 END
+                     ) END
+                for p in range(1, length(b)+2)] AS base
+           )
+           SELECT [CASE WHEN blocked[p] THEN base[p]
+                        ELSE list_min([base[k] + (k-p) for k in range(p,
+                               list_min([k2 for k2 in range(p, length(b)+2) if blocked[k2]]) + 1)])
+                   END
+                   for p in range(1, length(b)+2)]
+           FROM h),
+          row_i
+   FROM dp WHERE i > 0
+ ),
+ dpres AS (SELECT a, b, row_i[1] AS d FROM dp WHERE i = 0)
+"""
+
+
+def _weighted_dp_cte(sub_cost: float, rules=(), merge: float | None = None,
+                     split: float | None = None) -> str:
+    """Forward weighted DP (kernel.operations.weighted_distance) as a
+    recursive CTE: float costs, insert/delete fixed at 1.0, optional
+    global merge/split weights and restricted segment rules generated
+    from the SAME OperationSet the Ray query uses so the two can't
+    drift.  Pulls reach back at most 2 rows (merge / 2-char rule srcs),
+    carried as row_i / row_im1."""
+    terms = [
+        f"row_i[j] + (CASE WHEN a[i+1] = b[j] THEN 0.0 ELSE {sub_cost} END)",
+        "row_i[j+1] + 1.0",
+    ]
+    if split is not None:
+        terms.append(f"CASE WHEN j >= 2 THEN row_i[j-1] + {split} ELSE 1e18 END")
+    if merge is not None:
+        terms.append(f"CASE WHEN i >= 1 THEN row_im1[j] + {merge} ELSE 1e18 END")
+    for s, t, w in rules:
+        ls, lt = len(s), len(t)
+        src_row = {1: "row_i", 2: "row_im1"}[ls]
+        s_lit, t_lit = s.replace("'", "''"), t.replace("'", "''")
+        guards = [f"i+1 >= {ls}", f"j >= {lt}"] + (["i >= 1"] if ls == 2 else [])
+        terms.append(
+            f"CASE WHEN {' AND '.join(guards)}"
+            f" AND substr(a, i+2-{ls}, {ls}) = '{s_lit}'"
+            f" AND substr(b, j-{lt}+1, {lt}) = '{t_lit}'"
+            f" THEN {src_row}[j-{lt}+1] + {w} ELSE 1e18 END"
+        )
+    cell = ",\n                  ".join(terms)
+    return f"""
+ dp AS (
+   SELECT a, b, 0 AS i,
+          [CAST(j AS DOUBLE) for j in range(0, length(b)+1)] AS row_i,
+          CAST(NULL AS DOUBLE[]) AS row_im1
+   FROM hard
+   UNION ALL
+   SELECT a, b, i+1,
+          (WITH t AS (
+             SELECT list_prepend(row_i[1] + 1.0,
+               [least(
+                  {cell}
+                ) for j in range(1, length(b)+1)]) AS tl
+           )
+           SELECT [list_min([tl[k] - (k-1)*1.0 for k in range(1, p+1)]) + (p-1)*1.0
+                   for p in range(1, length(b)+2)]
+           FROM t),
+          row_i
+   FROM dp WHERE i < length(a)
+ ),
+ dpres AS (SELECT a, b, row_i[length(b)+1] AS d FROM dp WHERE i = length(a))
+"""
+
+
+def _subst_lev_dp_cte() -> str:
+    """Levenshtein with zero-cost allowed substitutions (the restricted
+    SubstitutionSet semantics: allowed (dict,query) char pairs match for
+    free in the characteristic vector) as a recursive CTE; the allowed
+    pair list is generated from the SAME phonetic_basic() preset the Ray
+    query uses."""
+    from liblevenshtein_rust_ray.kernel.substitution import phonetic_basic
+
+    in_list = ", ".join(
+        f"'{a}{b}'" for a, b in sorted(phonetic_basic()._pairs)
+    )
+    return f"""
+ dp AS (
+   SELECT a, b, 0 AS i,
+          range(0, length(b)+1) AS row_i,
+          CAST(NULL AS BIGINT[]) AS row_im1
+   FROM hard
+   UNION ALL
+   SELECT a, b, i+1,
+          (WITH t AS (
+             SELECT list_prepend(CAST(i+1 AS BIGINT),
+               [least(
+                  row_i[j+1] + 1,
+                  row_i[j] + (CASE WHEN a[i+1] = b[j]
+                                    OR (a[i+1] || b[j]) IN ({in_list})
+                              THEN 0 ELSE 1 END)
+                ) for j in range(1, length(b)+1)]) AS tl
+           )
+           SELECT [list_min([tl[k] - (k-1) for k in range(1, p+1)]) + (p-1)
+                   for p in range(1, length(b)+2)]
+           FROM t),
+          row_i
+   FROM dp WHERE i < length(a)
+ ),
+ dpres AS (SELECT a, b, row_i[length(b)+1] AS d FROM dp WHERE i = length(a))
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1896,5 +2111,116 @@ def oracle_sql() -> dict[str, str]:
         SELECT v.tok,
                v.tok IN (SELECT word FROM '{dict_parquet}') AS in_dict
         FROM v
+    """
+
+    # ---- recursive-CTE DP oracles (exact SQL for non-builtin metrics) ----
+    # OSA/transposition at n=2: DL <= OSA always, and OSA == DL when DL <= 1
+    # (a single edit can't interact with another), so only DL=2 candidates
+    # need the exact OSA DP.
+    sql["fuzzy_selfjoin_part_transposition"] = f"""
+        WITH RECURSIVE
+         d AS (SELECT DISTINCT p_name FROM part),
+         base AS (SELECT a.p_name AS a, b.p_name AS b,
+                         damerau_levenshtein(a.p_name, b.p_name) AS dl
+                  FROM d a JOIN d b ON a.p_name < b.p_name
+                  WHERE damerau_levenshtein(a.p_name, b.p_name) <= 2),
+         hard AS (SELECT a, b FROM base WHERE dl = 2),
+         {_OSA_DP_CTE}
+        SELECT a AS val_a, b AS val_b, CAST(d AS BIGINT) AS distance FROM (
+          SELECT a, b, dl AS d FROM base WHERE dl <= 1
+          UNION ALL
+          SELECT a, b, d FROM dpres WHERE d <= 2
+        )
+    """
+    # merge-and-split at n=2: each merge/split covers at most 2 standard
+    # edits and changes length by at most 1, so ms <= 2 implies
+    # levenshtein <= 4 and |len diff| <= 2 — the candidate prefilter.
+    sql["fuzzy_selfjoin_part_merge_split"] = f"""
+        WITH RECURSIVE
+         d AS (SELECT DISTINCT p_name FROM part),
+         hard AS (SELECT a.p_name AS a, b.p_name AS b
+                  FROM d a JOIN d b ON a.p_name < b.p_name
+                  WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+                    AND levenshtein(a.p_name, b.p_name) <= 4),
+         {_MS_DP_CTE}
+        SELECT a AS val_a, b AS val_b, CAST(d AS BIGINT) AS distance
+        FROM dpres WHERE d <= 2
+    """
+    # the universal-automaton merge-split variant computes the SAME relation
+    sql["fuzzy_selfjoin_part_ms_universal"] = sql["fuzzy_selfjoin_part_merge_split"]
+    # OCR weighted ops (sub/merge/split 0.5, indel 1.0, budget 1.0): each
+    # 0.5-op covers <= 2 standard edits -> levenshtein <= 4, |len diff| <= 2.
+    from liblevenshtein_rust_ray.kernel.operations import OperationSet as _Ops
+
+    sql["fuzzy_selfjoin_part_ocr"] = f"""
+        WITH RECURSIVE
+         d AS (SELECT DISTINCT p_name FROM part),
+         hard AS (SELECT a.p_name AS a, b.p_name AS b
+                  FROM d a JOIN d b ON a.p_name < b.p_name
+                  WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+                    AND levenshtein(a.p_name, b.p_name) <= 4),
+         {_weighted_dp_cte(0.5, merge=0.5, split=0.5)}
+        SELECT a AS val_a, b AS val_b, d AS weight
+        FROM dpres WHERE d <= 1.0
+    """
+    # restricted rules at 0.25, budget 1.0 -> at most 4 rule applications,
+    # each covering <= 2 standard edits -> levenshtein <= 8, |len diff| <= 4.
+    sql["fuzzy_selfjoin_part_ocr_restricted"] = f"""
+        WITH RECURSIVE
+         d AS (SELECT DISTINCT p_name FROM part),
+         hard AS (SELECT a.p_name AS a, b.p_name AS b
+                  FROM d a JOIN d b ON a.p_name < b.p_name
+                  WHERE abs(length(a.p_name) - length(b.p_name)) <= 4
+                    AND levenshtein(a.p_name, b.p_name) <= 8),
+         {_weighted_dp_cte(1.0, rules=_Ops.ocr_restricted().rules)}
+        SELECT a AS val_a, b AS val_b, d AS weight
+        FROM dpres WHERE d <= 1.0
+    """
+    # restricted substitutions (phonetic_basic): subst-distance >= plain
+    # levenshtein over class-canonicalized strings (transitive closure
+    # classes {a,e} {i,y} {f,p} {c,k,s,z}) — a sound lower bound, so the
+    # translate() prefilter keeps a superset of the answer.
+    sql["fuzzy_vocab_pairs_subst"] = f"""
+        WITH RECURSIVE
+         v AS ({vocab}),
+         c AS (SELECT tok, translate(tok, 'eypksz', 'aifccc') AS canon FROM v),
+         hard AS (SELECT a.tok AS a, b.tok AS b
+                  FROM c a JOIN c b ON a.tok < b.tok
+                  WHERE levenshtein(a.canon, b.canon) <= 1),
+         {_subst_lev_dp_cte()}
+        SELECT a AS val_a, b AS val_b, CAST(d AS BIGINT) AS distance
+        FROM dpres WHERE d <= 1
+    """
+    # the flagship ER chain under transposition at the PRODUCTION distance
+    # n=2 (the d1 variant above is the damerau-builtin-checked row): same
+    # blocking predicate, exact OSA via the DP on the DL=2 frontier.
+    sql["er_pairs_allpairs_transposition"] = f"""
+        WITH RECURSIVE
+         p AS (SELECT doc_id,
+                      'https://h' || lpad(CAST(doc_id % 16 AS VARCHAR), 2, '0')
+                        || '.example.com/d' || CAST(doc_id AS VARCHAR) AS url,
+                      doc_id % 16 AS hostnum,
+                      regexp_extract_all(lower(text), '[a-z0-9]+')[1:5] AS toks
+               FROM documents),
+         t AS (SELECT url, hostnum, toks,
+                      array_to_string(toks, ' ') AS title
+               FROM p WHERE len(toks) > 0),
+         base AS (SELECT a.url AS url_a, b.url AS url_b,
+                         a.title AS a, b.title AS b,
+                         damerau_levenshtein(a.title, b.title) AS dl
+                  FROM t a JOIN t b ON a.url < b.url
+                  WHERE damerau_levenshtein(a.title, b.title) <= 2
+                    AND (a.title = b.title
+                         OR (a.hostnum = b.hostnum
+                             AND len(list_intersect(a.toks, b.toks)) > 0))),
+         hard AS (SELECT DISTINCT a, b FROM base WHERE dl = 2),
+         {_OSA_DP_CTE}
+        SELECT url_a, url_b, CAST(d AS BIGINT) AS distance FROM (
+          SELECT url_a, url_b, dl AS d FROM base WHERE dl <= 1
+          UNION ALL
+          SELECT base.url_a, base.url_b, dpres.d
+          FROM base JOIN dpres ON base.a = dpres.a AND base.b = dpres.b
+          WHERE base.dl = 2 AND dpres.d <= 2
+        )
     """
     return sql
