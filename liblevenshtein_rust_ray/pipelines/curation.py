@@ -17,8 +17,14 @@ value-checked end to end against DuckDB.
 Scale shape: the screen is a stateless map (no exchange); exact dedup is
 one hash-bucketed exchange on text; the near-dedup drop set is tiny
 relative to the corpus (duplicate fraction × docs) and the anti-join is
-one id-keyed bucketed exchange — three exchanges total, none carrying the
-corpus more than once.
+a broadcast filter while the drop set fits in the object store (auto,
+the common case: drops ≤ candidate pairs), falling back to an id-keyed
+bucketed exchange — so the corpus crosses the network at most twice.
+The deduped intermediate feeds BOTH the near-dup scorer and the keep
+side (a diamond); it is materialized once into the object store (at
+cluster scale: the per-partition checkpoint parquet fills this role, and
+a resumed run starts from it) instead of re-executing the screen+dedup
+subtree per consumer.
 """
 
 import pandas as pd
@@ -27,7 +33,7 @@ import pyarrow as pa
 
 def curate_documents(ds, min_tokens: int = 10, max_punct: float = 0.2,
                      lang: str = "en", threshold: float = 0.5,
-                     hasher: str = "md5"):
+                     hasher: str = "md5", max_broadcast_drops: int = 5_000_000):
     """Dataset[(doc_id, n_tokens)] of curated documents.
 
     Keep rule: trigram language-ID == ``lang``, at least ``min_tokens``
@@ -61,11 +67,40 @@ def curate_documents(ds, min_tokens: int = 10, max_punct: float = 0.2,
         })
 
     kept = ds.map_batches(screen, batch_format="pyarrow")
-    deduped = exact_dedup(kept, "text", "doc_id")
+    # Diamond: `deduped` feeds both the near-dup scorer and the keep side.
+    # Without pinning it, Ray's lazy plan re-executes screen+dedup once per
+    # consumer; materialize keeps the (already screened+deduped) blocks in
+    # the object store.  At cluster scale the per-partition checkpoint
+    # parquet of this stage plays the same role.
+    deduped = exact_dedup(kept, "text", "doc_id").materialize()
 
     pairs = minhash_lsh_pairs(deduped, "text", "doc_id",
                               threshold=threshold, hasher=hasher)
-    drops = pairs.select_columns(["id_b"]).map_batches(
+    drop_ids = pairs.select_columns(["id_b"]).materialize()
+
+    if drop_ids.count() <= max_broadcast_drops:
+        # Common case: the drop set (≤ candidate pairs ≈ duplicate fraction
+        # × docs) fits in one array — broadcast it via the object store and
+        # anti-join as a stateless vectorized filter, no extra exchange.
+        import numpy as np
+        import ray
+
+        ids = np.unique(np.concatenate(
+            [b["id_b"].to_numpy(zero_copy_only=False)
+             for b in drop_ids.iter_batches(batch_format="pyarrow")]
+            or [np.array([], dtype=np.int64)]).astype(np.int64))
+        ids_ref = ray.put(ids)
+
+        def anti_bcast(t: pa.Table) -> pa.Table:
+            drop = ray.get(ids_ref)  # zero-copy from the local object store
+            keep = ~np.isin(t.column("doc_id").to_numpy(zero_copy_only=False), drop)
+            return t.filter(pa.array(keep)).select(["doc_id", "n_tokens"])
+
+        return deduped.map_batches(anti_bcast, batch_format="pyarrow")
+
+    # Scale fallback (drop set too large to broadcast): one id-keyed
+    # bucketed exchange carrying (doc_id, n_tokens, is_drop) rows.
+    drops = drop_ids.map_batches(
         lambda t: pa.table({
             "doc_id": t.column("id_b").cast(pa.int64()),
             "n_tokens": pa.array([0] * t.num_rows, type=pa.int64()),

@@ -210,3 +210,10 @@ def test_curate_documents_semantics():
     out = curate_documents(rd.from_items(docs)).to_pandas()
     assert sorted(out["doc_id"]) == [1, 6]
     assert dict(zip(out["doc_id"], out["n_tokens"]))[1] == len(base.split())
+
+    # The broadcast anti-join (default: drop set fits the object store)
+    # and the bucketed-exchange fallback must agree row for row.
+    shuf = (curate_documents(rd.from_items(docs), max_broadcast_drops=0)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    bcast = out.sort_values("doc_id").reset_index(drop=True)
+    assert bcast.equals(shuf)
