@@ -355,7 +355,7 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
         n_buckets,
         empty_result=pd.DataFrame({"node": pd.Series(dtype="int64"),
                                    "neighbor": pd.Series(dtype="int64")}),
-    ).materialize()
+    ).repartition(n_buckets).materialize()
 
     # ---- 1. label rounds (all int64) ------------------------------------
     def init_labels(df):
@@ -363,7 +363,19 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
         out["label"] = out[["node", "neighbor"]].min(axis=1)
         return out[["node", "label"]]
 
-    labels = bucketed_apply(edges, "node", init_labels, n_buckets).materialize()
+    # Block-count hygiene: the sort-based groupby exchange emits roughly one
+    # block per INPUT block, and each round unions the edge table into the
+    # plan — without a coalesce the label table gains +|edge blocks| blocks
+    # per round, so round N pays O(N · blocks) task/metadata overhead
+    # (measured: a 16-row chain grew 47 blocks/round and round time climbed
+    # 2.4s -> 11.7s).  Pinning labels to n_buckets blocks per round makes
+    # round cost flat; the coalesce (shuffle=False) only merges adjacent
+    # label blocks — O(|nodes|) rows moved, no all-to-all.
+    labels = (
+        bucketed_apply(edges, "node", init_labels, n_buckets)
+        .repartition(n_buckets)
+        .materialize()
+    )
 
     def signature(lab) -> int:
         """Order- AND partition-independent fingerprint of the label
@@ -472,12 +484,16 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
             .groupby("__bucket")
             .map_groups(bucket_messages, batch_format="pandas")
         )
-        labels = bucketed_apply(
-            candidates,
-            "node",
-            lambda df: df.groupby("node", as_index=False)["label"].min(),
-            n_buckets,
-        ).materialize()
+        labels = (
+            bucketed_apply(
+                candidates,
+                "node",
+                lambda df: df.groupby("node", as_index=False)["label"].min(),
+                n_buckets,
+            )
+            .repartition(n_buckets)  # see block-count hygiene note above
+            .materialize()
+        )
 
         new_sig = signature(labels)
         if new_sig == sig:
