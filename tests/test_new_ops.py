@@ -131,7 +131,9 @@ def test_embedding_vec_transport_join_parity(ray_session):
     # flood: 80 byte-identical copies of one extra vector
     base = rows[0]["embedding"]
     rows = rows + [{"vec_id": 10_000 + j, "embedding": list(base)} for j in range(80)]
-    ds = rd.from_items(rows)
+    # one realistic block, not from_items' row-per-block (80 tiny blocks
+    # compound through the chained exchanges: 35s -> ~4s test time)
+    ds = rd.from_pandas(pd.DataFrame(rows))
     frames = {}
     for mode in ("banded", "join"):
         out = embedding_neardup_pairs(
@@ -251,7 +253,9 @@ def test_minhash_sig_transport_join_parity(ray_session):
     rows = [{"doc_id": i, "text": f"{base} tail{i}"} for i in range(40)]
     rows += [{"doc_id": 100 + i, "text": "the same exact document body " * 5} for i in range(30)]
     rows += [{"doc_id": 200 + i, "text": f"unrelated filler {i} {i * 7} {i * 13}"} for i in range(10)]
-    ds = rd.from_items(rows)
+    # one realistic block, not from_items' row-per-block (80 tiny blocks
+    # compound through the join transport's 3 chained exchanges: 68s -> ~6s)
+    ds = rd.from_pandas(pd.DataFrame(rows))
     for hasher in ("blake2b", "md5"):
         frames = {}
         for mode in ("banded", "join"):
