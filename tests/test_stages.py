@@ -166,7 +166,9 @@ def test_connected_components_modes_agree():
         for j in range(1, 4):
             if rng.random() < 0.8:
                 edges.append({"url_a": base, "url_b": f"n{i + j:03d}", "distance": 1})
-    pairs = rd.from_items(edges)
+    # multi-block input (the point of the test) without from_items'
+    # row-per-block task overhead
+    pairs = rd.from_pandas(pd.DataFrame(edges)).repartition(7)
     a = connected_components(pairs, mode="driver").to_pandas().sort_values("url").reset_index(drop=True)
     b = connected_components(pairs, mode="distributed", n_buckets=4).to_pandas().sort_values("url").reset_index(drop=True)
     assert a.equals(b)
