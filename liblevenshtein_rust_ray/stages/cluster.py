@@ -494,6 +494,10 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
             .repartition(n_buckets)  # see block-count hygiene note above
             .materialize()
         )
+        if stats is not None:
+            # observable regression guard: without the coalesce this list
+            # grows by +|edge blocks| per round (tested)
+            stats.setdefault("label_blocks", []).append(labels.num_blocks())
 
         new_sig = signature(labels)
         if new_sig == sig:

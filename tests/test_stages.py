@@ -335,6 +335,11 @@ def test_distributed_cc_label_link_shortcut_chain():
     assert (got["cluster_id"] == "n0000").all(), got.head()
     assert len(got) == n
     assert stats["rounds"] <= 8, stats
+    # block-count hygiene: the label table must stay coalesced to ~n_buckets
+    # blocks every round (the sentinel union adds a few); without the
+    # per-round repartition it grows by +|edge blocks| per round and round
+    # cost climbs linearly (measured 71s -> 7s on this very test)
+    assert max(stats["label_blocks"]) <= 4 + 4, stats["label_blocks"]
 
 
 @pytest.mark.usefixtures("ray_session")
