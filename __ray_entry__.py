@@ -51,6 +51,44 @@ def _pages_path(sf_dir: str) -> str:
     return os.path.join(_corpus_dir(_sf_of(sf_dir)), "pages")
 
 
+_TOK_RE = re.compile(r"[a-z0-9]+")
+
+
+def _docs_as_pages(sf_dir: str):
+    """documents -> deterministic synthetic pages (url from doc_id, title =
+    first 5 [a-z0-9]+ tokens of the text, 16 hosts) — the SQL-reproducible
+    corpus every oracle-checked ER variant shares; the matching SQL prefix
+    is the ``p``/``t`` CTE pair in ``oracle_sql()``."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        urls, outs = [], []
+        for i, x in zip(ids, texts):
+            x = x or ""
+            title = " ".join(_TOK_RE.findall(x.lower())[:5])
+            urls.append(f"https://h{i % 16:02d}.example.com/d{i}")
+            outs.append(f"{title}\n{x}")
+        n = len(ids)
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "warc_ts": pa.array([0] * n, type=pa.timestamp("us")),
+                "html": pa.array([b""] * n, type=pa.binary()),
+                "text": pa.array(outs, type=pa.string()),
+                "lang": pa.array([""] * n, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(to_pages, batch_format="pyarrow")
+
+
 # ======================================================================
 def entry() -> Any:
     """Flagship: pages -> blocking -> automaton scoring -> clusters."""
@@ -833,31 +871,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (identical title, or same host + a common title token)."""
         import pandas as pd
 
-        docs = _rd(sf_dir, "documents", ["doc_id", "text"])
-        tok_re = re.compile(r"[a-z0-9]+")
+        out = er_pairs(_docs_as_pages(sf_dir), emit_all_pairs=True,
+                       max_block_strings=1_000_000)
 
-        def to_pages(t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_pylist()
-            texts = t.column("text").to_pylist()
-            urls, outs = [], []
-            for i, x in zip(ids, texts):
-                x = x or ""
-                title = " ".join(tok_re.findall(x.lower())[:5])
-                urls.append(f"https://h{i % 16:02d}.example.com/d{i}")
-                outs.append(f"{title}\n{x}")
-            n = len(ids)
-            return pa.table(
-                {
-                    "url": pa.array(urls, type=pa.string()),
-                    "warc_ts": pa.array([0] * n, type=pa.timestamp("us")),
-                    "html": pa.array([b""] * n, type=pa.binary()),
-                    "text": pa.array(outs, type=pa.string()),
-                    "lang": pa.array([""] * n, type=pa.string()),
-                }
-            )
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["distance"] = df["distance"].astype("int64")
+            return df
 
-        pages = docs.map_batches(to_pages, batch_format="pyarrow")
-        out = er_pairs(pages, emit_all_pairs=True, max_block_strings=1_000_000)
+        return out.map_batches(fin, batch_format="pandas")
+
+    def er_pairs_reps(sf_dir):
+        """The flagship's PRODUCTION output shape — representative edges
+        from the default vectorized-Arrow single-phase engine (distance-0
+        stars to each (block, title) group's min url + one scored edge per
+        distinct co-blocked title pair, min-deduped by url pair) —
+        oracle-checked.  SQL reproduces the representatives exactly because
+        every url carries one title: the per-(block, title) min url
+        collapses to min(url) per (host, title) for token blocks and per
+        title for the exact-title block, independent of which token or
+        length bucket formed the block (same-title urls share all of
+        them).  stages/scorer.py:_score_bucket_core is the kernel under
+        test; reference parity: src/transducer (candidate sets) +
+        the min-url canonical-edge convention of stages/scorer.py:1-30."""
+        import pandas as pd
+
+        out = er_pairs(_docs_as_pages(sf_dir), max_block_strings=1_000_000)
 
         def fin(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
@@ -874,31 +913,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         recursive-CTE OSA DP)."""
         import pandas as pd
 
-        docs = _rd(sf_dir, "documents", ["doc_id", "text"])
-        tok_re2 = re.compile(r"[a-z0-9]+")
-
-        def to_pages(t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_pylist()
-            texts = t.column("text").to_pylist()
-            urls, outs = [], []
-            for i, x in zip(ids, texts):
-                x = x or ""
-                title = " ".join(tok_re2.findall(x.lower())[:5])
-                urls.append(f"https://h{i % 16:02d}.example.com/d{i}")
-                outs.append(f"{title}\n{x}")
-            n = len(ids)
-            return pa.table(
-                {
-                    "url": pa.array(urls, type=pa.string()),
-                    "warc_ts": pa.array([0] * n, type=pa.timestamp("us")),
-                    "html": pa.array([b""] * n, type=pa.binary()),
-                    "text": pa.array(outs, type=pa.string()),
-                    "lang": pa.array([""] * n, type=pa.string()),
-                }
-            )
-
-        pages = docs.map_batches(to_pages, batch_format="pyarrow")
-        out = er_pairs(pages, emit_all_pairs=True, max_block_strings=1_000_000,
+        out = er_pairs(_docs_as_pages(sf_dir), emit_all_pairs=True,
+                       max_block_strings=1_000_000,
                        algorithm="transposition", max_distance=1)
 
         def fin(df: pd.DataFrame) -> pd.DataFrame:
@@ -915,32 +931,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         oracle computes the exact OSA on the DL=2 candidate frontier)."""
         import pandas as pd
 
-        docs = _rd(sf_dir, "documents", ["doc_id", "text"])
-        tok_re2 = re.compile(r"[a-z0-9]+")
-
-        def to_pages(t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_pylist()
-            texts = t.column("text").to_pylist()
-            urls, outs = [], []
-            for i, x in zip(ids, texts):
-                x = x or ""
-                title = " ".join(tok_re2.findall(x.lower())[:5])
-                urls.append(f"https://h{i % 16:02d}.example.com/d{i}")
-                outs.append(f"{title}\n{x}")
-            n = len(ids)
-            return pa.table(
-                {
-                    "url": pa.array(urls, type=pa.string()),
-                    "warc_ts": pa.array([0] * n, type=pa.timestamp("us")),
-                    "html": pa.array([b""] * n, type=pa.binary()),
-                    "text": pa.array(outs, type=pa.string()),
-                    "lang": pa.array([""] * n, type=pa.string()),
-                }
-            )
-
-        pages = docs.map_batches(to_pages, batch_format="pyarrow")
-        out = er_pairs(pages, emit_all_pairs=True, max_block_strings=1_000_000,
-                       algorithm="transposition")
+        out = er_pairs(_docs_as_pages(sf_dir), emit_all_pairs=True,
+                       max_block_strings=1_000_000, algorithm="transposition")
 
         def fin(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
@@ -956,31 +948,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         min member url (stages/cluster.py), which a DuckDB recursive-CTE
         label propagation over the identical edge set reproduces
         exactly."""
-        docs = _rd(sf_dir, "documents", ["doc_id", "text"])
-        tok_re2 = re.compile(r"[a-z0-9]+")
-
-        def to_pages(t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_pylist()
-            texts = t.column("text").to_pylist()
-            urls, outs = [], []
-            for i, x in zip(ids, texts):
-                x = x or ""
-                title = " ".join(tok_re2.findall(x.lower())[:5])
-                urls.append(f"https://h{i % 16:02d}.example.com/d{i}")
-                outs.append(f"{title}\n{x}")
-            n = len(ids)
-            return pa.table(
-                {
-                    "url": pa.array(urls, type=pa.string()),
-                    "warc_ts": pa.array([0] * n, type=pa.timestamp("us")),
-                    "html": pa.array([b""] * n, type=pa.binary()),
-                    "text": pa.array(outs, type=pa.string()),
-                    "lang": pa.array([""] * n, type=pa.string()),
-                }
-            )
-
-        pages = docs.map_batches(to_pages, batch_format="pyarrow")
-        return er_clusters(pages, emit_all_pairs=True, max_block_strings=1_000_000)
+        return er_clusters(_docs_as_pages(sf_dir), emit_all_pairs=True,
+                           max_block_strings=1_000_000)
 
     def multimodal_stub(sf_dir):
         import ray.data as rd
@@ -1132,6 +1101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_pairs": er_pairs_q,
         "er_f1": er_f1,
         "er_pairs_allpairs": er_pairs_allpairs,
+        "er_pairs_reps": er_pairs_reps,
         "er_clusters_allpairs": er_clusters_allpairs,
         "er_pairs_allpairs_transposition_d1": er_pairs_allpairs_transposition_d1,
         "er_pairs_allpairs_transposition": er_pairs_allpairs_transposition,
@@ -2041,6 +2011,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.canon, b.canon) AS BIGINT) AS distance
             FROM c a JOIN c b ON a.tok < b.tok
             WHERE levenshtein(a.canon, b.canon) <= 1
+        """,
+        # production representative-edge output: distance-0 stars to each
+        # (block, title) group's min url + one scored edge per distinct
+        # co-blocked title pair.  The per-(block, title) representative is
+        # block-independent (same-title urls share every token/len-bucket
+        # key), so min(url) per (host, title) [token blocks] and per title
+        # [exact-title block] reproduce it exactly.
+        "er_pairs_reps": """
+            WITH p AS (SELECT doc_id,
+                              'https://h' || lpad(CAST(doc_id % 16 AS VARCHAR), 2, '0')
+                                || '.example.com/d' || CAST(doc_id AS VARCHAR) AS url,
+                              doc_id % 16 AS hostnum,
+                              regexp_extract_all(lower(text), '[a-z0-9]+')[1:5] AS toks
+                       FROM documents),
+                 t AS (SELECT url, hostnum, toks,
+                              array_to_string(toks, ' ') AS title
+                       FROM p WHERE len(toks) > 0),
+                 hs AS (SELECT hostnum, title, toks, min(url) AS rep
+                        FROM t GROUP BY hostnum, title, toks),
+                 gs AS (SELECT title, min(url) AS rep FROM t GROUP BY title),
+                 star_host AS (SELECT h.rep AS url_a, t.url AS url_b, 0 AS d
+                               FROM t JOIN hs h
+                                 ON t.hostnum = h.hostnum AND t.title = h.title
+                               WHERE t.url <> h.rep),
+                 star_exact AS (SELECT g.rep AS url_a, t.url AS url_b, 0 AS d
+                                FROM t JOIN gs g ON t.title = g.title
+                                WHERE t.url <> g.rep),
+                 pairs AS (SELECT least(a.rep, b.rep) AS url_a,
+                                  greatest(a.rep, b.rep) AS url_b,
+                                  levenshtein(a.title, b.title) AS d
+                           FROM hs a JOIN hs b
+                             ON a.hostnum = b.hostnum AND a.title < b.title
+                           WHERE levenshtein(a.title, b.title) <= 2
+                             AND len(list_intersect(a.toks, b.toks)) > 0)
+            SELECT url_a, url_b, CAST(min(d) AS BIGINT) AS distance
+            FROM (SELECT * FROM star_host UNION ALL
+                  SELECT * FROM star_exact UNION ALL
+                  SELECT * FROM pairs)
+            GROUP BY url_a, url_b
         """,
         "er_pairs_allpairs_transposition_d1": """
             WITH p AS (SELECT doc_id,

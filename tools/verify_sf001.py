@@ -2,7 +2,8 @@
 and compare SQL-expressible ones against the DuckDB oracle (row count,
 schema, value hash) exactly like the round driver does.
 
-Usage: python tools/verify_sf001.py [sf_dir]   (default /root/testdata/sf0.01)
+Usage: python tools/verify_sf001.py [sf_dir] [query ...]
+(default sf_dir /root/testdata/sf0.01; with query names, checks only those)
 """
 
 import hashlib
@@ -59,6 +60,12 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2:])
+        missing = only - set(qs)
+        if missing:
+            raise SystemExit(f"unknown queries: {sorted(missing)}")
+        qs = {k: v for k, v in qs.items() if k in only}
     report, n_bad = {}, 0
     for name, fn in qs.items():
         t0 = time.time()
