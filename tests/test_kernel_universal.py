@@ -75,3 +75,40 @@ def test_transposition_swap_cases():
     assert not ua.accepts("abcd", "badc")    # two swaps > n=1
     ua2 = universal_automaton(2, "transposition")
     assert ua2.accepts("abcd", "badc")
+
+
+def test_merge_split_exhaustive_small():
+    from liblevenshtein_rust_ray.kernel.distance import merge_and_split_distance
+
+    for n in (0, 1, 2):
+        ua = universal_automaton(n, "merge_and_split")
+        for la in range(4):
+            for lb in range(4):
+                for a in itertools.product("ab", repeat=la):
+                    for b in itertools.product("ab", repeat=lb):
+                        q, w = "".join(a), "".join(b)
+                        assert ua.accepts(q, w) == (
+                            merge_and_split_distance(q, w) <= n
+                        ), (q, w, n)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    q=st.text(alphabet="abcé", max_size=10),
+    w=st.text(alphabet="abcé", max_size=10),
+    n=st.integers(min_value=0, max_value=2),
+)
+def test_merge_split_accepts_equals_dp(q, w, n):
+    from liblevenshtein_rust_ray.kernel.distance import merge_and_split_distance
+
+    ua = universal_automaton(n, "merge_and_split")
+    assert ua.accepts(q, w) == (merge_and_split_distance(q, w) <= n)
+
+
+def test_merge_split_cases():
+    ua = universal_automaton(1, "merge_and_split")
+    assert ua.accepts("ab", "c")      # one merge
+    assert ua.accepts("c", "ab")      # one split
+    assert not ua.accepts("abcd", "ef")  # two merges > n=1
+    ua2 = universal_automaton(2, "merge_and_split")
+    assert ua2.accepts("abcd", "ef")
