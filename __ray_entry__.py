@@ -759,6 +759,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _rd(sf_dir, "embeddings", ["vec_id", "embedding"])
         return ann_ivf_topk(ds, _load_queries(sf_dir), k=5)
 
+    def ann_ivf_topk_full(sf_dir):
+        """IVF with n_probe == n_clusters: every inverted list is probed,
+        so the centroid assignment, per-list scoring, partial top-k and
+        merge must reproduce the brute-force result EXACTLY — shares
+        ann_cosine_topk's SQL oracle, value-pinning the IVF machinery
+        end-to-end (the approximate default ann_ivf_topk stays
+        recall-pinned in tests)."""
+        from liblevenshtein_rust_ray.stages.similarity import ann_ivf_topk
+
+        ds = _rd(sf_dir, "embeddings", ["vec_id", "embedding"])
+        out = ann_ivf_topk(ds, _load_queries(sf_dir), k=5,
+                           n_clusters=16, n_probe=16)
+        return out.select_columns(["query_id", "match_id", "rank"])
+
     def spelling_recall_q(sf_dir):
         """Corpus-validation analogue: recall of fuzzy join over generated
         misspellings (must be 1.0 — typos are within n by construction)."""
@@ -1080,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click_error": asof_click_error,
         "ann_lsh_topk": ann_lsh_topk_q,
         "ann_ivf_topk": ann_ivf_topk_q,
+        "ann_ivf_topk_full": ann_ivf_topk_full,
         "spelling_recall": spelling_recall_q,
         "vocab_membership": vocab_membership,
         "curate_docs": curate_docs,
@@ -2109,6 +2124,9 @@ def oracle_sql() -> dict[str, str]:
     # dictionary structure (ArrayTrie / MappedTrie / zipper) — identical
     # oracle by construction
     sql["fuzzy_selfjoin_part_arraytrie"] = sql["fuzzy_selfjoin_part"]
+    # full-probe IVF (n_probe == n_clusters) is exact by construction —
+    # identical relation to the brute-force baseline
+    sql["ann_ivf_topk_full"] = sql["ann_cosine_topk"]
     sql["fuzzy_lookup_parts_pathmap"] = sql["fuzzy_lookup_parts"]
     sql["prefix_search_tokens_zipper"] = sql["prefix_search_tokens"]
     sql["embedding_neardup_lsh"] = _embedding_lsh_oracle_sql()
