@@ -780,6 +780,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return spelling_recall(_vocab_ds(sf_dir), "tok", n=2, per_word=2)
 
+    def spell_correct_vocab(sf_dir):
+        """The reference's spelling-corrector application (README.md
+        quick-start: ordered candidate query + frequency ranking): every
+        part-name word corrected against the corpus frequency dictionary
+        (word_freq output, freq >= 2) at d <= 2, ranked (distance asc,
+        freq desc, word asc), top-1 per token — oracle-checked via a
+        QUALIFY row_number window over the levenshtein join."""
+        from liblevenshtein_rust_ray.functions.tokenize import tokenize
+        from liblevenshtein_rust_ray.pipelines.spelling import spell_correct
+
+        def words(t: pa.Table) -> pa.Table:
+            out = sorted({w for x in t.column("p_name").to_pylist()
+                          for w in tokenize(x or "")})
+            return pa.table({"w": pa.array(out, type=pa.string())})
+
+        toks = _rd(sf_dir, "part", ["p_name"]).map_batches(
+            words, batch_format="pyarrow")
+        return spell_correct(toks, "w", R.word_freq(sf_dir), "token", "freq", n=2)
+
     def curate_docs(sf_dir):
         """End-to-end curation: quality screen -> langid filter -> exact
         dedup -> md5 MinHash near-dup drop (pipelines/curation.py); whole
@@ -1096,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf_topk_q,
         "ann_ivf_topk_full": ann_ivf_topk_full,
         "spelling_recall": spelling_recall_q,
+        "spell_correct_vocab": spell_correct_vocab,
         "vocab_membership": vocab_membership,
         "curate_docs": curate_docs,
         "corpus_recall_real": corpus_recall_real,
@@ -1810,6 +1830,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.tok AS token, CAST(count(*) AS BIGINT) AS freq
             FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
             GROUP BY t.tok HAVING count(*) >= 2
+        """,
+        # spelling corrector: best dictionary word per token — (distance
+        # asc, freq desc, word asc), dictionary = the word_freq relation
+        "spell_correct_vocab": """
+            WITH w AS (SELECT DISTINCT t.w AS tok
+                       FROM part,
+                            unnest(regexp_extract_all(lower(p_name), '[a-z0-9]+')) AS t(w)),
+                 d AS (SELECT t.tok AS word, CAST(count(*) AS BIGINT) AS freq
+                       FROM documents,
+                            unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
+                       GROUP BY t.tok HAVING count(*) >= 2),
+                 cand AS (SELECT w.tok, d.word,
+                                 levenshtein(w.tok, d.word) AS distance, d.freq
+                          FROM w JOIN d
+                            ON abs(length(w.tok) - length(d.word)) <= 2
+                          WHERE levenshtein(w.tok, d.word) <= 2)
+            SELECT tok, word AS correction,
+                   CAST(distance AS BIGINT) AS distance, freq
+            FROM cand
+            QUALIFY row_number() OVER (PARTITION BY tok
+                                       ORDER BY distance, freq DESC, word) = 1
         """,
         "lang_counts": "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang",
         "minhash_neardup_docs_md5": _minhash_md5_oracle_sql(),

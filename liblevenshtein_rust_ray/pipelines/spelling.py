@@ -105,6 +105,63 @@ def spelling_recall(vocab_ds, col: str, n: int = 2, per_word: int = 2,
                                             batch_size=None)
 
 
+def spell_correct(tokens_ds, tok_col: str, dict_ds, word_col: str,
+                  freq_col: str, n: int = 2, algorithm: str = "standard"):
+    """Dataset[(tok, correction, distance, freq)] — each distinct token's
+    best dictionary correction within ``n`` edits: smallest distance, then
+    highest corpus frequency, then lexicographically smallest word — the
+    reference's spelling-corrector application (README.md quick-start:
+    ordered candidate query + frequency ranking).  Tokens with no
+    candidate are dropped.
+
+    Shape: the length-bucketed :func:`fuzzy_join` emits (tok, word,
+    distance) candidates; the dictionary's (word -> freq) map is broadcast
+    ONCE via ``ray.put`` (the dictionary is the small side — 124k words is
+    ~2 MB) and resolved per worker from the local object store;
+    best-per-token is a bucketed argmin exchange on tok."""
+    import ray
+
+    from ..stages.grouped import bucketed_apply
+
+    # the dictionary feeds BOTH the join and the broadcast freq map — pin
+    # the (small) relation once instead of re-executing its plan twice
+    dict_ds = dict_ds.materialize()
+    pairs = fuzzy_join(tokens_ds, dict_ds, tok_col, word_col,
+                       n=n, algorithm=algorithm)
+
+    fmap = {}
+    for b in dict_ds.select_columns([word_col, freq_col]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        fmap.update(zip(b.column(word_col).to_pylist(),
+                        b.column(freq_col).to_pylist()))
+    fref = ray.put(fmap)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        f = ray.get(fref)  # zero-copy handle from the local store
+        df = df.rename(columns={"left_val": "tok", "right_val": "correction"})
+        df["freq"] = df["correction"].map(f).astype("int64")
+        return df
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["tok", "distance", "freq", "correction"],
+                            ascending=[True, True, False, True],
+                            kind="mergesort")
+        return df.drop_duplicates("tok", keep="first")
+
+    return bucketed_apply(
+        pairs.map_batches(attach, batch_format="pandas"),
+        "tok",
+        best,
+        empty_result=pd.DataFrame(
+            {"tok": pd.Series(dtype="object"),
+             "correction": pd.Series(dtype="object"),
+             "distance": pd.Series(dtype="int64"),
+             "freq": pd.Series(dtype="int64")}
+        ),
+    )
+
+
 # ----------------------------------------------------------------------
 ENGLISH_WORDS = "/root/reference/data/english_words.txt"
 

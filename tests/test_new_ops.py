@@ -428,3 +428,29 @@ def test_contextual_session_actor(ray_session):
     ray.get(s.undo.remote(ctx))
     assert ray.get(s.get_draft.remote(ctx)) == "al"
     assert ray.get(s.complete.remote(ctx, "al")) == [("alpha", 0)]
+
+
+def test_spell_correct_ranking(ray_session):
+    """Best correction = (distance asc, freq desc, word asc): 'helo' has
+    d=1 candidates {help(5), hello(9), helm(2)} -> hello by freq; 'worde'
+    has d=1 {word(7), words(7)} -> tie broken lexicographically to word;
+    'zzz' has no candidate within 2 and is dropped; exact hits correct to
+    themselves at d=0 regardless of other frequencies."""
+    import pandas as pd
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.pipelines.spelling import spell_correct
+
+    toks = rd.from_pandas(pd.DataFrame({"t": ["helo", "worde", "zzz", "word"]}))
+    dic = rd.from_pandas(pd.DataFrame({
+        "word": ["help", "hello", "helm", "word", "words"],
+        "freq": [5, 9, 2, 7, 7],
+    }))
+    out = (spell_correct(toks, "t", dic, "word", "freq", n=2)
+           .to_pandas().sort_values("tok").reset_index(drop=True))
+    got = list(zip(out["tok"], out["correction"], out["distance"], out["freq"]))
+    assert got == [
+        ("helo", "hello", 1, 9),
+        ("word", "word", 0, 7),
+        ("worde", "word", 1, 7),
+    ]
