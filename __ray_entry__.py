@@ -231,6 +231,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return F.fuzzy_self_join(_vocab_ds(sf_dir), "tok", n=1, subst=phonetic_basic())
 
+    def vocab_canonicalize(sf_dir):
+        """Term normalization: connected components of the d<=1 vocabulary
+        self-join, canon = lexicographic min of the component (singletons
+        map to themselves) — oracle-checked by a recursive-CTE label
+        propagation over the identical levenshtein edge set."""
+        return F.canonicalize_terms(_vocab_ds(sf_dir), "tok", n=1)
+
     def fuzzy_join_vocab_partwords(sf_dir):
         """Two-sided fuzzy join: document vocabulary x part-name words, d<=1."""
         from liblevenshtein_rust_ray.functions.tokenize import tokenize
@@ -1080,6 +1087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_lookup_parts_valueset": fuzzy_lookup_parts_valueset,
         "fuzzy_topk_part": fuzzy_topk_part,
         "fuzzy_join_vocab_partwords": fuzzy_join_vocab_partwords,
+        "vocab_canonicalize": vocab_canonicalize,
         "fuzzy_vocab_pairs_subst": fuzzy_vocab_pairs_subst,
         "substring_search_docs": substring_search_docs,
         "substring_positions_d0": substring_positions_d0,
@@ -2165,6 +2173,21 @@ def oracle_sql() -> dict[str, str]:
     # dictionary structure (ArrayTrie / MappedTrie / zipper) — identical
     # oracle by construction
     sql["fuzzy_selfjoin_part_arraytrie"] = sql["fuzzy_selfjoin_part"]
+    sql["vocab_canonicalize"] = f"""
+        WITH RECURSIVE v AS ({vocab}),
+             e AS (SELECT a.tok AS ta, b.tok AS tb
+                   FROM v a JOIN v b ON a.tok < b.tok
+                   WHERE levenshtein(a.tok, b.tok) <= 1),
+             edges AS (SELECT ta AS src, tb AS dst FROM e
+                       UNION SELECT tb, ta FROM e
+                       UNION SELECT tok, tok FROM v),
+             walk(node, lbl) AS (
+                 SELECT src, src FROM edges
+                 UNION
+                 SELECT ed.dst, w.lbl FROM walk w JOIN edges ed ON ed.src = w.node
+             )
+        SELECT node AS term, min(lbl) AS canon FROM walk GROUP BY node
+    """
     # full-probe IVF (n_probe == n_clusters) is exact by construction —
     # identical relation to the brute-force baseline
     sql["ann_ivf_topk_full"] = sql["ann_cosine_topk"]

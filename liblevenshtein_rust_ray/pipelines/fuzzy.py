@@ -256,6 +256,47 @@ def fuzzy_join(left, right, left_col: str, right_col: str, n: int = 2,
     )
 
 
+def canonicalize_terms(ds, col: str, n: int = 1, algorithm: str = STANDARD):
+    """Dataset[(term, canon)] — term normalization: connected components of
+    the d<=n fuzzy self-join, canonical representative = the component's
+    lexicographic minimum (singletons map to themselves).  The term-level
+    analogue of er_clusters — the reference's union_with / value-merge over
+    equivalent dictionary entries (SURVEY §2.5-2.6) expressed as
+    edges -> transitive closure -> min-label."""
+    import pyarrow as pa
+
+    from ..stages.cluster import connected_components
+
+    # diamond: the distinct-term table feeds BOTH the self-join and the
+    # self-loop side — pin it once (the distinct vocabulary is the small
+    # side; at cluster scale the per-partition checkpoint parquet of this
+    # stage plays the same role) instead of re-executing the upstream plan
+    # per consumer
+    terms = _distinct(ds, col).materialize()
+    pairs = fuzzy_self_join(terms, col, n=n, algorithm=algorithm)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"url_a": t.column("val_a").cast(pa.string()),
+                         "url_b": t.column("val_b").cast(pa.string())})
+
+    # self-loops register every term (incl. singletons) as a labeled node —
+    # one extra row per DISTINCT term, linear, no effect on components
+    def self_loops(t: pa.Table) -> pa.Table:
+        v = t.column(col).cast(pa.string())
+        return pa.table({"url_a": v, "url_b": v})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").union(
+        terms.map_batches(self_loops, batch_format="pyarrow")
+    )
+    out = connected_components(edges)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"term": t.column("url"),
+                         "canon": t.column("cluster_id")})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def fuzzy_topk(ds, col: str, k: int = 3, n: int = 2, algorithm: str = STANDARD):
     """Per distinct value: its k nearest OTHER distinct values within
     distance n, ranked (distance asc, value lexicographic) — the

@@ -114,7 +114,14 @@ def _driver_cc(pairs) -> pa.Table:
     object-array round trips were the whole difference."""
     import ray
 
-    tabs = [t for t in ray.get(list(pairs.to_arrow_refs())) if t.num_rows]
+    # to_arrow_refs hands back pandas-backed blocks unconverted (empty
+    # sentinel blocks skip map_batches, so mixed-format inputs are legal)
+    blocks = ray.get(list(pairs.to_arrow_refs()))
+    tabs = [
+        t if isinstance(t, pa.Table) else pa.Table.from_pandas(t, preserve_index=False)
+        for t in blocks
+    ]
+    tabs = [t for t in tabs if t.num_rows]
     if not tabs:
         return pa.table({"url": pa.array([], type=pa.string()),
                          "cluster_id": pa.array([], type=pa.string())})
@@ -580,6 +587,14 @@ def connected_components(
     bytes per exchange and star diameter ≤ 2 per merged region)."""
     import ray.data as rd
 
+    if mode in ("auto", "driver"):
+        # auto's count() (and driver's block fetch) consume the full edge
+        # plan; a LAZY input would then re-execute that plan for the path
+        # actually taken (count + fetch = 2x the upstream pipeline).  Pin
+        # the edge set once — count, contraction and the driver fetch all
+        # reuse the same blocks (spillable; count() forces full execution
+        # anyway, so this adds retention, not work).
+        pairs = pairs.materialize()
     if mode == "driver" or (mode == "auto" and pairs.count() <= driver_threshold):
         if stats is not None:
             stats["path"] = "driver"

@@ -454,3 +454,26 @@ def test_spell_correct_ranking(ray_session):
         ("word", "word", 0, 7),
         ("worde", "word", 1, 7),
     ]
+
+
+def test_canonicalize_terms(ray_session):
+    """Transitive closure at d<=1: chain color->colr->colour... clusters to
+    its lexicographic min; singletons (xylophone) map to themselves; the
+    duplicate term contributes no extra component."""
+    import pandas as pd
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.pipelines.fuzzy import canonicalize_terms
+
+    toks = rd.from_pandas(pd.DataFrame(
+        {"t": ["color", "colr", "colour", "xylophone", "color"]}))
+    out = (canonicalize_terms(toks, "t", n=1)
+           .to_pandas().sort_values("term").reset_index(drop=True))
+    got = dict(zip(out["term"], out["canon"]))
+    # color ~ colr (del), colr ~ colour? lev(colr,colour)=2 -> via color:
+    # lev(color,colour)=1, so all three join through 'color'
+    assert got == {
+        "color": "color", "colr": "color", "colour": "color",
+        "xylophone": "xylophone",
+    }
+    assert len(out) == 4
