@@ -231,6 +231,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return F.fuzzy_self_join(_vocab_ds(sf_dir), "tok", n=1, subst=phonetic_basic())
 
+    def decontaminate_docs(sf_dir):
+        """Training-data decontamination: corpus docs sharing any
+        word-3-shingle with the pseudo test set (doc_id % 97 == 0) are
+        dropped.  The benchmark's shingle set is broadcast once via
+        ray.put; the corpus streams through ONE stateless filter — no
+        shuffle (stages/dedup.py:decontaminate)."""
+        import numpy as np
+
+        from liblevenshtein_rust_ray.stages.dedup import decontaminate
+
+        docs = _rd(sf_dir, "documents", ["doc_id", "text"])
+
+        def side(want_bench: bool):
+            def f(t: pa.Table) -> pa.Table:
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                mask = (ids % 97 == 0) == want_bench
+                return t.filter(pa.array(mask))
+            return docs.map_batches(f, batch_format="pyarrow")
+
+        out = decontaminate(side(False), "text", side(True))
+        return out.select_columns(["doc_id"])
+
     def vocab_canonicalize(sf_dir):
         """Term normalization: connected components of the d<=1 vocabulary
         self-join, canon = lexicographic min of the component (singletons
@@ -1088,6 +1110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_topk_part": fuzzy_topk_part,
         "fuzzy_join_vocab_partwords": fuzzy_join_vocab_partwords,
         "vocab_canonicalize": vocab_canonicalize,
+        "decontaminate_docs": decontaminate_docs,
         "fuzzy_vocab_pairs_subst": fuzzy_vocab_pairs_subst,
         "substring_search_docs": substring_search_docs,
         "substring_positions_d0": substring_positions_d0,
@@ -2173,6 +2196,26 @@ def oracle_sql() -> dict[str, str]:
     # dictionary structure (ArrayTrie / MappedTrie / zipper) — identical
     # oracle by construction
     sql["fuzzy_selfjoin_part_arraytrie"] = sql["fuzzy_selfjoin_part"]
+    sql["decontaminate_docs"] = """
+        WITH t AS (SELECT doc_id,
+                          regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+             s AS (SELECT doc_id,
+                          CASE WHEN len(toks) = 0 THEN []
+                               WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                               ELSE [array_to_string(toks[i:i+2], ' ')
+                                     FOR i IN range(1, len(toks) - 1)]
+                          END AS sh
+                   FROM t),
+             bench AS (SELECT DISTINCT u.x FROM s, unnest(s.sh) AS u(x)
+                       WHERE s.doc_id % 97 = 0),
+             corp AS (SELECT doc_id, sh FROM s WHERE doc_id % 97 <> 0),
+             dropped AS (SELECT DISTINCT c.doc_id
+                         FROM corp c, unnest(c.sh) AS u(x)
+                         WHERE u.x IN (SELECT x FROM bench))
+        SELECT doc_id FROM corp
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
     sql["vocab_canonicalize"] = f"""
         WITH RECURSIVE v AS ({vocab}),
              e AS (SELECT a.tok AS ta, b.tok AS tb

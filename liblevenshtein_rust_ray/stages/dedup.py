@@ -60,6 +60,52 @@ def _vec_hash_and_salts(m_raw, m_norm):
 
 
 # ----------------------------------------------------------------------
+def decontaminate(ds, text_col: str, benchmark_texts, k: int = 3,
+                  min_overlap: int = 1):
+    """Training-data decontamination: drop corpus rows sharing at least
+    ``min_overlap`` DISTINCT word-``k``-shingles with a benchmark/test
+    set; survivors pass through with their full schema.
+
+    The benchmark is the SMALL side by definition (eval sets are
+    thousands of documents, the corpus is the 100-TB side): its shingle
+    set is built once on the driver, broadcast via ``ray.put``, and the
+    corpus streams through ONE stateless ``map_batches`` filter — no
+    shuffle, no join, nothing proportional to the corpus crosses the
+    network.  For a benchmark too large to broadcast exactly, swap the
+    set for a Bloom filter (``kernel.bloom``) — same stage shape, with
+    bounded false-positive over-drops instead of exactness.
+
+    ``benchmark_texts``: an iterable of strings, or a Dataset with
+    ``text_col`` (consumed on the driver — small side only)."""
+    import ray
+
+    from ..functions.tokenize import shingles, tokenize
+
+    bench: set[str] = set()
+    if hasattr(benchmark_texts, "iter_batches"):
+        for b in benchmark_texts.select_columns([text_col]).iter_batches(
+            batch_size=4096, batch_format="pyarrow"
+        ):
+            for x in b.column(text_col).to_pylist():
+                bench.update(shingles(tokenize(x or ""), k))
+    else:
+        for x in benchmark_texts:
+            bench.update(shingles(tokenize(x or ""), k))
+    bref = ray.put(bench)
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)  # zero-copy handle from the local object store
+        mask = []
+        for x in t.column(text_col).to_pylist():
+            sh = set(shingles(tokenize(x or ""), k))
+            n = len(sh & b) if len(sh) < len(b) else len(b & sh)
+            mask.append(n < min_overlap)
+        return t.filter(pa.array(mask, type=pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
 def exact_dedup(ds, text_col: str, id_col: str):
     """Keep one row (min id) per distinct text.  Hash-partition on a content
     hash so the groupby shuffles co-locates duplicates by an 8-byte key, but

@@ -477,3 +477,37 @@ def test_canonicalize_terms(ray_session):
         "xylophone": "xylophone",
     }
     assert len(out) == 4
+
+
+def test_decontaminate(ray_session):
+    """Docs sharing any word-3-shingle with the benchmark are dropped;
+    shorter-than-k docs use the whole-token fallback shingle; empty docs
+    survive (no shingles to match)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.dedup import decontaminate
+
+    corpus = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "the quick brown fox jumps",     # shares 'the quick brown' -> drop
+            "a completely different text",   # survives
+            "quick brown",                   # fallback shingle != any bench -> survives
+            "",                              # empty -> survives
+        ],
+    }))
+    out = decontaminate(corpus, "text", ["the quick brown cat"], k=3).to_pandas()
+    assert sorted(out["doc_id"]) == [2, 3, 4]
+    # min_overlap=2: doc needs two distinct shared shingles to be dropped
+    corpus2 = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["the quick brown fox jumps high",
+                 "the quick brown dog"],
+    }))
+    out2 = decontaminate(
+        corpus2, "text", ["the quick brown fox sat"], k=3, min_overlap=2
+    ).to_pandas()
+    # doc 1 shares 'the quick brown' + 'quick brown fox' (2) -> dropped;
+    # doc 2 shares only 'the quick brown' (1) -> kept
+    assert sorted(out2["doc_id"]) == [2]
