@@ -253,6 +253,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = decontaminate(side(False), "text", side(True))
         return out.select_columns(["doc_id"])
 
+    def redact_docs(sf_dir):
+        """PII redaction (emails / IPv4s / phone numbers -> typed
+        placeholders) over PII-bearing text synthesized deterministically
+        from doc_id — vectorized RE2 kernels (pc.replace_substring_regex),
+        byte-identical to DuckDB's regexp_replace chain (same RE2 engine,
+        same patterns, same order)."""
+        from liblevenshtein_rust_ray.stages.textstats import redact_pii_batch
+
+        docs = _rd(sf_dir, "documents", ["doc_id", "text"])
+
+        def with_pii(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            texts = t.column("text").to_pylist()
+            out = [
+                f"{x or ''} contact u{i}@h{i % 16}.example.com or "
+                f"10.0.{i % 256}.{(i * 7) % 256} or "
+                f"+1-555-{100 + i % 900}-{1000 + i % 9000}"
+                for i, x in zip(ids, texts)
+            ]
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "text": pa.array(out, type=pa.string())})
+
+        return (docs.map_batches(with_pii, batch_format="pyarrow")
+                .map_batches(redact_pii_batch, batch_format="pyarrow")
+                .select_columns(["doc_id", "redacted"]))
+
+    def split_docs(sf_dir):
+        """Deterministic train/val split — a pure function of the row key
+        (md5(salt:key) % 100), independent of ordering / partitioning /
+        cluster size, so resumed or re-sharded runs agree
+        (stages/sampling.py)."""
+        from liblevenshtein_rust_ray.stages.sampling import split_by_hash
+
+        docs = _rd(sf_dir, "documents", ["doc_id"])
+        return split_by_hash(docs, "doc_id", val_pct=10)
+
     def vocab_canonicalize(sf_dir):
         """Term normalization: connected components of the d<=1 vocabulary
         self-join, canon = lexicographic min of the component (singletons
@@ -1111,6 +1147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join_vocab_partwords": fuzzy_join_vocab_partwords,
         "vocab_canonicalize": vocab_canonicalize,
         "decontaminate_docs": decontaminate_docs,
+        "redact_docs": redact_docs,
+        "split_docs": split_docs,
         "fuzzy_vocab_pairs_subst": fuzzy_vocab_pairs_subst,
         "substring_search_docs": substring_search_docs,
         "substring_positions_d0": substring_positions_d0,
@@ -2196,6 +2234,33 @@ def oracle_sql() -> dict[str, str]:
     # dictionary structure (ArrayTrie / MappedTrie / zipper) — identical
     # oracle by construction
     sql["fuzzy_selfjoin_part_arraytrie"] = sql["fuzzy_selfjoin_part"]
+    _pii_text = (
+        "coalesce(text, '') || ' contact u' || CAST(doc_id AS VARCHAR)"
+        " || '@h' || CAST(doc_id % 16 AS VARCHAR) || '.example.com or 10.0.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.'"
+        " || CAST((doc_id * 7) % 256 AS VARCHAR) || ' or +1-555-'"
+        " || CAST(100 + doc_id % 900 AS VARCHAR) || '-'"
+        " || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+    )
+    sql["redact_docs"] = f"""
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace({_pii_text},
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                     '<EMAIL>', 'g'),
+                   '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+                   '<IP>', 'g'),
+                 '\\+?\\d{{1,3}}[-. ]\\d{{3}}[-. ]\\d{{3,4}}[-. ]\\d{{3,4}}\\b',
+                 '<PHONE>', 'g') AS redacted
+        FROM documents
+    """
+    sql["split_docs"] = """
+        SELECT doc_id,
+               CASE WHEN md5_number_lower('split:' || CAST(doc_id AS VARCHAR)) % 100 < 10
+                    THEN 'val' ELSE 'train' END AS split
+        FROM documents
+    """
     sql["decontaminate_docs"] = """
         WITH t AS (SELECT doc_id,
                           regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

@@ -97,3 +97,36 @@ def fingerprint_md5_batch(t: pa.Table) -> pa.Table:
             "winnow": pa.array([winnow(x or "") for x in texts], type=pa.string()),
         }
     )
+
+
+# ----------------------------------------------------------------------
+# PII redaction — fully vectorized Arrow regex kernels (RE2), applied in a
+# fixed order so DuckDB's regexp_replace(..., 'g') chain (same RE2 engine,
+# same patterns, same order) reproduces the output byte-for-byte.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{3,4}\b", "<PHONE>"),
+)
+
+
+def redact_pii_batch(t: pa.Table, text_col: str = "text",
+                     out_col: str = "redacted") -> pa.Table:
+    """Replace emails / IPv4s / phone numbers with typed placeholders —
+    one ``pc.replace_substring_regex`` kernel per pattern, no Python rows."""
+    import pyarrow.compute as pc
+
+    col = pc.coalesce(t.column(text_col), pa.scalar("", type=pa.string()))
+    for pat, repl in PII_PATTERNS:
+        col = pc.replace_substring_regex(col, pattern=pat, replacement=repl)
+    return t.append_column(out_col, col)
+
+
+def redact_pii(ds, text_col: str = "text", out_col: str = "redacted"):
+    """Dataset stage: scrub PII from ``text_col`` into ``out_col`` (a
+    stateless streaming map — nothing proportional to the corpus is held
+    anywhere)."""
+    return ds.map_batches(
+        lambda t: redact_pii_batch(t, text_col, out_col),
+        batch_format="pyarrow",
+    )

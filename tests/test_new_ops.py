@@ -511,3 +511,44 @@ def test_decontaminate(ray_session):
     # doc 1 shares 'the quick brown' + 'quick brown fox' (2) -> dropped;
     # doc 2 shares only 'the quick brown' (1) -> kept
     assert sorted(out2["doc_id"]) == [2]
+
+
+def test_split_and_sample_by_hash(ray_session):
+    """Split is a pure function of the key: repartitioned input yields the
+    identical assignment; val fraction is near val_pct; sample_by_hash
+    with the same salt/pct keeps exactly the 'val' keys of split_by_hash."""
+    import pandas as pd
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.sampling import sample_by_hash, split_by_hash
+
+    df = pd.DataFrame({"k": list(range(500))})
+    a = split_by_hash(rd.from_pandas(df), "k", val_pct=10).to_pandas()
+    b = split_by_hash(rd.from_pandas(df).repartition(7), "k", val_pct=10).to_pandas()
+    assert dict(zip(a["k"], a["split"])) == dict(zip(b["k"], b["split"]))
+    frac = (a["split"] == "val").mean()
+    assert 0.04 < frac < 0.2
+    s = sample_by_hash(rd.from_pandas(df), "k", pct=10, salt="split").to_pandas()
+    assert set(s["k"]) == set(a.loc[a["split"] == "val", "k"])
+
+
+def test_redact_pii_batch():
+    import pyarrow as pa
+
+    from liblevenshtein_rust_ray.stages.textstats import redact_pii_batch
+
+    t = pa.table({"text": [
+        "mail a.b+c@ex-ample.co.uk now",
+        "server at 192.168.0.1 port 80",
+        "call +1-555-123-4567 today",
+        "no pii here",
+        None,
+    ]})
+    got = redact_pii_batch(t).column("redacted").to_pylist()
+    assert got == [
+        "mail <EMAIL> now",
+        "server at <IP> port 80",
+        "call <PHONE> today",
+        "no pii here",
+        "",
+    ]
