@@ -711,6 +711,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         base = er_pairs(side(False))
         return er_pairs_incremental(side(False), side(True), base_pairs=base)
 
+    def er_pairs_decremental_q(sf_dir):
+        """Remove half of the dynamic-dictionary capability: delete the 10%
+        url-hash slice from the full corpus, re-score only the blocks that
+        lost a member, merge with the surviving base edges.  Connected
+        components equal the from-scratch run over the remaining pages
+        (pinned by tests/test_pipeline_e2e.py)."""
+        import ray.data as rd
+        from liblevenshtein_rust_ray.functions.simhash import hash64
+        from liblevenshtein_rust_ray.pipelines.entity_resolution import (
+            er_pairs_decremental,
+        )
+
+        p = _pages_path(sf_dir)
+        removed = [
+            u
+            for t in rd.read_parquet(p, columns=["url"]).iter_batches(
+                batch_format="pyarrow"
+            )
+            for u in t.column("url").to_pylist()
+            if hash64(u) % 10 == 0
+        ]
+        base = er_pairs(p)
+        return er_pairs_decremental(p, removed, base_pairs=base)
+
     def fuzzy_selfjoin_part_universal(sf_dir):
         """Same pairs as fuzzy_selfjoin_part, scored by the PARAMETRIC
         universal automaton A∀_n (kernel.universal — query-independent
@@ -1176,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_selfjoin_part_ocr": fuzzy_selfjoin_part_ocr,
         "er_pairs_transposition": er_pairs_transposition,
         "er_pairs_incremental": er_pairs_incremental_q,
+        "er_pairs_decremental": er_pairs_decremental_q,
         "fuzzy_selfjoin_part_universal": fuzzy_selfjoin_part_universal,
         "sessions_user": sessions_user,
         "sliding_events": sliding_events,

@@ -382,6 +382,90 @@ def er_pairs_incremental(
 
 
 # ----------------------------------------------------------------------
+def er_pairs_decremental(
+    old_source,
+    removed_urls,
+    base_pairs=None,
+    max_distance: int = 2,
+    algorithm: str = STANDARD,
+):
+    """Decremental update — the remove half of the reference's dynamic
+    dictionary (DynamicDawg remove, /root/reference/src/dictionary/
+    dynamic_dawg.rs; SURVEY.md §2.2) in batch form: deleting pages
+    re-scores ONLY the blocks that lost a member.
+
+    ``removed_urls`` (the small side — a deletion batch) is broadcast via
+    ``ray.put``; inside each hash bucket, blocks containing at least one
+    removed page are rescored over their REMAINING members, all other
+    blocks are skipped.  ``base_pairs`` edges touching a removed url are
+    dropped (every such edge came from an affected block); base edges
+    between surviving urls stay — they are true distance-<=n pairs whose
+    endpoints still co-block, so the merge is a SUPERSET of the
+    from-scratch edge set over the remaining pages whose connected
+    components are IDENTICAL (same argument as the incremental contract:
+    extras are stale-representative aliases; pinned by tests)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from .context import configure_data_context
+    from ..stages.grouped import bucketed_apply
+    from ..stages.scorer import _empty_edges, score_bucket_vectorized
+
+    configure_data_context()
+    rm_ref = ray.put(frozenset(removed_urls))
+
+    ds = read_pages(old_source)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+    ds = ds.map_batches(blocking_keys_batch, batch_format="pyarrow")
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        rm = ray.get(rm_ref)
+        df = df.copy()
+        df["__rm"] = df["url"].isin(rm)
+        return df
+
+    def score_affected(df: pd.DataFrame) -> pd.DataFrame:
+        hot = df.loc[df["__rm"], "block_key"].unique()
+        sub = df[df["block_key"].isin(set(hot)) & ~df["__rm"]].drop(columns="__rm")
+        if not len(sub):
+            return _empty_edges()
+        return score_bucket_vectorized(
+            sub, max_distance=max_distance, algorithm=algorithm
+        )
+
+    delta = bucketed_apply(
+        ds.map_batches(tag, batch_format="pandas"),
+        "block_key", score_affected, n_buckets=64, empty_result=_empty_edges(),
+    )
+
+    if base_pairs is None:
+        merged = delta
+    else:
+        def drop_removed(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            rm = pa.array(sorted(ray.get(rm_ref)), type=pa.string())
+            keep = pc.and_(
+                pc.invert(pc.is_in(t.column("url_a"), value_set=rm)),
+                pc.invert(pc.is_in(t.column("url_b"), value_set=rm)),
+            )
+            return t.filter(keep)
+
+        merged = base_pairs.map_batches(
+            drop_removed, batch_format="pyarrow"
+        ).union(delta)
+
+    return bucketed_apply(
+        merged,
+        ["url_a", "url_b"],
+        lambda df: df.groupby(["url_a", "url_b"], as_index=False)["distance"].min(),
+        empty_result=_empty_edges(),
+    )
+
+
+# ----------------------------------------------------------------------
 def evaluate_f1(clusters, labeled_pairs) -> dict:
     """Pairwise precision/recall/F1 of cluster co-membership against labeled
     within-entity pairs (FIXTURES.md §2; target >= 0.99).

@@ -207,3 +207,34 @@ def test_er_pipeline_writes_partitioned_output(tmp_path, corpus):
     assert len(files) >= 1
     total = sum(pq.read_table(f).num_rows for f in files)
     assert total == clusters.count() > 0
+
+
+def test_er_pairs_decremental_equals_full(corpus):
+    """Removing pages and re-scoring only the blocks that lost a member:
+    the merged edge set is a superset of the from-scratch run over the
+    remaining pages with IDENTICAL connected components (the remove half
+    of the dynamic-dictionary capability, SURVEY.md §2.2)."""
+    from liblevenshtein_rust_ray.stages.cluster import connected_components
+    from liblevenshtein_rust_ray.pipelines.entity_resolution import (
+        er_pairs,
+        er_pairs_decremental,
+    )
+
+    tab, _labeled = corpus
+    n = tab.num_rows
+    removed = tab.slice(0, int(n * 0.1)).column("url").to_pylist()
+    remaining = tab.slice(int(n * 0.1))
+
+    full = er_pairs(remaining).materialize()
+    base = er_pairs(tab)
+    dec = er_pairs_decremental(tab, removed, base_pairs=base).materialize()
+
+    key = lambda df: set(map(tuple, df[["url_a", "url_b", "distance"]].values.tolist()))
+    dec_df = dec.to_pandas()
+    assert key(full.to_pandas()) <= key(dec_df)
+    # no edge may touch a removed url
+    rm = set(removed)
+    assert not (dec_df["url_a"].isin(rm) | dec_df["url_b"].isin(rm)).any()
+    cd = connected_components(dec).to_pandas().sort_values("url").reset_index(drop=True)
+    cf = connected_components(full).to_pandas().sort_values("url").reset_index(drop=True)
+    assert cd.equals(cf)
