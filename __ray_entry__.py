@@ -896,6 +896,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return curate_documents(_rd(sf_dir, "documents", ["doc_id", "text"]))
 
+    def line_dedup_pages(sf_dir):
+        """CCNet-style cross-document line dedup over the synthetic CC
+        corpus (stages/lines.py): count every line's corpus-wide frequency
+        (one 16-byte-row exchange of per-batch partials), broadcast the
+        common set, rewrite each page keeping only lines with df < 2 —
+        boilerplate body lines shared across an entity's near-dup pages
+        drop; typo'd titles survive.  Pinned to the sf0.001 corpus (the
+        oracle SQL names one concrete parquet path)."""
+        import ray.data as rd
+
+        from liblevenshtein_rust_ray.stages.lines import line_dedup
+
+        pages = rd.read_parquet(
+            os.path.join(_corpus_dir(0.001), "pages"), columns=["url", "text"])
+        return line_dedup(pages, "text", "url", min_df=2)
+
     def vocab_membership(sf_dir):
         """Bloom-screened dictionary membership of every distinct corpus
         token against the reference's real 124k-word dictionary (broadcast
@@ -1212,6 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_correct_vocab": spell_correct_vocab,
         "vocab_membership": vocab_membership,
         "curate_docs": curate_docs,
+        "line_dedup_pages": line_dedup_pages,
         "corpus_recall_real": corpus_recall_real,
         "token_stats": token_stats,
         "quality_docs": quality_docs,
@@ -2330,6 +2347,26 @@ def oracle_sql() -> dict[str, str]:
     sql["embedding_neardup_lsh_join"] = sql["embedding_neardup_lsh"]
     sql["ann_lsh_topk"] = _ann_lsh_oracle_sql()
     sql["curate_docs"] = _curate_oracle_sql()
+    # line_dedup groups by 64-bit blake2b line hash; the oracle groups by
+    # the line string itself — identical absent collisions (deterministic
+    # corpus, none at this scale)
+    sql["line_dedup_pages"] = f"""
+        WITH lines AS (
+          SELECT url, unnest(string_split(text, chr(10))) AS line,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS pos
+          FROM read_parquet('{corpus_pages}')),
+        counts AS (SELECT line, count(*) AS df FROM lines GROUP BY line),
+        tot AS (SELECT url, count(*) AS n_total FROM lines GROUP BY url),
+        keep AS (SELECT l.url, l.pos, l.line
+                 FROM lines l JOIN counts c ON l.line = c.line
+                 WHERE c.df < 2)
+        SELECT k.url AS url,
+               string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
+               CAST(count(*) AS BIGINT) AS n_lines_kept,
+               CAST(any_value(t.n_total) - count(*) AS BIGINT) AS n_lines_dropped
+        FROM keep k JOIN tot t ON k.url = t.url
+        GROUP BY k.url
+    """
     sql["vocab_membership"] = f"""
         WITH v AS ({vocab})
         SELECT v.tok,

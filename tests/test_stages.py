@@ -440,3 +440,71 @@ def test_exact_dedup_survives_hash_collision(ray_session, monkeypatch):
     out = dd.exact_dedup(ds, "text", "id").to_pandas().sort_values("id")
     assert list(out["id"]) == [1, 3]
     assert set(out["text"]) == {"alpha", "beta"}
+
+
+# ---------------------------------------------------------------------------
+# line_dedup (stages/lines.py) — CCNet-style cross-doc boilerplate removal
+
+
+def _line_docs():
+    return pd.DataFrame({
+        "url": [f"u{i}" for i in range(6)],
+        "text": [
+            "title one\ncommon footer\nbody a",
+            "title two\ncommon footer\nbody b",
+            "title three\ncommon footer",
+            "common footer",          # all-boilerplate -> doc drops out
+            "solo page\nunique line",
+            "",                       # lone empty line is unique -> kept
+        ],
+    })
+
+
+def test_line_dedup_semantics(ray_session):
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.lines import line_dedup
+
+    ds = rd.from_pandas(_line_docs()).repartition(3)
+    out = (line_dedup(ds, "text", "url", min_df=2).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    assert list(out["url"]) == ["u0", "u1", "u2", "u4", "u5"]  # u3 dropped
+    assert out.loc[0, "text"] == "title one\nbody a"
+    assert out.loc[2, "text"] == "title three"
+    assert out.loc[4, "text"] == ""          # unique empty line survives
+    assert list(out["n_lines_kept"]) == [2, 2, 1, 2, 1]
+    assert list(out["n_lines_dropped"]) == [1, 1, 1, 0, 0]
+
+
+def test_line_dedup_paths_agree(ray_session):
+    """Broadcast path and the two-exchange join fallback are output-identical."""
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.lines import line_dedup
+
+    a = (line_dedup(rd.from_pandas(_line_docs()).repartition(3),
+                    "text", "url", min_df=2)
+         .to_pandas().sort_values("url").reset_index(drop=True))
+    b = (line_dedup(rd.from_pandas(_line_docs()).repartition(3),
+                    "text", "url", min_df=2, max_broadcast_common=0)
+         .to_pandas().sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_line_dedup_flood_linear(ray_session):
+    """A flood of f docs sharing one boilerplate line costs O(f) rows in the
+    count exchange (per-batch partials), and every doc keeps its unique line."""
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.lines import line_dedup
+
+    f = 500
+    docs = pd.DataFrame({
+        "url": [f"u{i}" for i in range(f)],
+        "text": [f"unique {i}\nSHARED BANNER" for i in range(f)],
+    })
+    out = line_dedup(rd.from_pandas(docs).repartition(4), "text", "url",
+                     min_df=2).to_pandas()
+    assert len(out) == f
+    assert (out["n_lines_dropped"] == 1).all()
+    assert out["text"].str.startswith("unique ").all()
