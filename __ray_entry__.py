@@ -912,6 +912,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(_corpus_dir(0.001), "pages"), columns=["url", "text"])
         return line_dedup(pages, "text", "url", min_df=2)
 
+    def url_canonical_dedup(sf_dir):
+        """Crawl-URL canonicalization + newest-snapshot dedup
+        (stages/urls.py): each clean corpus URL is deterministically
+        rewritten into an in-the-wild variant (tracking params, fragment,
+        upper-cased scheme/host, :443 port, trailing slash) and ~1/3 of
+        pages get a second, one-day-later snapshot under a different
+        variant; the pipeline canonicalizes every crawl URL with a chain
+        of vectorized RE2 kernels and keeps the newest snapshot per
+        canonical URL (per-batch partial reduce -> ONE bucketed hash
+        exchange).  Pinned to the sf0.001 corpus; the SQL oracle replays
+        the same messification + the same regexp chain in DuckDB."""
+        import ray.data as rd
+
+        from liblevenshtein_rust_ray.stages.urls import (
+            messy_crawl_variants, url_snapshot_dedup)
+
+        pages = rd.read_parquet(
+            os.path.join(_corpus_dir(0.001), "pages"),
+            columns=["url", "warc_ts"])
+        messy = messy_crawl_variants(pages)
+        return url_snapshot_dedup(messy, url_col="crawl_url", ts_col="ts")
+
     def vocab_membership(sf_dir):
         """Bloom-screened dictionary membership of every distinct corpus
         token against the reference's real 124k-word dictionary (broadcast
@@ -1229,6 +1251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_membership": vocab_membership,
         "curate_docs": curate_docs,
         "line_dedup_pages": line_dedup_pages,
+        "url_canonical_dedup": url_canonical_dedup,
         "corpus_recall_real": corpus_recall_real,
         "token_stats": token_stats,
         "quality_docs": quality_docs,
@@ -2366,6 +2389,64 @@ def oracle_sql() -> dict[str, str]:
                CAST(any_value(t.n_total) - count(*) AS BIGINT) AS n_lines_dropped
         FROM keep k JOIN tot t ON k.url = t.url
         GROUP BY k.url
+    """
+    # url_canonical_dedup replays stages/urls.py verbatim: same variant
+    # synthesis (page_number%5 class, %3==0 recrawl a day later with the
+    # next class), same RE2 rewrite chain in the same order, same
+    # newest-ts/min-url tie-break.  Both engines run RE2, so the rewrites
+    # are byte-identical.
+    _url_prefix_re = "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*"
+    sql["url_canonical_dedup"] = f"""
+        WITH base AS (
+          SELECT url, CAST(epoch(warc_ts) AS BIGINT) AS ts,
+                 CAST(regexp_extract(url, '/p(\\d+)$', 1) AS BIGINT) AS v
+          FROM read_parquet('{corpus_pages}')),
+        var AS (
+          SELECT url, ts, v % 5 AS c FROM base
+          UNION ALL
+          SELECT url, ts + 86400, (v + 1) % 5 FROM base WHERE v % 3 = 0),
+        messy AS (
+          SELECT ts, CASE c
+            WHEN 0 THEN url || '?utm_source=feed&utm_campaign=x#frag'
+            WHEN 1 THEN url || '/'
+            WHEN 2 THEN upper(regexp_extract(url, '{_url_prefix_re}'))
+                        || substr(url, length(regexp_extract(url, '{_url_prefix_re}')) + 1)
+            WHEN 3 THEN regexp_replace(url, '^(https://[^/:]+)', '\\1:443')
+            ELSE url || '?gclid=ABC123' END AS crawl_url
+          FROM var),
+        generic AS (
+          SELECT crawl_url, ts,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(crawl_url,
+                '#.*$', '', 'g'),
+                '(utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'),
+                '&&+', '&', 'g'),
+                '\\?&', '?', 'g'),
+                '[?&]+$', '', 'g') AS g
+          FROM messy),
+        folded AS (
+          SELECT crawl_url, ts,
+            CASE WHEN regexp_extract(g, '{_url_prefix_re}') = '' THEN g
+                 ELSE lower(regexp_extract(g, '{_url_prefix_re}'))
+                      || substr(g, length(regexp_extract(g, '{_url_prefix_re}')) + 1)
+            END AS h
+          FROM generic),
+        canon AS (
+          SELECT crawl_url, ts,
+            regexp_replace(regexp_replace(regexp_replace(h,
+              '^(https://[^/:]+):443(/|$)', '\\1\\2', 'g'),
+              '^(http://[^/:]+):80(/|$)', '\\1\\2', 'g'),
+              '/$', '', 'g') AS canonical_url
+          FROM folded)
+        SELECT canonical_url, kept_url, kept_ts,
+               CAST(n_snapshots AS BIGINT) AS n_snapshots
+        FROM (
+          SELECT canonical_url, crawl_url AS kept_url, ts AS kept_ts,
+                 count(*) OVER (PARTITION BY canonical_url) AS n_snapshots,
+                 row_number() OVER (PARTITION BY canonical_url
+                                    ORDER BY ts DESC, crawl_url ASC) AS rn
+          FROM canon)
+        WHERE rn = 1
     """
     sql["vocab_membership"] = f"""
         WITH v AS ({vocab})
