@@ -484,6 +484,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             T.quality_batch, batch_format="pyarrow"
         )
 
+    def gopher_quality_docs(sf_dir):
+        """Gopher-style repetition/quality stats per document
+        (stages/textstats.py gopher_stats_batch): word + unique-word
+        counts, mean word length, top-word / top-bigram / duplicate-bigram
+        fractions, and a threshold keep verdict — one stateless vectorized
+        map_batches; the SQL oracle replays tokenization and every ratio
+        exactly (int/int float64 division on both sides)."""
+        from liblevenshtein_rust_ray.stages.textstats import gopher_quality
+
+        return gopher_quality(_rd(sf_dir, "documents", ["doc_id", "text"]))
+
     def langid_docs(sf_dir):
         return _rd(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
             T.langid_batch, batch_format="pyarrow"
@@ -1255,6 +1266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_recall_real": corpus_recall_real,
         "token_stats": token_stats,
         "quality_docs": quality_docs,
+        "gopher_quality_docs": gopher_quality_docs,
         "langid_docs": langid_docs,
         "doc_fingerprints": doc_fingerprints,
         "doc_fingerprints_md5": doc_fingerprints_md5,
@@ -2389,6 +2401,61 @@ def oracle_sql() -> dict[str, str]:
                CAST(any_value(t.n_total) - count(*) AS BIGINT) AS n_lines_dropped
         FROM keep k JOIN tot t ON k.url = t.url
         GROUP BY k.url
+    """
+    # gopher_quality_docs replays stages/textstats.py gopher_stats_batch:
+    # same \s+ tokenization with empties dropped, same integer counts, and
+    # every ratio is an int64/int64 float64 division on both sides, so the
+    # 6dp value hash matches bit-for-bit.  (Empty documents would emit a
+    # zeros row in Ray and no row here; the documents table has none.)
+    sql["gopher_quality_docs"] = """
+        WITH arr AS (
+          SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a
+          FROM documents),
+        toks0 AS (
+          SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS pos
+          FROM arr),
+        toks AS (
+          SELECT doc_id, w,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+          FROM toks0 WHERE w <> ''),
+        base AS (
+          SELECT doc_id, count(*) AS n_words,
+                 count(DISTINCT w) AS n_unique_words,
+                 sum(length(w)) AS sumlen
+          FROM toks GROUP BY doc_id),
+        wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+        topw AS (SELECT doc_id, max(c) AS topc FROM wc GROUP BY doc_id),
+        big AS (
+          SELECT a.doc_id, a.w || ' ' || b.w AS bg
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+        bcnt AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg),
+        btop AS (
+          SELECT doc_id, max(c) AS topb,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupb
+          FROM bcnt GROUP BY doc_id),
+        stats AS (
+          SELECT d.doc_id,
+                 CAST(d.n_words AS BIGINT) AS n_words,
+                 CAST(d.n_unique_words AS BIGINT) AS n_unique_words,
+                 CAST(d.sumlen AS DOUBLE) / d.n_words AS mean_word_len,
+                 CAST(t.topc AS DOUBLE) / d.n_words AS top_word_frac,
+                 CASE WHEN d.n_words >= 2
+                      THEN CAST(coalesce(b.topb, 0) AS DOUBLE) / (d.n_words - 1)
+                      ELSE 0.0 END AS top_bigram_frac,
+                 CASE WHEN d.n_words >= 2
+                      THEN CAST(coalesce(b.dupb, 0) AS DOUBLE) / (d.n_words - 1)
+                      ELSE 0.0 END AS dup_bigram_frac,
+                 CAST(d.n_unique_words AS DOUBLE) / d.n_words AS uf
+          FROM base d
+          JOIN topw t ON d.doc_id = t.doc_id
+          LEFT JOIN btop b ON d.doc_id = b.doc_id)
+        SELECT doc_id, n_words, n_unique_words, mean_word_len,
+               top_word_frac, top_bigram_frac, dup_bigram_frac,
+               (n_words >= 40 AND mean_word_len >= 2.0
+                AND mean_word_len <= 10.0 AND uf > 0.2
+                AND top_bigram_frac < 0.08) AS keep
+        FROM stats
     """
     # url_canonical_dedup replays stages/urls.py verbatim: same variant
     # synthesis (page_number%5 class, %3==0 recrawl a day later with the

@@ -100,6 +100,105 @@ def fingerprint_md5_batch(t: pa.Table) -> pa.Table:
 
 
 # ----------------------------------------------------------------------
+# Gopher-style repetition / quality signals (Rae et al. 2021, "Scaling
+# Language Models: ..." §A1.1 quality heuristics — public paper).  Word
+# and bigram repetition fractions computed per document, fully
+# vectorized: one Arrow RE2 split, then numpy bincount / factorized
+# pandas groupbys over the flattened token arrays — no Python rows.
+# Thresholds for ``keep`` are constants mirrored in the SQL oracle.
+GOPHER_MIN_WORDS = 40
+GOPHER_MEAN_LEN_LO = 2.0
+GOPHER_MEAN_LEN_HI = 10.0
+GOPHER_MIN_UNIQUE_FRAC = 0.2
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.08
+
+
+def gopher_stats_batch(t: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id") -> pa.Table:
+    """Per-document repetition stats: word/unique-word counts, mean word
+    length, top-word and top-/duplicate-bigram fractions, and a Gopher-ish
+    ``keep`` verdict.  Tokens are ``\\s+`` splits with empties dropped,
+    compared as-is (the corpus is already case-folded); bigrams are
+    consecutive pairs of the filtered sequence.  Every reduction is a
+    bincount or a factorized C-path groupby over one flattened array."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    n = t.num_rows
+    text = pc.coalesce(t.column(text_col), pa.scalar("", type=pa.string()))
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(text, pattern=r"\s+")
+    flat = toks.flatten()
+    counts = np.diff(toks.offsets.to_numpy().astype(np.int64))
+    parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    nonempty = lens > 0
+    parent = parent[nonempty]
+    wlens = lens[nonempty]
+    codes, uniq = pd.factorize(
+        pd.Series(flat.to_numpy(zero_copy_only=False)[nonempty]))
+
+    n_words = np.bincount(parent, minlength=n).astype(np.int64)
+    sum_len = np.bincount(parent, weights=wlens, minlength=n).astype(np.int64)
+
+    wc = (pd.DataFrame({"d": parent, "w": codes})
+          .groupby(["d", "w"], sort=False).size().reset_index(name="c"))
+    per_doc = wc.groupby("d", sort=False)["c"].agg(["count", "max"])
+    n_unique = np.zeros(n, dtype=np.int64)
+    top_word = np.zeros(n, dtype=np.int64)
+    n_unique[per_doc.index.to_numpy()] = per_doc["count"].to_numpy()
+    top_word[per_doc.index.to_numpy()] = per_doc["max"].to_numpy()
+
+    same = parent[1:] == parent[:-1]
+    bd = parent[1:][same]
+    k = np.int64(len(uniq) + 1)
+    bcode = codes[:-1][same].astype(np.int64) * k + codes[1:][same]
+    bc = (pd.DataFrame({"d": bd, "b": bcode})
+          .groupby(["d", "b"], sort=False).size().reset_index(name="c"))
+    bagg = bc.groupby("d", sort=False)["c"].agg(
+        top="max", dup=lambda s: s[s > 1].sum())
+    top_bigram = np.zeros(n, dtype=np.int64)
+    dup_bigram = np.zeros(n, dtype=np.int64)
+    top_bigram[bagg.index.to_numpy()] = bagg["top"].to_numpy()
+    dup_bigram[bagg.index.to_numpy()] = bagg["dup"].to_numpy(dtype=np.int64)
+
+    nw = np.maximum(n_words, 1)
+    nb = np.maximum(n_words - 1, 1)
+    mean_word_len = sum_len / nw
+    top_word_frac = top_word / nw
+    top_bigram_frac = np.where(n_words >= 2, top_bigram / nb, 0.0)
+    dup_bigram_frac = np.where(n_words >= 2, dup_bigram / nb, 0.0)
+    unique_frac = n_unique / nw
+    keep = ((n_words >= GOPHER_MIN_WORDS)
+            & (mean_word_len >= GOPHER_MEAN_LEN_LO)
+            & (mean_word_len <= GOPHER_MEAN_LEN_HI)
+            & (unique_frac > GOPHER_MIN_UNIQUE_FRAC)
+            & (top_bigram_frac < GOPHER_MAX_TOP_BIGRAM_FRAC))
+    return pa.table({
+        id_col: t.column(id_col),
+        "n_words": pa.array(n_words),
+        "n_unique_words": pa.array(n_unique),
+        "mean_word_len": pa.array(np.where(n_words > 0, mean_word_len, 0.0)),
+        "top_word_frac": pa.array(np.where(n_words > 0, top_word_frac, 0.0)),
+        "top_bigram_frac": pa.array(top_bigram_frac),
+        "dup_bigram_frac": pa.array(dup_bigram_frac),
+        "keep": pa.array(keep),
+    })
+
+
+def gopher_quality(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset stage: per-document Gopher-style repetition stats + keep
+    verdict (stateless streaming map_batches — nothing proportional to
+    the corpus is held anywhere)."""
+    return ds.map_batches(
+        lambda t: gopher_stats_batch(t, text_col, id_col),
+        batch_format="pyarrow",
+    )
+
+
+# ----------------------------------------------------------------------
 # PII redaction — fully vectorized Arrow regex kernels (RE2), applied in a
 # fixed order so DuckDB's regexp_replace(..., 'g') chain (same RE2 engine,
 # same patterns, same order) reproduces the output byte-for-byte.

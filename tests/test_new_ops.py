@@ -552,3 +552,47 @@ def test_redact_pii_batch():
         "no pii here",
         "",
     ]
+
+
+def test_gopher_stats_batch_handcrafted():
+    import pyarrow as pa
+
+    from liblevenshtein_rust_ray.stages.textstats import gopher_stats_batch
+
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a b a b a",          # 5 words, 2 unique, top word a=3, top bigram 'a b'=x? pairs: ab ba ab ba -> top 2, dup 4
+            "one two three four", # all unique, no repeated bigram
+            "solo",               # single word: bigram fracs 0
+            "  x   y  ",          # whitespace-heavy: 2 words after empty drop
+        ],
+    })
+    out = gopher_stats_batch(t).to_pandas()
+    assert out["n_words"].tolist() == [5, 4, 1, 2]
+    assert out["n_unique_words"].tolist() == [2, 4, 1, 2]
+    assert out["mean_word_len"].tolist() == [1.0, 3.75, 4.0, 1.0]
+    assert out["top_word_frac"].tolist() == [3 / 5, 1 / 4, 1.0, 1 / 2]
+    # doc0 bigrams: ab ba ab ba -> top 2/4, duplicated occurrences 4/4
+    assert out["top_bigram_frac"].tolist() == [2 / 4, 1 / 3, 0.0, 1.0]
+    assert out["dup_bigram_frac"].tolist() == [4 / 4, 0.0, 0.0, 0.0]
+    # repetitive/short docs all fail the keep gate
+    assert out["keep"].tolist() == [False, False, False, False]
+
+
+def test_gopher_quality_stage_matches_batch(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.textstats import (
+        gopher_quality, gopher_stats_batch)
+
+    texts = [" ".join(["tok%d" % (i % (j + 1)) for i in range(j * 7 + 1)])
+             for j in range(12)]
+    df = pd.DataFrame({"doc_id": range(12), "text": texts})
+    got = (gopher_quality(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = gopher_stats_batch(
+        pa.table(df)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
