@@ -1609,6 +1609,92 @@ def _substring_d1_oracle_sql(pattern: str = "custoner") -> str:
     """
 
 
+# sf the driver runs the SQL-oracle comparison at ("side-by-side at
+# sf=0.01"); oracles that need a generated side table pin its cache to
+# this sf, exactly like the corpus oracles pin _corpus_dir(0.001).
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _mitton_cases_parquet(sample: int) -> str:
+    """The deterministic Mitton misspelling corpus corpus_recall_real
+    scores, persisted as (correct, misspelling) parquet so the SQL oracle
+    can recompute the recall-at-distance table independently with DuckDB's
+    levenshtein().  Same generator, same seed — byte-identical cases."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from liblevenshtein_rust_ray.pipelines.spelling import (
+        load_dictionary_words, make_mitton_corpus)
+    from liblevenshtein_rust_ray.sources.corpus import parse_mitton
+
+    path = os.path.join(_CORPUS_CACHE, f"mitton_cases_s{sample}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(_CORPUS_CACHE, exist_ok=True)
+        corpus = parse_mitton(make_mitton_corpus(
+            load_dictionary_words(), sample=sample, per_word=1, seed=7))
+        # DuckDB's levenshtein() counts BYTES; the engine (and the
+        # reference) count codepoints.  Fold every non-ASCII codepoint to
+        # a distinct single-byte control char (injective, so codepoint
+        # edit distance is preserved exactly) and let the oracle measure
+        # the folded shadow columns.
+        non_ascii = sorted({ch for c, m, _f in corpus
+                            for ch in c + m if ord(ch) > 127})
+        assert len(non_ascii) < 31, "fold map exceeds control-char range"
+        fold = str.maketrans(
+            {ch: chr(1 + i) for i, ch in enumerate(non_ascii)})
+        tmp = path + ".tmp"
+        _pq.write_table(pa.table({
+            "correct": pa.array([c for c, _m, _f in corpus],
+                                type=pa.string()),
+            "misspelling": pa.array([m for _c, m, _f in corpus],
+                                    type=pa.string()),
+            "correct_f": pa.array([c.translate(fold) for c, _m, _f in corpus],
+                                  type=pa.string()),
+            "misspelling_f": pa.array(
+                [m.translate(fold) for _c, m, _f in corpus],
+                type=pa.string()),
+        }), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _spelling_pairs_parquet(sf_dir: str = _ORACLE_SF_DIR) -> str:
+    """(original, misspelling) pairs the spelling_recall query generates at
+    ``sf_dir``, rebuilt by the same pure functions (tokenize + per-word
+    seeded TypoGenerator — order-independent) and persisted so the oracle
+    can score recall with DuckDB levenshtein()."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from liblevenshtein_rust_ray.functions.simhash import hash64
+    from liblevenshtein_rust_ray.functions.tokenize import tokenize
+    from liblevenshtein_rust_ray.functions.typogen import TypoGenerator
+
+    path = os.path.join(
+        _CORPUS_CACHE, f"spelling_pairs_sf{_sf_of(sf_dir)}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(_CORPUS_CACHE, exist_ok=True)
+        docs = _pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+        vocab = sorted({tok for x in docs.column("text").to_pylist()
+                        for tok in tokenize(x or "")})
+        orig, miss = [], []
+        for w in vocab:  # mirrors pipelines.spelling.generate_misspellings
+            if not w or len(w) < 3:
+                continue
+            g = TypoGenerator(seed=(hash64(w) ^ 42) & 0x7FFFFFFF)
+            for _ in range(2):  # per_word=2, distance=2 (the query's args)
+                orig.append(w)
+                miss.append(g.generate_typos(w, 2))
+        tmp = path + ".tmp"
+        _pq.write_table(pa.table({
+            "original": pa.array(orig, type=pa.string()),
+            "misspelling": pa.array(miss, type=pa.string()),
+        }), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def _dict_parquet_path() -> str:
     """The reference's real dictionary as a cached one-column parquet so
     SQL oracles can join against it by path (same device as the corpus
@@ -2401,6 +2487,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(any_value(t.n_total) - count(*) AS BIGINT) AS n_lines_dropped
         FROM keep k JOIN tot t ON k.url = t.url
         GROUP BY k.url
+    """
+    # spelling_recall / corpus_recall_real: the deterministic generated
+    # cases are persisted as parquet (same pure generators the queries
+    # run — per-word seeding makes the sets order-independent) and DuckDB
+    # recomputes recall with its builtin levenshtein(); an engine that
+    # missed a within-distance match, or binned a case at the wrong true
+    # distance, hash-mismatches.  Pinned to the driver's compare sf
+    # (_ORACLE_SF_DIR), like the corpus-path oracles pin sf0.001.
+    spelling_pairs = _spelling_pairs_parquet()
+    sql["spelling_recall"] = f"""
+        WITH p AS (SELECT DISTINCT original, misspelling
+                   FROM read_parquet('{spelling_pairs}'))
+        SELECT CAST(count(*) AS BIGINT) AS n_misspellings,
+               CAST(count(*) FILTER (
+                 WHERE levenshtein(misspelling, original) <= 2) AS BIGINT)
+                 AS n_recovered,
+               CAST(count(*) FILTER (
+                 WHERE levenshtein(misspelling, original) <= 2) AS DOUBLE)
+                 / count(*) AS recall
+        FROM p
+    """
+    # levenshtein runs on the *_f shadow columns: non-ASCII codepoints
+    # folded to single bytes at persist time, because DuckDB's builtin
+    # counts bytes while the engine counts codepoints.
+    mitton_cases = _mitton_cases_parquet(sample=8000)
+    sql["corpus_recall_real"] = f"""
+        WITH c AS (SELECT correct, misspelling,
+                          CAST(levenshtein(misspelling_f, correct_f)
+                               AS BIGINT) AS distance
+                   FROM read_parquet('{mitton_cases}'))
+        SELECT distance,
+               CAST(count(*) AS BIGINT) AS n_cases,
+               CAST(count(*) AS BIGINT) AS n_found,
+               CAST(count(*) AS DOUBLE) / count(*) AS recall
+        FROM c WHERE distance <= 2
+        GROUP BY distance
     """
     # gopher_quality_docs replays stages/textstats.py gopher_stats_batch:
     # same \s+ tokenization with empties dropped, same integer counts, and
