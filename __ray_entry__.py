@@ -289,6 +289,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _rd(sf_dir, "documents", ["doc_id"])
         return split_by_hash(docs, "doc_id", val_pct=10)
 
+    def rebalance_sources_docs(sf_dir):
+        """Domain mixing (stages/sampling.py rebalance_sources): keep each
+        document with a per-source probability — the training-mix
+        re-weighting step of a corpus pipeline.  Deterministic md5
+        per-million threshold on doc_id, so any node recomputes a row's
+        fate without coordination; the SQL oracle applies the identical
+        CASE thresholds."""
+        from liblevenshtein_rust_ray.stages.sampling import rebalance_sources
+
+        docs = _rd(sf_dir, "documents", ["doc_id", "source"])
+        return rebalance_sources(
+            docs, "source",
+            {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25,
+             "src4": 0.1},
+            key_col="doc_id", default_rate=0.6)
+
     def vocab_canonicalize(sf_dir):
         """Term normalization: connected components of the d<=1 vocabulary
         self-join, canon = lexicographic min of the component (singletons
@@ -1222,6 +1238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": decontaminate_docs,
         "redact_docs": redact_docs,
         "split_docs": split_docs,
+        "rebalance_sources_docs": rebalance_sources_docs,
         "fuzzy_vocab_pairs_subst": fuzzy_vocab_pairs_subst,
         "substring_search_docs": substring_search_docs,
         "substring_positions_d0": substring_positions_d0,
@@ -2423,6 +2440,17 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN md5_number_lower('split:' || CAST(doc_id AS VARCHAR)) % 100 < 10
                     THEN 'val' ELSE 'train' END AS split
         FROM documents
+    """
+    sql["rebalance_sources_docs"] = """
+        SELECT doc_id, source FROM documents
+        WHERE md5_number_lower('mix:' || CAST(doc_id AS VARCHAR)) % 1000000
+              < CASE source
+                  WHEN 'src0' THEN 1000000
+                  WHEN 'src1' THEN  750000
+                  WHEN 'src2' THEN  500000
+                  WHEN 'src3' THEN  250000
+                  WHEN 'src4' THEN  100000
+                  ELSE 600000 END
     """
     sql["decontaminate_docs"] = """
         WITH t AS (SELECT doc_id,

@@ -32,6 +32,32 @@ def split_by_hash(ds, key_col: str, val_pct: int = 10, salt: str = "split",
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def rebalance_sources(ds, group_col: str, rates: dict[str, float],
+                      key_col: str, default_rate: float = 1.0,
+                      salt: str = "mix"):
+    """Domain mixing: keep each row of group ``g`` (e.g. a source/domain
+    column) with probability ``rates.get(g, default_rate)`` — the standard
+    way to re-weight corpus domains for a training mix.  Membership is a
+    pure function of the row key (``md5(salt:key) % 10^6`` under an
+    integer per-million threshold, exact in SQL), so the sample is
+    order/partitioning/cluster-size independent and resumable, and
+    disjoint salts give independent draws.  Stateless streaming filter —
+    nothing proportional to the corpus is held anywhere."""
+    thr = {g: int(round(r * 1_000_000)) for g, r in rates.items()}
+    dthr = int(round(default_rate * 1_000_000))
+
+    def f(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pylist()
+        groups = t.column(group_col).to_pylist()
+        mask = [
+            md5_hash64(f"{salt}:{k}") % 1_000_000 < thr.get(g, dthr)
+            for k, g in zip(keys, groups)
+        ]
+        return t.filter(pa.array(mask, type=pa.bool_()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def sample_by_hash(ds, key_col: str, pct: int, salt: str = "sample"):
     """Keep a deterministic ``pct``% sample: rows with
     ``md5(salt:key) % 100 < pct``.  Same invariances as

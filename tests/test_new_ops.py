@@ -596,3 +596,30 @@ def test_gopher_quality_stage_matches_batch(ray_session):
     want = gopher_stats_batch(
         pa.table(df)).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_rebalance_sources(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.sampling import rebalance_sources
+
+    df = pd.DataFrame({
+        "k": list(range(3000)),
+        "g": ["a", "b", "c"] * 1000,
+    })
+    rates = {"a": 1.0, "b": 0.5, "c": 0.0}
+    out = rebalance_sources(
+        rd.from_pandas(df), "g", rates, key_col="k").to_pandas()
+    counts = out["g"].value_counts().to_dict()
+    assert counts.get("a") == 1000          # rate 1.0 keeps everything
+    assert "c" not in counts                # rate 0.0 drops everything
+    assert 380 < counts.get("b", 0) < 620   # ~50% of 1000
+    # partitioning-independent: same kept set on a different block layout
+    out2 = rebalance_sources(
+        rd.from_pandas(df).repartition(7), "g", rates, key_col="k").to_pandas()
+    assert set(zip(out["k"], out["g"])) == set(zip(out2["k"], out2["g"]))
+    # unknown group falls back to default_rate
+    out3 = rebalance_sources(
+        rd.from_pandas(df), "g", {}, key_col="k", default_rate=0.0).to_pandas()
+    assert len(out3) == 0
