@@ -289,6 +289,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _rd(sf_dir, "documents", ["doc_id"])
         return split_by_hash(docs, "doc_id", val_pct=10)
 
+    def kmv_distinct_docs(sf_dir):
+        """KMV (bottom-k) distinct-count sketch of word 3-shingles across
+        the corpus (stages/sketch.py): per-batch bottom-256 md5 hashes,
+        merged by unioning k values per block — a mergeable sketch whose
+        md5 hash family makes the ESTIMATE itself deterministic, so the
+        SQL oracle reproduces the approximate answer exactly."""
+        from liblevenshtein_rust_ray.stages.sketch import kmv_distinct_shingles
+
+        return kmv_distinct_shingles(
+            _rd(sf_dir, "documents", ["text"]), "text", k=256, shingle_k=3)
+
     def rebalance_sources_docs(sf_dir):
         """Domain mixing (stages/sampling.py rebalance_sources): keep each
         document with a per-source probability — the training-mix
@@ -1239,6 +1250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_docs": redact_docs,
         "split_docs": split_docs,
         "rebalance_sources_docs": rebalance_sources_docs,
+        "kmv_distinct_docs": kmv_distinct_docs,
         "fuzzy_vocab_pairs_subst": fuzzy_vocab_pairs_subst,
         "substring_search_docs": substring_search_docs,
         "substring_positions_d0": substring_positions_d0,
@@ -2440,6 +2452,29 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN md5_number_lower('split:' || CAST(doc_id AS VARCHAR)) % 100 < 10
                     THEN 'val' ELSE 'train' END AS split
         FROM documents
+    """
+    # kmv_distinct_docs: same shingle construction as decontaminate_docs,
+    # same md5 family, same bottom-k estimator arithmetic (255.0 * 2^64 is
+    # exactly representable; both sides divide it by the k-th hash as
+    # float64) — the sketch's approximate estimate matches bit-for-bit.
+    sql["kmv_distinct_docs"] = """
+        WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+             s AS (SELECT CASE WHEN len(toks) = 0 THEN []
+                               WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                               ELSE [array_to_string(toks[i:i+2], ' ')
+                                     FOR i IN range(1, len(toks) - 1)]
+                          END AS sh
+                   FROM t),
+             hs AS (SELECT DISTINCT md5_number_lower(u.x) AS hv
+                    FROM s, unnest(s.sh) AS u(x)),
+             bk AS (SELECT hv FROM hs ORDER BY hv LIMIT 256)
+        SELECT CAST(count(*) AS BIGINT) AS k_used,
+               CAST(max(hv) AS DOUBLE) AS kth_hash,
+               CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                    ELSE 255.0 * power(2.0, 64) / CAST(max(hv) AS DOUBLE)
+               END AS est_distinct
+        FROM bk
     """
     sql["rebalance_sources_docs"] = """
         SELECT doc_id, source FROM documents

@@ -623,3 +623,38 @@ def test_rebalance_sources(ray_session):
     out3 = rebalance_sources(
         rd.from_pandas(df), "g", {}, key_col="k", default_rate=0.0).to_pandas()
     assert len(out3) == 0
+
+
+def test_kmv_sketch(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.functions.simhash import md5_hash64
+    from liblevenshtein_rust_ray.functions.tokenize import shingles, tokenize
+    from liblevenshtein_rust_ray.stages.sketch import (
+        kmv_distinct_shingles, kmv_estimate)
+
+    # exact below k: fewer distinct shingles than k -> est == true count
+    texts = ["alpha beta gamma delta", "beta gamma delta epsilon"]
+    truth = {s for t in texts for s in shingles(tokenize(t), 3)}
+    out = kmv_distinct_shingles(
+        rd.from_pandas(pd.DataFrame({"text": texts})), k=256)
+    assert out["k_used"].iloc[0] == len(truth)
+    assert out["est_distinct"].iloc[0] == float(len(truth))
+
+    # estimator path (k << n): within 15% of the true distinct count,
+    # and partitioning-independent (merge of partials == whole-set sketch)
+    texts = ["w%d x%d y%d" % (i, i * 7 % 911, i * 13 % 577)
+             for i in range(5000)]
+    df = pd.DataFrame({"text": texts})
+    a = kmv_distinct_shingles(rd.from_pandas(df), k=128)
+    b = kmv_distinct_shingles(rd.from_pandas(df).repartition(9), k=128)
+    pd.testing.assert_frame_equal(a, b)
+    true_n = len({s for t in texts for s in shingles(tokenize(t), 3)})
+    est = a["est_distinct"].iloc[0]
+    assert abs(est - true_n) / true_n < 0.15
+
+    # estimator formula pinned against a hand computation
+    hs = sorted({md5_hash64(s) for t in texts for s in shingles(tokenize(t), 3)})
+    want = 127 * 2.0 ** 64 / float(hs[127])
+    assert est == want
