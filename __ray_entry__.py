@@ -1059,6 +1059,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(fin, batch_format="pandas")
 
+    def er_pairs_canonical(sf_dir):
+        """Web-ingest composition: messy crawl snapshots (five URL-variant
+        classes + one-day-later recrawls, stages/urls.py) -> canonicalize +
+        newest-snapshot dedup with page content carried -> the flagship ER
+        all-pairs.  Canonical URLs are exactly the clean corpus URLs and
+        recrawl rows are true duplicates, so the pair set provably equals
+        er_pairs_corpus's output and SHARES its SQL oracle verbatim — the
+        oracle row checks the whole ingest->dedup->ER chain end to end.
+        Pinned to the sf0.001 corpus (the oracle names a concrete path)."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from liblevenshtein_rust_ray.stages.urls import (
+            messy_crawl_variants, url_snapshot_dedup)
+
+        pages = rd.read_parquet(os.path.join(_corpus_dir(0.001), "pages"))
+        messy = messy_crawl_variants(pages,
+                                     carry_cols=("html", "text", "lang"))
+        dedup = url_snapshot_dedup(messy, url_col="crawl_url", ts_col="ts",
+                                   carry_cols=("html", "text", "lang"))
+
+        def as_pages(t: pa.Table) -> pa.Table:
+            ts = pc.multiply(t.column("kept_ts"),
+                             pa.scalar(1_000_000, type=pa.int64()))
+            return pa.table({
+                "url": t.column("canonical_url"),
+                "warc_ts": ts.cast(pa.timestamp("us")),
+                "html": t.column("html").cast(pa.binary()),
+                "text": t.column("text"),
+                "lang": t.column("lang"),
+            })
+
+        out = er_pairs(dedup.map_batches(as_pages, batch_format="pyarrow"),
+                       emit_all_pairs=True, max_block_strings=1_000_000)
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["distance"] = df["distance"].astype("int64")
+            return df
+
+        return out.map_batches(fin, batch_format="pandas")
+
     def er_pairs_allpairs(sf_dir):
         """The flagship ER pipeline (extract -> blocking -> automaton
         scoring -> pair dedup) made SQL-oracle-checkable: pages synthesized
@@ -1316,6 +1360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_pairs_allpairs_transposition_d1": er_pairs_allpairs_transposition_d1,
         "er_pairs_allpairs_transposition": er_pairs_allpairs_transposition,
         "er_pairs_corpus": er_pairs_corpus,
+        "er_pairs_canonical": er_pairs_canonical,
         "multimodal_stub": multimodal_stub,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_features": multimodal_audio_features,
@@ -2526,6 +2571,10 @@ def oracle_sql() -> dict[str, str]:
     # identical relation to the brute-force baseline
     sql["ann_ivf_topk_full"] = sql["ann_cosine_topk"]
     sql["fuzzy_lookup_parts_pathmap"] = sql["fuzzy_lookup_parts"]
+    # er_pairs_canonical: the ingest->dedup->ER composition restores the
+    # exact clean corpus (canonical urls == clean urls, recrawls are true
+    # duplicates), so its oracle IS the er_pairs_corpus oracle.
+    sql["er_pairs_canonical"] = sql["er_pairs_corpus"]
     sql["prefix_search_tokens_zipper"] = sql["prefix_search_tokens"]
     sql["embedding_neardup_lsh"] = _embedding_lsh_oracle_sql()
     sql["embedding_neardup_lsh_join"] = sql["embedding_neardup_lsh"]

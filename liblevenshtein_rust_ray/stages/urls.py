@@ -103,7 +103,8 @@ def _epoch_seconds(ts: pa.ChunkedArray | pa.Array) -> pa.Array:
     return ts.cast(pa.int64())
 
 
-def messy_crawl_variants(ds, url_col: str = "url", ts_col: str = "warc_ts"):
+def messy_crawl_variants(ds, url_col: str = "url", ts_col: str = "warc_ts",
+                         carry_cols: tuple[str, ...] = ()):
     """Deterministic crawl-messiness synthesizer for tests/oracles: rewrite
     each clean corpus URL into one of five in-the-wild variants (tracking
     params + fragment, trailing slash, upper-cased scheme/host, explicit
@@ -114,7 +115,9 @@ def messy_crawl_variants(ds, url_col: str = "url", ts_col: str = "warc_ts"):
     ``url_canonical_dedup`` SQL oracle, so this is the shared fixture both
     engines canonicalize back to the same clean URL.
 
-    Output: ``(crawl_url: string, ts: int64 epoch seconds)``.
+    Output: ``(crawl_url: string, ts: int64 epoch seconds)`` plus any
+    ``carry_cols`` passed through unchanged (recrawl rows repeat the
+    original row's values — a crawl re-fetch of the same page).
     """
 
     def batch(t: pa.Table) -> pa.Table:
@@ -150,48 +153,68 @@ def messy_crawl_variants(ds, url_col: str = "url", ts_col: str = "warc_ts"):
         mask = pa.array(recrawl_mask)
         re_url = variant(url.filter(mask), (v[recrawl_mask] + 1) % 5)
         re_ts = pc.add(epoch.filter(mask), pa.scalar(86_400, type=pa.int64()))
-        return pa.table({
+        cols = {
             "crawl_url": pa.concat_arrays(
                 [base.combine_chunks() if isinstance(base, pa.ChunkedArray)
                  else base, re_url]),
             "ts": pa.concat_arrays([epoch.cast(pa.int64()), re_ts]),
-        })
+        }
+        for c in carry_cols:
+            a = t.column(c)
+            a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+            cols[c] = pa.concat_arrays([a, a.filter(mask)])
+        return pa.table(cols)
 
     return ds.map_batches(batch, batch_format="pyarrow")
 
 
-def _combine(df: pd.DataFrame) -> pd.DataFrame:
+def _make_combine(carry_cols: tuple[str, ...]):
     """Associative snapshot combine: newest ts wins, ties to min crawl URL;
-    snapshot counts add.  Works for raw rows (n_snapshots==1) and partials."""
-    df = df.sort_values(["kept_ts", "kept_url"],
-                        ascending=[False, True], kind="stable")
-    g = df.groupby("canonical_url", sort=False, as_index=False)
-    out = g.agg(kept_url=("kept_url", "first"),
-                kept_ts=("kept_ts", "first"),
-                n_snapshots=("n_snapshots", "sum"))
-    return out[["canonical_url", "kept_url", "kept_ts", "n_snapshots"]]
+    snapshot counts add; carried columns take the winning snapshot's value.
+    Works for raw rows (n_snapshots==1) and partials."""
+    order = ["canonical_url", "kept_url", "kept_ts", "n_snapshots",
+             *carry_cols]
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["kept_ts", "kept_url"],
+                            ascending=[False, True], kind="stable")
+        g = df.groupby("canonical_url", sort=False, as_index=False)
+        out = g.agg(kept_url=("kept_url", "first"),
+                    kept_ts=("kept_ts", "first"),
+                    n_snapshots=("n_snapshots", "sum"),
+                    **{c: (c, "first") for c in carry_cols})
+        return out[order]
+
+    return combine
 
 
 def url_snapshot_dedup(ds, url_col: str = "url", ts_col: str = "warc_ts",
-                       n_buckets: int = 64):
+                       n_buckets: int = 64,
+                       carry_cols: tuple[str, ...] = ()):
     """One row per canonical URL: the newest crawl snapshot + snapshot count.
 
     Output columns: ``canonical_url, kept_url, kept_ts`` (epoch seconds,
-    int64), ``n_snapshots`` (int64).  Streaming shape: canonicalize (map) →
-    per-batch partial reduce (map) → ONE bucketed hash exchange → C-path
-    final combine.  The exchange payload is bounded by distinct canonical
-    URLs per batch, not snapshot count."""
+    int64), ``n_snapshots`` (int64), plus any ``carry_cols`` (the winning
+    snapshot's values — carry only the columns downstream needs; at scale
+    wide payloads ride the exchange once per distinct canonical per batch).
+    Streaming shape: canonicalize (map) → per-batch partial reduce (map) →
+    ONE bucketed hash exchange → C-path final combine.  The exchange
+    payload is bounded by distinct canonical URLs per batch, not snapshot
+    count."""
     ds = canonicalize_urls(ds, url_col=url_col)
+    combine = _make_combine(tuple(carry_cols))
 
     def partial(t: pa.Table) -> pd.DataFrame:
         epoch = _epoch_seconds(t.column(ts_col))
-        df = pd.DataFrame({
+        cols = {
             "canonical_url": t.column("canonical_url").to_pandas(),
             "kept_url": t.column(url_col).to_pandas(),
             "kept_ts": epoch.to_pandas().astype(np.int64),
             "n_snapshots": np.ones(t.num_rows, dtype=np.int64),
-        })
-        return _combine(df)
+        }
+        for c in carry_cols:
+            cols[c] = t.column(c).to_pandas()
+        return combine(pd.DataFrame(cols))
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     empty = pd.DataFrame({
@@ -199,6 +222,7 @@ def url_snapshot_dedup(ds, url_col: str = "url", ts_col: str = "warc_ts",
         "kept_url": pd.Series([], dtype=object),
         "kept_ts": pd.Series([], dtype=np.int64),
         "n_snapshots": pd.Series([], dtype=np.int64),
+        **{c: pd.Series([], dtype=object) for c in carry_cols},
     })
-    return bucketed_apply(partials, "canonical_url", _combine,
+    return bucketed_apply(partials, "canonical_url", combine,
                           n_buckets=n_buckets, empty_result=empty)

@@ -139,3 +139,35 @@ def test_canonicalize_urls_stage(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"url": [c[0] for c in CASES]}))
     out = canonicalize_urls(ds).to_pandas()
     assert out["canonical_url"].tolist() == [c[1] for c in CASES]
+
+
+def test_snapshot_dedup_carry_cols(ray_session):
+    """carry_cols ride the dedup: the winning (newest) snapshot's values
+    survive, recrawl variants repeat the original content."""
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "crawl_url": ["https://a.com/x?utm_source=f", "https://a.com/x/",
+                      "https://b.com/y"],
+        "ts": [100, 200, 50],
+        "text": ["old content", "new content", "solo"],
+    })
+    out = url_snapshot_dedup(
+        rd.from_pandas(df), url_col="crawl_url", ts_col="ts",
+        n_buckets=2, carry_cols=("text",),
+    ).to_pandas().sort_values("canonical_url").reset_index(drop=True)
+    assert out["canonical_url"].tolist() == ["https://a.com/x", "https://b.com/y"]
+    assert out["text"].tolist() == ["new content", "solo"]
+    assert out["n_snapshots"].tolist() == [2, 1]
+
+
+def test_messy_variants_carry_cols(ray_session):
+    import ray.data as rd
+
+    urls = ["https://site0.example.com/e1/p0"]
+    ds = rd.from_pandas(pd.DataFrame({
+        "url": urls, "warc_ts": [1_600_000_000], "text": ["body"]}))
+    messy = messy_crawl_variants(ds, carry_cols=("text",)).to_pandas()
+    assert len(messy) == 2  # base + recrawl (p0 -> v%3==0)
+    assert messy["text"].tolist() == ["body", "body"]
+    assert messy["ts"].tolist() == [1_600_000_000, 1_600_000_000 + 86_400]
