@@ -124,6 +124,24 @@ def main() -> None:
             reps.append(time.perf_counter() - t0)
         timings[name] = round(min(reps), 3)
 
+    # crawl-ingest stage over the headline corpus: URL canonicalization +
+    # newest-snapshot dedup of the synthesized messy variants (~1.43 rows
+    # per page).  input_blocks=2/CPU — tiny-block task overhead dominates
+    # otherwise (14.0 -> 2.8 s at sf0.1/32 CPUs)
+    from liblevenshtein_rust_ray.stages.urls import (
+        messy_crawl_variants, url_snapshot_dedup)
+
+    reps = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        url_snapshot_dedup(
+            messy_crawl_variants(
+                rd.read_parquet(pages_path, columns=["url", "warc_ts"])),
+            url_col="crawl_url", ts_col="ts", input_blocks=NUM_CPUS * 2,
+        ).count()
+        reps.append(time.perf_counter() - t0)
+    timings["url_dedup"] = round(min(reps), 3)
+
     # dictionary-backend micro point vs BASELINE.md's reference numbers:
     # ArrayTrie over the reference's real 124k-word dictionary (single
     # process — comparable to the criterion single-thread table)
