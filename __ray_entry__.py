@@ -972,6 +972,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         messy = messy_crawl_variants(pages)
         return url_snapshot_dedup(messy, url_col="crawl_url", ts_col="ts")
 
+    def host_stats_corpus(sf_dir):
+        """Domain-level curation stats (stages/urls.py host_stats): pages,
+        total/mean text chars and a mega-host flag per host — the domain
+        blocklist / hot-host review input of a crawl pipeline.  One RE2
+        host extraction + per-batch partial counts + ONE bucketed
+        exchange.  Pinned to the sf0.001 corpus."""
+        import ray.data as rd
+
+        from liblevenshtein_rust_ray.stages.urls import host_stats
+
+        pages = rd.read_parquet(
+            os.path.join(_corpus_dir(0.001), "pages"),
+            columns=["url", "text"])
+        return host_stats(pages)
+
     def vocab_membership(sf_dir):
         """Bloom-screened dictionary membership of every distinct corpus
         token against the reference's real 124k-word dictionary (broadcast
@@ -1336,6 +1351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs": curate_docs,
         "line_dedup_pages": line_dedup_pages,
         "url_canonical_dedup": url_canonical_dedup,
+        "host_stats_corpus": host_stats_corpus,
         "corpus_recall_real": corpus_recall_real,
         "token_stats": token_stats,
         "quality_docs": quality_docs,
@@ -2690,6 +2706,18 @@ def oracle_sql() -> dict[str, str]:
                 AND mean_word_len <= 10.0 AND uf > 0.2
                 AND top_bigram_frac < 0.08) AS keep
         FROM stats
+    """
+    sql["host_stats_corpus"] = f"""
+        WITH p AS (SELECT regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1) AS host,
+                          length(text) AS chars
+                   FROM read_parquet('{corpus_pages}'))
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(chars) AS BIGINT) AS sum_chars,
+               CAST(sum(chars) AS DOUBLE) / count(*) AS mean_chars,
+               count(*) > 500 AS flag_mega
+        FROM p GROUP BY host
     """
     # url_canonical_dedup replays stages/urls.py verbatim: same variant
     # synthesis (page_number%5 class, %3==0 recrawl a day later with the

@@ -168,6 +168,59 @@ def messy_crawl_variants(ds, url_col: str = "url", ts_col: str = "warc_ts",
     return ds.map_batches(batch, batch_format="pyarrow")
 
 
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<host>[^/]*)"
+
+# mega-host flag: hosts holding more than this many pages get reviewed /
+# downweighted (zipf-skewed crawls put a large share of pages on a few
+# hosts, which also makes them blocking hot-spots).  Mirrored in SQL.
+HOST_MAX_PAGES = 500
+
+
+def host_stats(ds, url_col: str = "url", text_col: str = "text",
+               n_buckets: int = 64):
+    """Per-host corpus stats for domain-level curation: page count, total
+    and mean text chars, and a ``flag_mega`` verdict for hosts above
+    :data:`HOST_MAX_PAGES`.  Host extraction is one vectorized RE2 kernel;
+    reduction is per-batch pandas partials then ONE bucketed exchange of
+    (host, count, sum) rows — the exchange ships one row per (batch x
+    host), never per page."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        host = pc.struct_field(
+            pc.extract_regex(
+                pc.coalesce(t.column(url_col),
+                            pa.scalar("", type=pa.string())),
+                pattern=_HOST_RE), "host")
+        host = pc.coalesce(host, pa.scalar("", type=pa.string()))
+        chars = pc.utf8_length(
+            pc.coalesce(t.column(text_col), pa.scalar("", type=pa.string())))
+        df = pd.DataFrame({
+            "host": host.to_pandas(),
+            "n_pages": np.ones(t.num_rows, dtype=np.int64),
+            "sum_chars": chars.to_pandas().astype(np.int64),
+        })
+        return df.groupby("host", sort=False, as_index=False).agg(
+            n_pages=("n_pages", "sum"), sum_chars=("sum_chars", "sum"))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("host", sort=False, as_index=False).agg(
+            n_pages=("n_pages", "sum"), sum_chars=("sum_chars", "sum"))
+        g["mean_chars"] = g["sum_chars"] / g["n_pages"]
+        g["flag_mega"] = g["n_pages"] > HOST_MAX_PAGES
+        return g[["host", "n_pages", "sum_chars", "mean_chars", "flag_mega"]]
+
+    empty = pd.DataFrame({
+        "host": pd.Series([], dtype=object),
+        "n_pages": pd.Series([], dtype=np.int64),
+        "sum_chars": pd.Series([], dtype=np.int64),
+        "mean_chars": pd.Series([], dtype=np.float64),
+        "flag_mega": pd.Series([], dtype=bool),
+    })
+    return bucketed_apply(ds.map_batches(partial, batch_format="pyarrow"),
+                          "host", combine, n_buckets=n_buckets,
+                          empty_result=empty)
+
+
 def _make_combine(carry_cols: tuple[str, ...]):
     """Associative snapshot combine: newest ts wins, ties to min crawl URL;
     snapshot counts add; carried columns take the winning snapshot's value.

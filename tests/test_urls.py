@@ -171,3 +171,22 @@ def test_messy_variants_carry_cols(ray_session):
     assert len(messy) == 2  # base + recrawl (p0 -> v%3==0)
     assert messy["text"].tolist() == ["body", "body"]
     assert messy["ts"].tolist() == [1_600_000_000, 1_600_000_000 + 86_400]
+
+
+def test_host_stats(ray_session):
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.urls import host_stats
+
+    df = pd.DataFrame({
+        "url": ["https://a.com/1", "https://a.com/2", "HTTPS://b.org/x",
+                "not a url"],
+        "text": ["abcd", "ab", "abc", ""],
+    })
+    out = host_stats(rd.from_pandas(df).repartition(2), n_buckets=2
+                     ).to_pandas().sort_values("host").reset_index(drop=True)
+    assert out["host"].tolist() == ["", "a.com", "b.org"]
+    assert out["n_pages"].tolist() == [1, 2, 1]
+    assert out["sum_chars"].tolist() == [0, 6, 3]
+    assert out["mean_chars"].tolist() == [0.0, 3.0, 3.0]
+    assert out["flag_mega"].tolist() == [False, False, False]
