@@ -972,6 +972,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         messy = messy_crawl_variants(pages)
         return url_snapshot_dedup(messy, url_col="crawl_url", ts_col="ts")
 
+    def url_dedup_incremental(sf_dir):
+        """Streaming-ingest analogue for the URL front: yesterday's
+        canonical table (dedup of the day-0 snapshots) absorbs today's
+        crawl by UNIONING raw day-1 partials and re-running the SAME
+        associative combine — no rebuild, no second canonicalization of
+        old rows.  The snapshot combine (newest ts, min-url tie, count
+        sum) is associative, so the merged result provably equals the
+        from-scratch dedup and SHARES url_canonical_dedup's SQL oracle."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from liblevenshtein_rust_ray.stages.grouped import bucketed_apply
+        from liblevenshtein_rust_ray.stages.urls import (
+            _make_combine, canonicalize_urls, messy_crawl_variants,
+            url_snapshot_dedup)
+
+        pages = rd.read_parquet(
+            os.path.join(_corpus_dir(0.001), "pages"),
+            columns=["url", "warc_ts"])
+        messy = messy_crawl_variants(pages)
+        # day 0 = original snapshots; day 1 = the +86400s recrawls
+        cut = 1_577_836_800 + 86_400  # corpus epoch base + one day
+
+        def day0(t):
+            return t.filter(pc.less(t.column("ts"), cut))
+
+        def day1(t):
+            return t.filter(pc.greater_equal(t.column("ts"), cut))
+
+        base = url_snapshot_dedup(
+            messy.map_batches(day0, batch_format="pyarrow"),
+            url_col="crawl_url", ts_col="ts")
+
+        day1_partial = canonicalize_urls(
+            messy.map_batches(day1, batch_format="pyarrow"),
+            url_col="crawl_url").map_batches(
+            lambda t: pa.table({
+                "canonical_url": t.column("canonical_url"),
+                "kept_url": t.column("crawl_url"),
+                "kept_ts": t.column("ts"),
+                "n_snapshots": pa.array([1] * t.num_rows, type=pa.int64()),
+            }), batch_format="pyarrow")
+        combine = _make_combine(())
+        empty = pd.DataFrame({
+            "canonical_url": pd.Series([], dtype=object),
+            "kept_url": pd.Series([], dtype=object),
+            "kept_ts": pd.Series([], dtype="int64"),
+            "n_snapshots": pd.Series([], dtype="int64"),
+        })
+        return bucketed_apply(base.union(day1_partial), "canonical_url",
+                              combine, n_buckets=64, empty_result=empty)
+
     def host_stats_corpus(sf_dir):
         """Domain-level curation stats (stages/urls.py host_stats): pages,
         total/mean text chars and a mega-host flag per host — the domain
@@ -1351,6 +1405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs": curate_docs,
         "line_dedup_pages": line_dedup_pages,
         "url_canonical_dedup": url_canonical_dedup,
+        "url_dedup_incremental": url_dedup_incremental,
         "host_stats_corpus": host_stats_corpus,
         "corpus_recall_real": corpus_recall_real,
         "token_stats": token_stats,
@@ -2777,6 +2832,8 @@ def oracle_sql() -> dict[str, str]:
           FROM canon)
         WHERE rn = 1
     """
+    # incremental merge == from-scratch dedup (the combine is associative)
+    sql["url_dedup_incremental"] = sql["url_canonical_dedup"]
     sql["vocab_membership"] = f"""
         WITH v AS ({vocab})
         SELECT v.tok,

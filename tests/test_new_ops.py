@@ -658,3 +658,35 @@ def test_kmv_sketch(ray_session):
     hs = sorted({md5_hash64(s) for t in texts for s in shingles(tokenize(t), 3)})
     want = 127 * 2.0 ** 64 / float(hs[127])
     assert est == want
+
+
+def test_gopher_stats_duckdb_parity():
+    """The gopher_quality_docs oracle contract on adversarial inputs:
+    tabs/newlines/multi-space splits, unicode words (codepoint lengths),
+    heavy repetition — both engines produce identical rows."""
+    import duckdb
+    import pyarrow as pa
+
+    from liblevenshtein_rust_ray.stages.textstats import gopher_stats_batch
+
+    docs = [
+        "a\tb\nc  d\te",
+        "naïve café naïve café naïve",
+        "x " * 50 + "y",
+        "one",
+        "  padded   both  ends  ",
+        ("w1 w2 w3 " * 20).strip(),
+    ]
+    t = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    got = gopher_stats_batch(t).to_pandas().sort_values("doc_id")
+
+    con = duckdb.connect()
+    con.register("documents", t)
+    import __ray_entry__ as e
+    sql = e.oracle_sql()["gopher_quality_docs"]
+    want = con.sql(sql).df().sort_values("doc_id")
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[sorted(got.columns)],
+        want.reset_index(drop=True)[sorted(want.columns)],
+        check_dtype=False)
