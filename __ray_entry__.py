@@ -511,6 +511,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             T.quality_batch, batch_format="pyarrow"
         )
 
+    def bpe_token_stats_docs(sf_dir):
+        """BPE-ish subword token counting (training-cost estimation) —
+        one vectorized RE2 count kernel per batch
+        (stages/textstats.py BPE_TOKEN_RE); the oracle counts the same
+        pattern with DuckDB regexp_extract_all."""
+        from liblevenshtein_rust_ray.stages.textstats import bpe_token_stats
+
+        return bpe_token_stats(_rd(sf_dir, "documents", ["doc_id", "text"]))
+
     def gopher_quality_docs(sf_dir):
         """Gopher-style repetition/quality stats per document
         (stages/textstats.py gopher_stats_batch): word + unique-word
@@ -1411,6 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": token_stats,
         "quality_docs": quality_docs,
         "gopher_quality_docs": gopher_quality_docs,
+        "bpe_token_stats_docs": bpe_token_stats_docs,
         "langid_docs": langid_docs,
         "doc_fingerprints": doc_fingerprints,
         "doc_fingerprints_md5": doc_fingerprints_md5,
@@ -2706,6 +2716,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS DOUBLE) / count(*) AS recall
         FROM c WHERE distance <= 2
         GROUP BY distance
+    """
+    # bpe_token_stats_docs: same RE2 pattern on both engines (Arrow
+    # count_substring_regex vs DuckDB regexp_extract_all length)
+    from liblevenshtein_rust_ray.stages.textstats import BPE_TOKEN_RE
+    _bpe_sql_pat = BPE_TOKEN_RE.replace("'", "''")
+    sql["bpe_token_stats_docs"] = f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(coalesce(text, ''),
+                    '{_bpe_sql_pat}')) AS BIGINT) AS n_bpe_tokens,
+               CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+        FROM documents
     """
     # gopher_quality_docs replays stages/textstats.py gopher_stats_batch:
     # same \s+ tokenization with empties dropped, same integer counts, and

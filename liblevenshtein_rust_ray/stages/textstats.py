@@ -100,6 +100,39 @@ def fingerprint_md5_batch(t: pa.Table) -> pa.Table:
 
 
 # ----------------------------------------------------------------------
+# BPE-ish token counting (training-cost estimation: how many subword
+# tokens will this corpus cost?).  The pattern is the GPT-2 pre-tokenizer
+# shape (contractions | word | number | punctuation-run | whitespace-run)
+# restricted to RE2 (no lookahead), so ONE vectorized
+# pc.count_substring_regex kernel counts it, and DuckDB's
+# regexp_extract_all (same RE2) reproduces it exactly.
+BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_batch(t: pa.Table, text_col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """(id, n_bpe_tokens, n_chars) — one regex-count kernel, no rows."""
+    import pyarrow.compute as pc
+
+    text = pc.coalesce(t.column(text_col), pa.scalar("", type=pa.string()))
+    return pa.table({
+        id_col: t.column(id_col),
+        "n_bpe_tokens": pc.count_substring_regex(
+            text, pattern=BPE_TOKEN_RE).cast(pa.int64()),
+        "n_chars": pc.utf8_length(text).cast(pa.int64()),
+    })
+
+
+def bpe_token_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset stage: per-document BPE-ish token count (stateless
+    streaming map)."""
+    return ds.map_batches(
+        lambda t: bpe_token_count_batch(t, text_col, id_col),
+        batch_format="pyarrow",
+    )
+
+
+# ----------------------------------------------------------------------
 # Gopher-style repetition / quality signals (Rae et al. 2021, "Scaling
 # Language Models: ..." §A1.1 quality heuristics — public paper).  Word
 # and bigram repetition fractions computed per document, fully

@@ -690,3 +690,17 @@ def test_gopher_stats_duckdb_parity():
         got.reset_index(drop=True)[sorted(got.columns)],
         want.reset_index(drop=True)[sorted(want.columns)],
         check_dtype=False)
+
+
+def test_bpe_token_count_batch():
+    import pyarrow as pa
+
+    from liblevenshtein_rust_ray.stages.textstats import bpe_token_count_batch
+
+    t = pa.table({"doc_id": [0, 1, 2, 3],
+                  "text": ["Hello world, it's 2024! naïve café",
+                           "", "a  b", None]})
+    out = bpe_token_count_batch(t).to_pandas()
+    # Hello| world|,| it|'s| 2024|!| naïve| café -> 9
+    assert out["n_bpe_tokens"].tolist() == [9, 0, 3, 0]
+    assert out["n_chars"].tolist() == [34, 0, 4, 0]
