@@ -704,3 +704,22 @@ def test_bpe_token_count_batch():
     # Hello| world|,| it|'s| 2024|!| naïve| café -> 9
     assert out["n_bpe_tokens"].tolist() == [9, 0, 3, 0]
     assert out["n_chars"].tolist() == [34, 0, 4, 0]
+
+
+def test_token_stats_vectorized_matches_row_semantics():
+    """token_stats_batch rewrote the per-row len(set(tokenize(x))) loop as
+    flatten+factorize; pin the old semantics exactly."""
+    import pyarrow as pa
+
+    from liblevenshtein_rust_ray.functions.tokenize import tokenize
+    from liblevenshtein_rust_ray.stages.textstats import token_stats_batch
+
+    texts = ["The quick brown fox. THE fox!", "", None, "a1 b2 a1",
+             "tabs\tand\nlines", "naïve café naïve", "!!! ???"]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = token_stats_batch(t).to_pandas()
+    for i, x in enumerate(texts):
+        toks = tokenize(x or "")
+        assert out["n_tokens"][i] == len(toks), (i, x)
+        assert out["n_distinct_tokens"][i] == len(set(toks)), (i, x)
+        assert out["n_chars"][i] == len(x or ""), (i, x)
