@@ -55,11 +55,27 @@ def infer_distance(positions, query_length: int) -> int | None:
 
 
 def infer_prefix_distance(positions, query_length: int) -> int | None:
-    """Prefix-mode distance: min errors among positions that consumed the
-    whole query (reference state.rs:264-281)."""
+    """Prefix-mode distance: min over positions of
+    ``errors + max(0, query_length - consumed)`` — the cheapest way to
+    finish consuming the query at this node (remaining query chars as
+    deletions).
+
+    The reference filters to fully-consumed positions only
+    (state.rs:264-281: ``term_index >= query_length``), which is UNSOUND
+    under subsumption-minimal states: standard subsumption keeps
+    ``e + (|q| - i)`` dominated, not ``i`` itself, so a fully-consumed
+    position can be subsumed away by a partial one with the same inferred
+    cost and the reference then reports NO match (e.g. query ``aaaba``,
+    term ``aaacb``, n=2: the ``(5,2)`` position is subsumed by ``(4,1)``
+    and ``infer_prefix_distance`` returns None although the best prefix
+    alignment costs 2 — found by the Hypothesis prefix-DP sweep,
+    tests/test_kernel_property.py).  The inferred form below is exactly
+    ``min_k dp(query, term_prefix[:k])`` under prefix-mode transitions
+    and is invariant under subsumption; it agrees with the reference
+    wherever the reference is sound (and at n=0 always)."""
     best = None
     for i, e, _s in positions:
-        if i >= query_length:
-            if best is None or e < best:
-                best = e
+        d = e + (query_length - i if i < query_length else 0)
+        if best is None or d < best:
+            best = d
     return best

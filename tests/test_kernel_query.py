@@ -189,28 +189,29 @@ def test_ordered_query_predicate_filter():
     assert [(c.term, c.distance) for c in got] == [("test", 0), ("jest", 1)]
 
 
-def test_prefix_mode_reference_semantics():
-    """Prefix distance = min errors among positions that consumed the FULL
-    query (reference state.rs:264-281).  Consequence shared with the
-    reference: an alignment that would end in trailing query deletions is
-    not reachable (deletions ride multi-char transitions on matching term
-    edges), so 'baa' does NOT prefix-match 'bb' at n=2 even though
-    levenshtein('baa','bb') == 2 — and the empty dictionary term never
-    prefix-matches a non-empty query."""
+def test_prefix_mode_sound_semantics():
+    """Prefix distance = min over term prefixes p of dp(query, p) —
+    uniformly, including terms shorter than the query (trailing query
+    chars count as deletions).  The reference instead filters finality to
+    fully-consumed positions (state.rs:264-281), which is unsound under
+    subsumption-minimal states AND silently drops short terms; see
+    kernel/state.py::infer_prefix_distance for the analysis.  This test
+    pins the corrected semantics on the cases where the two diverge."""
     from liblevenshtein_rust_ray.kernel import build_trie
     from liblevenshtein_rust_ray.kernel.query import query
 
     trie = build_trie(["bb", "baab", "ba"])
     got = {c.term: c.distance for c in query(trie, "baa", 2, prefix_mode=True)}
-    # 'baab': consume b,a,a exactly -> prefix distance 0; 'ba': b,a then no
-    # edge to consume the last 'a' -> insert-free? 'ba' ends before q does:
-    # the final 'a' of q can only be consumed via a term edge -> no match at
-    # distance 0/1; substitution paths give 'bb' nothing (see docstring)
     assert got["baab"] == 0
-    assert "bb" not in got
+    assert got["ba"] == 1   # delete q's trailing 'a'
+    assert got["bb"] == 2   # dp('baa','bb') == 2 (the reference misses it)
     empty_trie = build_trie(["", "x"])
     got2 = {c.term: c.distance for c in query(empty_trie, "ab", 2, prefix_mode=True)}
-    assert "" not in got2
+    assert got2[""] == 2    # two deletions; dropped by the reference
+    # the subsumption counterexample that exposed the reference bug
+    got3 = {c.term: c.distance
+            for c in query(build_trie(["aaacb"]), "aaaba", 2, prefix_mode=True)}
+    assert got3["aaacb"] == 2
 
 
 def test_substring_mode_suffix_automaton_convention():
