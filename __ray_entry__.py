@@ -511,6 +511,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             T.quality_batch, batch_format="pyarrow"
         )
 
+    def model_score_docs(sf_dir):
+        """Batched model inference (stages/modelscore.py): a frozen linear
+        quality model loaded ONCE per actor in __init__, one vectorized
+        forward per batch — the actor-pool pattern a real classifier /
+        perplexity filter slots into unchanged.  The frozen weights make
+        the score a float64 polynomial of integer features evaluated in
+        the oracle's exact operation order, so even the stub is
+        value-hash checkable."""
+        from liblevenshtein_rust_ray.stages.modelscore import model_score
+
+        return model_score(_rd(sf_dir, "documents", ["doc_id", "text"]))
+
     def bpe_token_stats_docs(sf_dir):
         """BPE-ish subword token counting (training-cost estimation) —
         one vectorized RE2 count kernel per batch
@@ -1421,6 +1433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": quality_docs,
         "gopher_quality_docs": gopher_quality_docs,
         "bpe_token_stats_docs": bpe_token_stats_docs,
+        "model_score_docs": model_score_docs,
         "langid_docs": langid_docs,
         "doc_fingerprints": doc_fingerprints,
         "doc_fingerprints_md5": doc_fingerprints_md5,
@@ -2727,6 +2740,31 @@ def oracle_sql() -> dict[str, str]:
                     '{_bpe_sql_pat}')) AS BIGINT) AS n_bpe_tokens,
                CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
         FROM documents
+    """
+    # model_score_docs: the frozen linear model's score is
+    # ((bias + w1*n_tokens) + w2*(distinct/nt)) + w3*(sumlen/nt) with
+    # float64 literals (scientific notation => DOUBLE in DuckDB, never
+    # DECIMAL) in the same left-to-right order as the numpy forward pass
+    # — bit-identical doubles on both sides.
+    sql["model_score_docs"] = """
+        WITH t AS (SELECT doc_id,
+                          regexp_extract_all(lower(coalesce(text, '')),
+                                             '[a-z0-9]+') AS toks
+                   FROM documents),
+             f AS (SELECT doc_id,
+                          len(toks) AS n_tokens,
+                          len(list_distinct(toks)) AS n_distinct,
+                          coalesce(list_sum(
+                            list_transform(toks, x -> length(x))), 0)
+                            AS sum_len
+                   FROM t),
+             s AS (SELECT doc_id,
+                          -5e-1 + 1e-2 * n_tokens
+                                + 2e0 * (n_distinct / greatest(n_tokens, 1))
+                                + 1.25e-1 * (sum_len / greatest(n_tokens, 1))
+                            AS model_score
+                   FROM f)
+        SELECT doc_id, model_score, model_score > 1e0 AS model_keep FROM s
     """
     # gopher_quality_docs replays stages/textstats.py gopher_stats_batch:
     # same \s+ tokenization with empties dropped, same integer counts, and

@@ -723,3 +723,28 @@ def test_token_stats_vectorized_matches_row_semantics():
         assert out["n_tokens"][i] == len(toks), (i, x)
         assert out["n_distinct_tokens"][i] == len(set(toks)), (i, x)
         assert out["n_chars"][i] == len(x or ""), (i, x)
+
+
+def test_model_score_stage(ray_session):
+    """Actor-pool model scoring: per-actor load, vectorized forward,
+    score equals the hand-computed linear formula."""
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.functions.tokenize import tokenize
+    from liblevenshtein_rust_ray.stages.modelscore import (
+        MODEL_KEEP_THRESHOLD, MODEL_WEIGHTS, model_score)
+
+    texts = ["the quick brown fox", "a a a a a a", "", "Mixed CASE words"]
+    df = pd.DataFrame({"doc_id": range(4), "text": texts})
+    out = (model_score(rd.from_pandas(df), concurrency=2, batch_size=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, x in enumerate(texts):
+        toks = tokenize(x)
+        nt = max(len(toks), 1)
+        want = (MODEL_WEIGHTS["bias"]
+                + MODEL_WEIGHTS["n_tokens"] * len(toks)
+                + MODEL_WEIGHTS["n_distinct_frac"] * (len(set(toks)) / nt)
+                + MODEL_WEIGHTS["mean_token_len"]
+                * (sum(len(t) for t in toks) / nt))
+        assert out["model_score"][i] == want
+        assert out["model_keep"][i] == (want > MODEL_KEEP_THRESHOLD)
