@@ -158,6 +158,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def fuzzy_vocab_pairs(sf_dir):
         return F.fuzzy_self_join(_vocab_ds(sf_dir), "tok", n=2)
 
+    def fuzzy_vocab_pairs_deletion(sf_dir):
+        """The same vocabulary self-join through FastSS deletion-signature
+        blocking (pipelines/fuzzy.py _deletion_self_join) — the
+        web-scale-vocab plan whose candidate-group sizes are
+        corpus-size-independent, unlike length buckets.  Exact, so it
+        shares fuzzy_vocab_pairs' SQL oracle."""
+        return F.fuzzy_self_join(_vocab_ds(sf_dir), "tok", n=2,
+                                 blocking="deletion")
+
     def fuzzy_lookup_parts(sf_dir):
         part = _rd(sf_dir, "part", ["p_partkey", "p_name"])
         return F.fuzzy_lookup_agg(part, part, "p_name", "p_name", "p_partkey", n=1)
@@ -1373,6 +1382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_selfjoin_part_arraytrie": fuzzy_selfjoin_part_arraytrie,
         "fuzzy_selfjoin_customer": fuzzy_selfjoin_customer,
         "fuzzy_vocab_pairs": fuzzy_vocab_pairs,
+        "fuzzy_vocab_pairs_deletion": fuzzy_vocab_pairs_deletion,
         "fuzzy_lookup_parts": fuzzy_lookup_parts,
         "fuzzy_lookup_parts_pathmap": fuzzy_lookup_parts_pathmap,
         "fuzzy_lookup_parts_filtered": fuzzy_lookup_parts_filtered,
@@ -2893,6 +2903,8 @@ def oracle_sql() -> dict[str, str]:
     """
     # incremental merge == from-scratch dedup (the combine is associative)
     sql["url_dedup_incremental"] = sql["url_canonical_dedup"]
+    # deletion blocking is exact — same pair set as the length plan
+    sql["fuzzy_vocab_pairs_deletion"] = sql["fuzzy_vocab_pairs"]
     sql["vocab_membership"] = f"""
         WITH v AS ({vocab})
         SELECT v.tok,

@@ -89,9 +89,86 @@ def _distinct(ds, col: str):
     )
 
 
+def _deletion_variants(v: str, n: int) -> set[str]:
+    """All strings reachable from ``v`` by deleting up to ``n`` chars
+    (FastSS / SymSpell neighborhood — Bocek et al. 2007, public)."""
+    outs = {v}
+    frontier = {v}
+    for _ in range(n):
+        nxt = {w[:i] + w[i + 1:] for w in frontier for i in range(len(w))}
+        frontier = nxt - outs
+        outs |= nxt
+    return outs
+
+
+def _deletion_self_join(ds, col: str, n: int, algorithm: str,
+                        score_dtype: str = "int64", n_buckets: int = 256):
+    """FastSS-style exact self-join: candidates = value pairs sharing a
+    <=n-deletion variant (NECESSARY for standard/OSA distance <= n: every
+    edit op is neutralized by deleting <=1 char on each side), verified
+    with the banded-DP kernel.
+
+    Scale contrast with the length plan: a length bucket holds every
+    same-length value (corpus-proportional -> O(f^2) DP at web-scale
+    vocab), while a deletion-signature group is STRUCTURALLY bounded
+    (originators of one variant are within alphabet^n x positions,
+    independent of corpus size).  The price is the exchange: ~O(L^n/n!)
+    signature rows per value (8-byte hashes).  Use it when distinct
+    values >> 10^5; the length plan wins below that."""
+    import numpy as np
+
+    from ..functions.simhash import hash64
+    from ..kernel.vectorized import batch_distances
+    from ..stages.grouped import bucketed_apply
+
+    def explode(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_pylist()
+        out_s, out_v = [], []
+        for v in vals:
+            if v is None:
+                continue
+            for s in _deletion_variants(v, n):
+                # hash collisions only ADD candidates; the DP verify
+                # keeps the pair set exact
+                out_s.append(hash64("fss:" + s) & 0x7FFFFFFFFFFFFFFF)
+                out_v.append(v)
+        return pa.table({"sig": pa.array(out_s, type=pa.int64()),
+                         "val": pa.array(out_v, type=pa.string())})
+
+    empty = pd.DataFrame({"val_a": pd.Series(dtype="object"),
+                          "val_b": pd.Series(dtype="object"),
+                          "distance": pd.Series(dtype=score_dtype)})
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["sig", "val"])
+        m = df.merge(df, on="sig")  # C-path in-group pair enumeration
+        m = m[m["val_x"] < m["val_y"]].drop_duplicates(["val_x", "val_y"])
+        if not len(m):
+            return empty
+        a = m["val_x"].tolist()
+        b = m["val_y"].tolist()
+        d = np.asarray(batch_distances(a, b, n, algorithm))
+        keep = d <= n
+        return pd.DataFrame({
+            "val_a": pd.Series(np.asarray(a, dtype=object)[keep]),
+            "val_b": pd.Series(np.asarray(b, dtype=object)[keep]),
+            "distance": pd.Series(d[keep]).astype(score_dtype),
+        })
+
+    sigs = _distinct(ds, col).map_batches(explode, batch_format="pyarrow")
+    pairs = bucketed_apply(sigs, "sig", score_bucket, n_buckets=n_buckets,
+                           empty_result=empty)
+    # the same pair verifies in every shared-signature bucket — exact dedup
+    return bucketed_apply(
+        pairs, ["val_a", "val_b"],
+        lambda df: df.groupby(["val_a", "val_b"], as_index=False)["distance"].min(),
+        empty_result=empty)
+
+
 def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD, subst=None,
                     pair_scorer=None, max_score=None, len_diff=None,
-                    score_dtype: str = "int64", engine: str = "auto"):
+                    score_dtype: str = "int64", engine: str = "auto",
+                    blocking: str = "length"):
     """Dataset[(val_a, val_b, distance)] over distinct values of ``col``,
     val_a < val_b, distance <= n.  ``subst`` grants zero-cost substitutions
     (kernel.substitution presets).
@@ -105,7 +182,22 @@ def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD, subst=N
     ``engine`` selects the per-bucket scorer: ``"auto"`` (vectorized
     banded DP with automaton fallback) or ``"arraytrie"`` (the CSR
     DoubleArrayTrie-role backend, kernel/arraytrie.py — the reference's
-    fast default backend, src/dictionary/double_array_trie.rs:204)."""
+    fast default backend, src/dictionary/double_array_trie.rs:204).
+
+    ``blocking``: ``"length"`` (default — one bucket per length band) or
+    ``"deletion"`` (FastSS signature blocking, see
+    :func:`_deletion_self_join` — the web-scale-vocab path whose group
+    sizes are corpus-size-independent).  Deletion blocking supports
+    standard/transposition with unit costs only (zero-cost substitutions
+    and merge/split ops break signature completeness)."""
+    if blocking == "deletion":
+        if subst is not None or pair_scorer is not None or \
+                algorithm not in (STANDARD, "transposition"):
+            raise ValueError(
+                "deletion blocking supports unit-cost standard/"
+                "transposition only")
+        return _deletion_self_join(ds, col, n, algorithm,
+                                   score_dtype=score_dtype)
     eff_len = n if len_diff is None else len_diff
 
     def explode(t: pa.Table) -> pa.Table:

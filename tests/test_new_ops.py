@@ -748,3 +748,37 @@ def test_model_score_stage(ray_session):
                 * (sum(len(t) for t in toks) / nt))
         assert out["model_score"][i] == want
         assert out["model_keep"][i] == (want > MODEL_KEEP_THRESHOLD)
+
+
+def test_deletion_blocking_matches_length_blocking(ray_session):
+    """FastSS deletion-signature blocking emits the EXACT same pair set as
+    the length plan (both are exact; only the candidate generation
+    differs), for standard and transposition."""
+    import random
+
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.pipelines.fuzzy import fuzzy_self_join
+
+    rng = random.Random(11)
+    vocab = sorted({"".join(rng.choices("abcde", k=rng.randint(1, 9)))
+                    for _ in range(300)})
+    ds = rd.from_pandas(pd.DataFrame({"tok": vocab}))
+    for alg in ("standard", "transposition"):
+        out = {}
+        for blocking in ("length", "deletion"):
+            df = fuzzy_self_join(ds, "tok", n=2, algorithm=alg,
+                                 blocking=blocking).to_pandas()
+            out[blocking] = sorted(
+                zip(df["val_a"], df["val_b"], df["distance"]))
+        assert out["length"] == out["deletion"], alg
+        assert len(out["length"]) > 50  # non-trivial pair set
+
+
+def test_deletion_variants():
+    from liblevenshtein_rust_ray.pipelines.fuzzy import _deletion_variants
+
+    assert _deletion_variants("ab", 1) == {"ab", "a", "b"}
+    assert _deletion_variants("ab", 2) == {"ab", "a", "b", ""}
+    assert _deletion_variants("", 2) == {""}
+    assert len(_deletion_variants("abcdef", 2)) == 1 + 6 + 15
