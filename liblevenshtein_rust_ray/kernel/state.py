@@ -74,7 +74,9 @@ def infer_prefix_distance(positions, query_length: int) -> int | None:
     and is invariant under subsumption; it agrees with the reference
     wherever the reference is sound (and at n=0 always)."""
     best = None
-    for i, e, _s in positions:
+    for i, e, s in positions:
+        if s:
+            continue  # in-progress transposition/split never finalizes
         d = e + (query_length - i if i < query_length else 0)
         if best is None or d < best:
             best = d

@@ -77,11 +77,13 @@ def test_pair_acceptance_equals_dp(a, b, n, alg):
     terms=wordsets,
     q=words,
     n=st.integers(min_value=0, max_value=2),
+    alg=st.sampled_from(ALGORITHMS),
 )
-def test_prefix_mode_equals_prefix_dp_scan(terms, q, n):
+def test_prefix_mode_equals_prefix_dp_scan(terms, q, n, alg):
     # prefix-mode oracle: min over all prefixes p of t of dp(q, p)
-    dp = distance_fn("standard")
-    got = {c.term: c.distance for c in query(build_trie(terms), q, n, prefix_mode=True)}
+    dp = distance_fn(alg)
+    got = {c.term: c.distance
+           for c in query(build_trie(terms), q, n, alg, prefix_mode=True)}
     for t in set(terms):
         # the autocomplete contract, uniform for every term length: the
         # reported distance is exactly min over term prefixes p of dp(q, p).
