@@ -343,6 +343,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         right = _rd(sf_dir, "part", ["p_name"]).map_batches(words, batch_format="pyarrow")
         return F.fuzzy_join(_vocab_ds(sf_dir), right, "tok", "w", n=1)
 
+    def fuzzy_join_vocab_partwords_deletion(sf_dir):
+        """Same two-sided join through FastSS deletion-signature blocking
+        (pipelines/fuzzy.py _deletion_join) — exact, shares the length
+        plan's SQL oracle."""
+        from liblevenshtein_rust_ray.functions.tokenize import tokenize
+
+        def words(t: pa.Table) -> pa.Table:
+            out = sorted({w for x in t.column("p_name").to_pylist()
+                          for w in tokenize(x or "")})
+            return pa.table({"w": pa.array(out, type=pa.string())})
+
+        right = _rd(sf_dir, "part", ["p_name"]).map_batches(
+            words, batch_format="pyarrow")
+        return F.fuzzy_join(_vocab_ds(sf_dir), right, "tok", "w", n=1,
+                            blocking="deletion")
+
     def prefix_search_tokens(sf_dir):
         """Prefix-mode automaton (autocomplete): every 3-char token prefix ->
         all vocabulary tokens starting with it (distance 0 prefix match).
@@ -1389,6 +1405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_lookup_parts_valueset": fuzzy_lookup_parts_valueset,
         "fuzzy_topk_part": fuzzy_topk_part,
         "fuzzy_join_vocab_partwords": fuzzy_join_vocab_partwords,
+        "fuzzy_join_vocab_partwords_deletion": fuzzy_join_vocab_partwords_deletion,
         "vocab_canonicalize": vocab_canonicalize,
         "decontaminate_docs": decontaminate_docs,
         "redact_docs": redact_docs,
@@ -2905,6 +2922,7 @@ def oracle_sql() -> dict[str, str]:
     sql["url_dedup_incremental"] = sql["url_canonical_dedup"]
     # deletion blocking is exact — same pair set as the length plan
     sql["fuzzy_vocab_pairs_deletion"] = sql["fuzzy_vocab_pairs"]
+    sql["fuzzy_join_vocab_partwords_deletion"] = sql["fuzzy_join_vocab_partwords"]
     sql["vocab_membership"] = f"""
         WITH v AS ({vocab})
         SELECT v.tok,

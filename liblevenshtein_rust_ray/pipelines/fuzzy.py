@@ -271,10 +271,83 @@ def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD, subst=N
     )
 
 
+def _deletion_join(left, right, left_col: str, right_col: str, n: int,
+                   algorithm: str, n_buckets: int = 256):
+    """Two-sided FastSS deletion-signature join (see
+    :func:`_deletion_self_join` for the blocking analysis): candidates =
+    cross-side value pairs sharing a <=n-deletion variant, verified with
+    the banded-DP kernel."""
+    import numpy as np
+
+    from ..functions.simhash import hash64
+    from ..kernel.vectorized import batch_distances
+    from ..stages.grouped import bucketed_apply
+
+    def explode(side: str, col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            vals = t.column(col).to_pylist()
+            out_s, out_v, out_side = [], [], []
+            for v in vals:
+                if v is None:
+                    continue
+                for s in _deletion_variants(v, n):
+                    out_s.append(hash64("fss:" + s) & 0x7FFFFFFFFFFFFFFF)
+                    out_v.append(v)
+                    out_side.append(side)
+            return pa.table({"sig": pa.array(out_s, type=pa.int64()),
+                             "val": pa.array(out_v, type=pa.string()),
+                             "side": pa.array(out_side, type=pa.string())})
+        return fn
+
+    tagged = _distinct(left, left_col).map_batches(
+        explode("l", left_col), batch_format="pyarrow"
+    ).union(
+        _distinct(right, right_col).map_batches(
+            explode("r", right_col), batch_format="pyarrow"
+        )
+    )
+    empty = pd.DataFrame({"left_val": pd.Series(dtype="object"),
+                          "right_val": pd.Series(dtype="object"),
+                          "distance": pd.Series(dtype="int64")})
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["sig", "val", "side"])
+        lt = df[df["side"] == "l"]
+        rt = df[df["side"] == "r"]
+        m = lt.merge(rt, on="sig").drop_duplicates(["val_x", "val_y"])
+        if not len(m):
+            return empty
+        a = m["val_x"].tolist()
+        b = m["val_y"].tolist()
+        d = np.asarray(batch_distances(a, b, n, algorithm))
+        keep = d <= n
+        return pd.DataFrame({
+            "left_val": pd.Series(np.asarray(a, dtype=object)[keep]),
+            "right_val": pd.Series(np.asarray(b, dtype=object)[keep]),
+            "distance": pd.Series(d[keep]).astype("int64"),
+        })
+
+    pairs = bucketed_apply(tagged, "sig", score_bucket, n_buckets=n_buckets,
+                           empty_result=empty)
+    return bucketed_apply(
+        pairs, ["left_val", "right_val"],
+        lambda df: df.groupby(["left_val", "right_val"],
+                              as_index=False)["distance"].min(),
+        empty_result=empty)
+
+
 def fuzzy_join(left, right, left_col: str, right_col: str, n: int = 2,
-               algorithm: str = STANDARD):
+               algorithm: str = STANDARD, blocking: str = "length"):
     """Dataset[(left_val, right_val, distance)]: distinct left values matched
-    against distinct right values within edit distance n."""
+    against distinct right values within edit distance n.  ``blocking`` as
+    in :func:`fuzzy_self_join` (``"deletion"`` = the web-scale-vocab path;
+    unit-cost standard/transposition only)."""
+    if blocking == "deletion":
+        if algorithm not in (STANDARD, "transposition"):
+            raise ValueError(
+                "deletion blocking supports unit-cost standard/"
+                "transposition only")
+        return _deletion_join(left, right, left_col, right_col, n, algorithm)
 
     def explode(side: str, col: str):
         def fn(t: pa.Table) -> pa.Table:

@@ -782,3 +782,26 @@ def test_deletion_variants():
     assert _deletion_variants("ab", 2) == {"ab", "a", "b", ""}
     assert _deletion_variants("", 2) == {""}
     assert len(_deletion_variants("abcdef", 2)) == 1 + 6 + 15
+
+
+def test_deletion_join_matches_length_join(ray_session):
+    import random
+
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.pipelines.fuzzy import fuzzy_join
+
+    rng = random.Random(13)
+    lv = sorted({"".join(rng.choices("abcd", k=rng.randint(1, 8)))
+                 for _ in range(150)})
+    rv = sorted({"".join(rng.choices("abcd", k=rng.randint(1, 8)))
+                 for _ in range(150)})
+    lds = rd.from_pandas(pd.DataFrame({"a": lv}))
+    rds = rd.from_pandas(pd.DataFrame({"b": rv}))
+    out = {}
+    for blocking in ("length", "deletion"):
+        df = fuzzy_join(lds, rds, "a", "b", n=2, blocking=blocking).to_pandas()
+        out[blocking] = sorted(
+            zip(df["left_val"], df["right_val"], df["distance"]))
+    assert out["length"] == out["deletion"]
+    assert len(out["length"]) > 50
