@@ -67,7 +67,8 @@ def cmd_run_er(args) -> int:
     # before ray.init: workers inherit the raylet env (THP-compaction guard,
     # see package __init__)
     os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address=args.address, include_dashboard=False,
                  logging_level="ERROR")
     from .pipelines.context import configure_data_context
@@ -90,7 +91,8 @@ def cmd_run_er(args) -> int:
     )
     n = clusters.count()
     print(json.dumps({"clustered_urls": n, "output": args.output}))
-    ray.shutdown()
+    if owns_session:
+        ray.shutdown()
     return 0
 
 
@@ -100,7 +102,8 @@ def cmd_run_curate(args) -> int:
     import ray
 
     os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address=args.address, include_dashboard=False,
                  logging_level="ERROR")
     import ray.data as rd
@@ -120,7 +123,41 @@ def cmd_run_curate(args) -> int:
     out.write_parquet(args.output)
     n = rd.read_parquet(args.output).count()
     print(json.dumps({"curated_docs": n, "output": args.output}))
-    ray.shutdown()
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
+def cmd_run_ingest(args) -> int:
+    import os
+
+    import ray
+
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address=args.address, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data as rd
+
+    from .pipelines.context import configure_data_context
+    from .stages.urls import url_snapshot_dedup
+
+    configure_data_context()
+    carry = tuple(c for c in args.carry.split(",") if c)
+    cols = [args.url_col, args.ts_col, *carry]
+    out = url_snapshot_dedup(
+        rd.read_parquet(args.input, columns=cols),
+        url_col=args.url_col,
+        ts_col=args.ts_col,
+        carry_cols=carry,
+        input_blocks=args.input_blocks,
+    )
+    out.write_parquet(args.output)
+    n = rd.read_parquet(args.output).count()
+    print(json.dumps({"canonical_urls": n, "output": args.output}))
+    if owns_session:
+        ray.shutdown()
     return 0
 
 
@@ -171,6 +208,22 @@ def main(argv=None) -> int:
                     help="near-dup hash family (md5 = SQL-reproducible)")
     cu.add_argument("--address", default="local")
     cu.set_defaults(fn=cmd_run_curate)
+
+    ig = sub.add_parser(
+        "run-ingest",
+        help="canonicalize crawl URLs + keep the newest snapshot per page")
+    ig.add_argument("--input", required=True, help="pages parquet dir")
+    ig.add_argument("--output", required=True)
+    ig.add_argument("--url-col", default="url")
+    ig.add_argument("--ts-col", default="warc_ts")
+    ig.add_argument("--carry", default="text",
+                    help="comma-separated columns to keep from the winning "
+                         "snapshot ('' for none)")
+    ig.add_argument("--input-blocks", type=int, default=None,
+                    help="adjacent-merge the input to this many blocks "
+                         "(~2x CPUs) when the source has many small files")
+    ig.add_argument("--address", default="local")
+    ig.set_defaults(fn=cmd_run_ingest)
 
     args = p.parse_args(argv)
     return args.fn(args)

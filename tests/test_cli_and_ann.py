@@ -272,3 +272,33 @@ def test_audio_feature_stage(ray_session):
     assert len(out) == 6
     assert (out["sample_rate"] == 16000).all()
     assert all(len(f) == AUDIO_FEATURE_DIM for f in out["features"])
+
+
+def test_cli_run_ingest(tmp_path, capsys, ray_session):
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from liblevenshtein_rust_ray.cli import main
+
+    src = tmp_path / "pages"
+    src.mkdir()
+    pq.write_table(pa.table({
+        "url": ["https://a.com/x?utm_source=f", "https://a.com/x/",
+                "https://b.com/y"],
+        "warc_ts": pd.to_datetime([100, 200, 50], unit="s"),
+        "text": ["old", "new", "solo"],
+    }), str(src / "p.parquet"))
+    out = tmp_path / "canon"
+    rc = main(["run-ingest", "--input", str(src), "--output", str(out),
+               "--carry", "text"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["canonical_urls"] == 2
+    got = pq.read_table(str(out)).to_pandas().sort_values(
+        "canonical_url").reset_index(drop=True)
+    assert got["canonical_url"].tolist() == ["https://a.com/x", "https://b.com/y"]
+    assert got["text"].tolist() == ["new", "solo"]
+    assert got["n_snapshots"].tolist() == [2, 1]
