@@ -1099,6 +1099,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dictionary_membership(_vocab_ds(sf_dir), "tok",
                                      load_dictionary_words())
 
+    def spell_correct_realdict(sf_dir):
+        """The reference's flagship application at dictionary scale:
+        correct every generated misspelling against the REAL 124k-word
+        dictionary through the FastSS deletion-blocked join (the length
+        plan is >60x slower at this dictionary size — docs/SCALE.md §10).
+        Uniform frequency, so ranking is (distance asc, word asc) top-1;
+        the oracle replays the ranking with a QUALIFY window over a
+        levenshtein join against the persisted dictionary parquet
+        (codepoint-folded shadow column)."""
+        import ray.data as rd
+
+        from liblevenshtein_rust_ray.pipelines.spelling import (
+            load_dictionary_words, spell_correct)
+
+        toks = rd.read_parquet(
+            _spelling_pairs_parquet(sf_dir), columns=["misspelling"])
+        words = load_dictionary_words()
+        dict_ds = rd.from_arrow(pa.table({
+            "word": pa.array(words, type=pa.string()),
+            "freq": pa.array([1] * len(words), type=pa.int64()),
+        })).repartition(8)
+        return spell_correct(toks, "misspelling", dict_ds, "word", "freq",
+                             n=2, blocking="deletion")
+
     def corpus_recall_real(sf_dir):
         """The reference's corpus-validation gate over its REAL bundled
         dictionary (data/english_words.txt, 124k words,
@@ -1456,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup_incremental": url_dedup_incremental,
         "host_stats_corpus": host_stats_corpus,
         "corpus_recall_real": corpus_recall_real,
+        "spell_correct_realdict": spell_correct_realdict,
         "token_stats": token_stats,
         "quality_docs": quality_docs,
         "gopher_quality_docs": gopher_quality_docs,
@@ -1899,13 +1924,23 @@ def _dict_parquet_path() -> str:
 
     from liblevenshtein_rust_ray.pipelines.spelling import load_dictionary_words
 
-    path = os.path.join(_CORPUS_CACHE, "english_words.parquet")
+    path = os.path.join(_CORPUS_CACHE, "english_words_v2.parquet")
     if not os.path.exists(path):
         os.makedirs(_CORPUS_CACHE, exist_ok=True)
+        words = load_dictionary_words()
+        # word_f: non-ASCII codepoints folded to single-byte placeholders
+        # so DuckDB's byte-counting levenshtein() measures codepoint
+        # distance against ASCII probes (same trick as the Mitton cases)
+        non_ascii = sorted({ch for w in words for ch in w if ord(ch) > 127})
+        fold = str.maketrans(
+            {ch: chr(1 + i) for i, ch in enumerate(non_ascii)})
         tmp = path + ".tmp"
         _pq.write_table(
-            _pa.table({"word": _pa.array(load_dictionary_words(),
-                                         type=_pa.string())}), tmp)
+            _pa.table({
+                "word": _pa.array(words, type=_pa.string()),
+                "word_f": _pa.array([w.translate(fold) for w in words],
+                                    type=_pa.string()),
+            }), tmp)
         os.replace(tmp, path)
     return path
 
@@ -2744,6 +2779,20 @@ def oracle_sql() -> dict[str, str]:
     # levenshtein runs on the *_f shadow columns: non-ASCII codepoints
     # folded to single bytes at persist time, because DuckDB's builtin
     # counts bytes while the engine counts codepoints.
+    sql["spell_correct_realdict"] = f"""
+        WITH m AS (SELECT DISTINCT misspelling
+                   FROM read_parquet('{spelling_pairs}')),
+             cand AS (
+               SELECT m.misspelling AS tok, d.word AS correction,
+                      CAST(levenshtein(m.misspelling, d.word_f) AS BIGINT)
+                        AS distance
+               FROM m, read_parquet('{_dict_parquet_path()}') d
+               WHERE levenshtein(m.misspelling, d.word_f) <= 2)
+        SELECT tok, correction, distance, CAST(1 AS BIGINT) AS freq
+        FROM cand
+        QUALIFY row_number() OVER (
+          PARTITION BY tok ORDER BY distance, correction) = 1
+    """
     mitton_cases = _mitton_cases_parquet(sample=8000)
     sql["corpus_recall_real"] = f"""
         WITH c AS (SELECT correct, misspelling,
