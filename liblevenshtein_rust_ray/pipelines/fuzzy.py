@@ -117,23 +117,27 @@ def _deletion_self_join(ds, col: str, n: int, algorithm: str,
     values >> 10^5; the length plan wins below that."""
     import numpy as np
 
-    from ..functions.simhash import hash64
     from ..kernel.vectorized import batch_distances
     from ..stages.grouped import bucketed_apply
 
     def explode(t: pa.Table) -> pa.Table:
         vals = t.column(col).to_pylist()
-        out_s, out_v = [], []
+        variants, out_v = [], []
         for v in vals:
             if v is None:
                 continue
             for s in _deletion_variants(v, n):
-                # hash collisions only ADD candidates; the DP verify
-                # keeps the pair set exact
-                out_s.append(hash64("fss:" + s) & 0x7FFFFFFFFFFFFFFF)
+                variants.append(s)
                 out_v.append(v)
-        return pa.table({"sig": pa.array(out_s, type=pa.int64()),
-                         "val": pa.array(out_v, type=pa.string())})
+        # vectorized cross-process-deterministic hash (pandas siphash,
+        # the same family bucketed_apply keys on); collisions only ADD
+        # candidates — the DP verify keeps the pair set exact
+        sig = pd.util.hash_pandas_object(
+            pd.Series(variants, dtype="object"), index=False).to_numpy()
+        return pa.table({
+            "sig": pa.array((sig & np.uint64(0x7FFFFFFFFFFFFFFF))
+                            .astype(np.int64)),
+            "val": pa.array(out_v, type=pa.string())})
 
     empty = pd.DataFrame({"val_a": pd.Series(dtype="object"),
                           "val_b": pd.Series(dtype="object"),
@@ -279,24 +283,26 @@ def _deletion_join(left, right, left_col: str, right_col: str, n: int,
     the banded-DP kernel."""
     import numpy as np
 
-    from ..functions.simhash import hash64
     from ..kernel.vectorized import batch_distances
     from ..stages.grouped import bucketed_apply
 
     def explode(side: str, col: str):
         def fn(t: pa.Table) -> pa.Table:
             vals = t.column(col).to_pylist()
-            out_s, out_v, out_side = [], [], []
+            variants, out_v = [], []
             for v in vals:
                 if v is None:
                     continue
                 for s in _deletion_variants(v, n):
-                    out_s.append(hash64("fss:" + s) & 0x7FFFFFFFFFFFFFFF)
+                    variants.append(s)
                     out_v.append(v)
-                    out_side.append(side)
-            return pa.table({"sig": pa.array(out_s, type=pa.int64()),
-                             "val": pa.array(out_v, type=pa.string()),
-                             "side": pa.array(out_side, type=pa.string())})
+            sig = pd.util.hash_pandas_object(
+                pd.Series(variants, dtype="object"), index=False).to_numpy()
+            return pa.table({
+                "sig": pa.array((sig & np.uint64(0x7FFFFFFFFFFFFFFF))
+                                .astype(np.int64)),
+                "val": pa.array(out_v, type=pa.string()),
+                "side": pa.array([side] * len(out_v), type=pa.string())})
         return fn
 
     tagged = _distinct(left, left_col).map_batches(
