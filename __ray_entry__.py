@@ -1113,6 +1113,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from liblevenshtein_rust_ray.pipelines.spelling import (
             load_dictionary_words, spell_correct)
 
+        from liblevenshtein_rust_ray.pipelines.fuzzy import (
+            deletion_signatures)
+
         toks = rd.read_parquet(
             _spelling_pairs_parquet(sf_dir), columns=["misspelling"])
         words = load_dictionary_words()
@@ -1120,8 +1123,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "word": pa.array(words, type=pa.string()),
             "freq": pa.array([1] * len(words), type=pa.int64()),
         })).repartition(8)
+        # SymSpell-style persisted dictionary index: ~25M (sig, word) rows
+        # built once per machine, reused by every later correction run
+        sig_dir = os.path.join(_CORPUS_CACHE, "dict_sigs_n2")
+        marker = os.path.join(sig_dir, "_COMPLETE")
+        if not os.path.exists(marker):
+            deletion_signatures(dict_ds, "word", 2).write_parquet(sig_dir)
+            with open(marker, "w") as f:
+                f.write("ok")
+        sigs = rd.read_parquet(sig_dir, columns=["sig", "val"])
         return spell_correct(toks, "misspelling", dict_ds, "word", "freq",
-                             n=2, blocking="deletion")
+                             n=2, blocking="deletion", right_sigs=sigs)
 
     def corpus_recall_real(sf_dir):
         """The reference's corpus-validation gate over its REAL bundled

