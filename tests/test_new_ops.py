@@ -805,3 +805,33 @@ def test_deletion_join_matches_length_join(ray_session):
             zip(df["left_val"], df["right_val"], df["distance"]))
     assert out["length"] == out["deletion"]
     assert len(out["length"]) > 50
+
+
+def test_deletion_probe_join_matches_exchange_plan(ray_session):
+    """fuzzy_join(right_sigs=...) — broadcast probe join against a
+    persisted signature index — emits the same pairs as the exchange
+    plan; oversized probe sides raise."""
+    import random
+
+    import pytest
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.pipelines.fuzzy import (
+        deletion_signatures, fuzzy_join)
+
+    rng = random.Random(19)
+    dict_words = sorted({"".join(rng.choices("abcd", k=rng.randint(2, 8)))
+                         for _ in range(250)})
+    probes = sorted({"".join(rng.choices("abcd", k=rng.randint(2, 8)))
+                     for _ in range(40)})
+    dds = rd.from_pandas(pd.DataFrame({"w": dict_words}))
+    pds = rd.from_pandas(pd.DataFrame({"t": probes}))
+    sigs = deletion_signatures(dds, "w", 2).materialize()
+    a = fuzzy_join(pds, dds, "t", "w", n=2, blocking="deletion").to_pandas()
+    b = fuzzy_join(pds, dds, "t", "w", n=2, blocking="deletion",
+                   right_sigs=sigs).to_pandas()
+    key = lambda df: sorted(zip(df["left_val"], df["right_val"], df["distance"]))
+    assert key(a) == key(b) and len(a) > 20
+    with pytest.raises(ValueError):
+        fuzzy_join(pds, dds, "t", "w", n=2, blocking="length",
+                   right_sigs=sigs)
