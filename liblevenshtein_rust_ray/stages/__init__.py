@@ -10,6 +10,16 @@ from .extract import extract_batch, extract_text_from_html
 from .blocking import blocking_keys_batch, BLOCK_BANDS
 from .scorer import BlockScorer, score_block_pandas
 from .cluster import connected_components
+from .urls import (
+    canonicalize_urls,
+    host_stats,
+    messy_crawl_variants,
+    url_snapshot_dedup,
+)
+from .sketch import kmv_distinct_shingles
+from .modelscore import model_score
+from .sampling import rebalance_sources, sample_by_hash, split_by_hash
+from .textstats import bpe_token_stats, gopher_quality, redact_pii
 
 __all__ = [
     "extract_batch",
@@ -19,4 +29,16 @@ __all__ = [
     "BlockScorer",
     "score_block_pandas",
     "connected_components",
+    "canonicalize_urls",
+    "host_stats",
+    "messy_crawl_variants",
+    "url_snapshot_dedup",
+    "kmv_distinct_shingles",
+    "model_score",
+    "rebalance_sources",
+    "sample_by_hash",
+    "split_by_hash",
+    "bpe_token_stats",
+    "gopher_quality",
+    "redact_pii",
 ]
