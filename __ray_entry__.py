@@ -1140,12 +1140,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dictionary (data/english_words.txt, 124k words,
         tests/corpus_validation.rs:129-346): recall-at-distance of the
         ArrayTrie + dense-universal-table engine, per true edit distance.
-        Independent of sf (the dictionary is the fixed external corpus);
-        sample scales lightly with sf for runtime sanity."""
+        Independent of sf — the dictionary is the fixed external corpus
+        and the sample is pinned so the result (and its persisted-cases
+        SQL oracle) is identical at every sf."""
         from liblevenshtein_rust_ray.pipelines.spelling import corpus_validation
 
-        sample = 2000 if _sf_of(sf_dir) <= 0.001 else 8000
-        return corpus_validation(sample=sample)
+        return corpus_validation(sample=8000)
 
     # -------------------------- relational ----------------------------
     def q1(sf_dir):

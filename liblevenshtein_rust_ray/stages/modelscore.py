@@ -91,13 +91,20 @@ class ModelScoreActor:
         })
 
 
-def model_score(ds, concurrency: int = 4, batch_size: int = 1024,
+def model_score(ds, concurrency: int | None = None, batch_size: int = 1024,
                 num_cpus: float = 1):
     """Dataset stage: per-document model quality score + keep verdict via
-    an actor pool (model loaded once per actor).  Size
-    ``concurrency x num_cpus`` below the node's CPU count so upstream
-    operators keep slots (see pipelines/spelling.py dictionary_membership
-    for the measured live-lock this avoids)."""
+    an actor pool (model loaded once per actor).  ``concurrency x
+    num_cpus`` MUST stay below the session's CPU count so the operators
+    feeding the pool keep scheduling slots — a pool sized to the whole
+    session live-locks the pipeline (measured on the 4-CPU test session;
+    same rule as pipelines/spelling.py dictionary_membership).  Default:
+    ncpu//4 actors, clamped to [2, 8]."""
+    if concurrency is None:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, min(8, ncpu // 4))
     return ds.map_batches(
         ModelScoreActor,
         concurrency=concurrency,
