@@ -835,3 +835,24 @@ def test_deletion_probe_join_matches_exchange_plan(ray_session):
     with pytest.raises(ValueError):
         fuzzy_join(pds, dds, "t", "w", n=2, blocking="length",
                    right_sigs=sigs)
+
+
+def test_deletion_blocking_unicode(ray_session):
+    """Deletion signatures operate on codepoints — unicode vocab produces
+    the same exact pair set as the length plan."""
+    import random
+
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.pipelines.fuzzy import fuzzy_self_join
+
+    rng = random.Random(29)
+    vocab = sorted({"".join(rng.choices("aébç日", k=rng.randint(1, 6)))
+                    for _ in range(120)})
+    ds = rd.from_pandas(pd.DataFrame({"tok": vocab}))
+    out = {}
+    for blocking in ("length", "deletion"):
+        df = fuzzy_self_join(ds, "tok", n=2, blocking=blocking).to_pandas()
+        out[blocking] = sorted(zip(df["val_a"], df["val_b"], df["distance"]))
+    assert out["length"] == out["deletion"]
+    assert len(out["length"]) > 30

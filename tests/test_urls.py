@@ -190,3 +190,38 @@ def test_host_stats(ray_session):
     assert out["sum_chars"].tolist() == [0, 6, 3]
     assert out["mean_chars"].tolist() == [0.0, 3.0, 3.0]
     assert out["flag_mega"].tolist() == [False, False, False]
+
+
+def test_canonicalize_duckdb_parity_random():
+    """Hypothesis-style randomized RE2-parity sweep: the Arrow chain and
+    the DuckDB chain agree byte-for-byte on adversarial URL-ish strings
+    (unicode, %-escapes, stray separators, nested params)."""
+    import random
+
+    rng = random.Random(23)
+    pieces = ["https://", "HTTP://", "a.COM", "b-c.org:443", ":80", "/p",
+              "/P/q", "?", "&", "utm_source=x", "gclid=1", "keep=1", "#f",
+              "#", "//", "é", "%20", "=", "x.y", ":8080", "/", "fbclid=Z"]
+    urls = ["".join(rng.choices(pieces, k=rng.randint(1, 8)))
+            for _ in range(300)]
+    got = canonicalize_url_array(pa.array(urls)).to_pylist()
+    prefix = "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*"
+    con = duckdb.connect()
+    con.register("t", pa.table({"u": pa.array(urls)}))
+    rows = con.sql(f"""
+        WITH g AS (SELECT u,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(u, '#.*$', '', 'g'),
+            '(utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'),
+            '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$', '', 'g') AS g
+          FROM t),
+        f AS (SELECT u, CASE WHEN regexp_extract(g, '{prefix}') = '' THEN g
+          ELSE lower(regexp_extract(g, '{prefix}'))
+               || substr(g, length(regexp_extract(g, '{prefix}')) + 1) END AS h
+          FROM g)
+        SELECT regexp_replace(regexp_replace(regexp_replace(h,
+          '^(https://[^/:]+):443(/|$)', '\\1\\2', 'g'),
+          '^(http://[^/:]+):80(/|$)', '\\1\\2', 'g'),
+          '/$', '', 'g') FROM f
+    """).fetchall()
+    assert got == [r[0] for r in rows]
