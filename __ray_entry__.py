@@ -884,6 +884,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(fin, batch_format="pandas")
 
+    def band_join_click_error(sf_dir):
+        """Range join on time (stages/windows.py time_band_join): every
+        (error, click) pair of the same user within 24 h — banded time
+        blocking with the adjacent-bucket edge rule, one C-path merge per
+        bucket, pair dedup.  The attribution-join shape the brief's
+        custom-operator list calls a range join."""
+        from liblevenshtein_rust_ray.stages.windows import time_band_join
+
+        ev = _rd(sf_dir, "events", ["event_id", "ts", "user_id",
+                                    "event_type"])
+        errors = ev.filter(expr="event_type == 'error'").select_columns(
+            ["event_id", "ts", "user_id"]).rename_columns(
+            {"event_id": "err_id"})
+        clicks = ev.filter(expr="event_type == 'click'").select_columns(
+            ["event_id", "ts", "user_id"]).rename_columns(
+            {"event_id": "click_id"})
+        return time_band_join(errors, clicks, "user_id", "ts", 86_400,
+                              "err_id", "click_id")
+
     def lang_counts(sf_dir):
         from ray.data.aggregate import Sum
 
@@ -1480,6 +1499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions_user": sessions_user,
         "sliding_events": sliding_events,
         "asof_click_error": asof_click_error,
+        "band_join_click_error": band_join_click_error,
         "ann_lsh_topk": ann_lsh_topk_q,
         "ann_ivf_topk": ann_ivf_topk_q,
         "ann_ivf_topk_full": ann_ivf_topk_full,
@@ -2688,6 +2708,14 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 255.0 * power(2.0, 64) / CAST(max(hv) AS DOUBLE)
                END AS est_distinct
         FROM bk
+    """
+    sql["band_join_click_error"] = """
+        SELECT a.event_id AS err_id, b.event_id AS click_id,
+               CAST(epoch_us(a.ts) - epoch_us(b.ts) AS BIGINT) AS dt_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'error' AND b.event_type = 'click'
+         AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 86400000000
     """
     sql["rebalance_sources_docs"] = """
         SELECT doc_id, source FROM documents

@@ -172,3 +172,92 @@ def asof_join(left, right, key_col: str, ts_col: str, right_cols: list[str],
         return merged[out_cols]
 
     return bucketed_apply(both, key_col, per_bucket)
+
+
+def time_band_join(left, right, key_col: str, ts_col: str, band_s: int,
+                   left_id: str, right_id: str, n_buckets: int = 64):
+    """Range join on time: every (left, right) row pair of the same key
+    with ``|ts_l - ts_r| <= band_s`` — attribution-style joins (clicks
+    near errors, events near deploys).
+
+    Banded time blocking: rows bucket by ``epoch_us // band_us``; a
+    qualifying pair's buckets differ by at most 1, so the RIGHT side is
+    emitted to {b-1, b, b+1} and co-location is guaranteed (pairs seen
+    twice dedup in the second exchange).  Per bucket the two sides meet
+    in one C-path pandas merge on (key, bucket) and a vectorized |dt|
+    filter — no per-row Python.  Partitioning assumption: a (key, band)
+    cell's population is bounded by the key's event rate x band, not by
+    corpus size.
+
+    Output: ``(left_id, right_id, dt_us)`` with dt = ts_l - ts_r (signed
+    microseconds).
+    """
+    from .grouped import bucketed_apply
+
+    band_us = int(band_s) * 1_000_000
+
+    def _epoch_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            unit = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}[
+                col.type.unit]
+            v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return v // 1_000 if unit is None else v * unit
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False) * 1_000_000
+
+    def prep(side: str, id_col: str, replicate: bool):
+        def fn(t: pa.Table) -> pd.DataFrame:
+            ep = _epoch_us(t.column(ts_col))
+            b = ep // band_us
+            df = pd.DataFrame({
+                key_col: t.column(key_col).to_pandas(),
+                "__b": b,
+                "__ts": ep,
+                "__id": t.column(id_col).to_pandas(),
+                "__side": side,
+            })
+            if not replicate:
+                return df
+            lo = df.copy(); lo["__b"] = lo["__b"] - 1
+            hi = df.copy(); hi["__b"] = hi["__b"] + 1
+            return pd.concat([lo, df, hi], ignore_index=True)
+        return fn
+
+    tagged = left.map_batches(prep("l", left_id, False),
+                              batch_format="pyarrow").union(
+        right.map_batches(prep("r", right_id, True), batch_format="pyarrow"))
+
+    def _id_dtype(ds, name):
+        base = ds.schema().base_schema
+        if hasattr(base, "field"):  # Arrow schema
+            return base.field(name).type.to_pandas_dtype()
+        return dict(zip(base.names, base.types))[name]  # pandas block schema
+
+    ldt = _id_dtype(left, left_id)
+    rdt = _id_dtype(right, right_id)
+    empty = pd.DataFrame({left_id: pd.Series(dtype=ldt),
+                          right_id: pd.Series(dtype=rdt),
+                          "dt_us": pd.Series(dtype="int64")})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lt = df[df["__side"] == "l"]
+        rt = df[df["__side"] == "r"]
+        if not len(lt) or not len(rt):
+            return empty
+        m = lt.merge(rt, on=[key_col, "__b"], suffixes=("_l", "_r"))
+        dt = m["__ts_l"].to_numpy() - m["__ts_r"].to_numpy()
+        keep = np.abs(dt) <= band_us
+        return pd.DataFrame({
+            left_id: m["__id_l"].to_numpy()[keep],
+            right_id: m["__id_r"].to_numpy()[keep],
+            "dt_us": dt[keep],
+        })
+
+    pairs = bucketed_apply(tagged, [key_col, "__b"], per_bucket,
+                           n_buckets=n_buckets, empty_result=empty)
+    # adjacent-bucket replicas see a pair twice — exact dedup
+    return bucketed_apply(
+        pairs, [left_id, right_id],
+        lambda df: df.drop_duplicates([left_id, right_id]),
+        empty_result=empty)

@@ -88,3 +88,29 @@ def test_asof_join(ray_session):
     matched = out[out["ts_right"].notna()]
     assert sorted(matched["event_id"]) == [2, 3, 4]
     assert (matched["value_right"] == 9.0).all()
+
+
+def test_time_band_join(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.windows import time_band_join
+
+    # u1: error at t=100s; clicks at 40 (in, -60), 160 (in, +60), 161 (out)
+    # u2: error at 99s and click at 160s (out by 1s); u3: click only
+    left = pd.DataFrame({
+        "err_id": [1, 2],
+        "ts": pd.to_datetime([100, 99], unit="s"),
+        "user_id": ["u1", "u2"],
+    })
+    right = pd.DataFrame({
+        "click_id": [10, 11, 12, 13, 14],
+        "ts": pd.to_datetime([40, 160, 161, 160, 50], unit="s"),
+        "user_id": ["u1", "u1", "u1", "u2", "u3"],
+    })
+    out = time_band_join(
+        rd.from_pandas(left).repartition(2), rd.from_pandas(right).repartition(2),
+        "user_id", "ts", 60, "err_id", "click_id", n_buckets=4,
+    ).to_pandas().sort_values(["err_id", "click_id"]).reset_index(drop=True)
+    got = list(zip(out["err_id"], out["click_id"], out["dt_us"]))
+    assert got == [(1, 10, 60_000_000), (1, 11, -60_000_000)]
