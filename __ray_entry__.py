@@ -54,17 +54,31 @@ def _pages_path(sf_dir: str) -> str:
 _TOK_RE = re.compile(r"[a-z0-9]+")
 
 
-def _docs_as_pages(sf_dir: str):
+def _docs_as_pages(sf_dir: str, keep: str | None = None):
     """documents -> deterministic synthetic pages (url from doc_id, title =
     first 5 [a-z0-9]+ tokens of the text, 16 hosts) — the SQL-reproducible
     corpus every oracle-checked ER variant shares; the matching SQL prefix
-    is the ``p``/``t`` CTE pair in ``oracle_sql()``."""
+    is the ``p``/``t`` CTE pair in ``oracle_sql()``.  ``keep`` selects the
+    dynamic-dictionary split: "old" = doc_id % 10 != 0 (the 90% base),
+    "new" = doc_id % 10 == 0 (the 10% delta) — SQL-expressible so the
+    incremental/decremental oracles can reproduce the same split."""
     import pyarrow as pa
     import ray.data as rd
 
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
+    if keep is not None:
+        want_new = keep == "new"
+
+        def split(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = ids % 10 == 0
+            return t.filter(pa.array(mask if want_new else ~mask))
+
+        docs = docs.map_batches(split, batch_format="pyarrow")
 
     def to_pages(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
@@ -767,57 +781,89 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(fin, batch_format="pandas")
 
     def er_pairs_transposition(sf_dir):
-        return er_pairs(_pages_path(sf_dir), algorithm="transposition")
+        """The flagship over the REAL synthetic page corpus (html-extraction
+        path included) under the transposition algorithm at the PRODUCTION
+        distance n=2, emit_all_pairs=True — oracle-checked by composing the
+        er_pairs_corpus extraction CTEs with the recursive-CTE OSA DP from
+        er_pairs_allpairs_transposition (DuckDB's damerau_levenshtein is
+        unrestricted DL != OSA at d=2, so the DP computes exact OSA on the
+        DL<=2 frontier).  Pinned to the sf0.001 corpus (the oracle names a
+        concrete parquet path).  Reference semantics: transition.rs:252-376."""
+        import pandas as pd
+
+        out = er_pairs(os.path.join(_corpus_dir(0.001), "pages"),
+                       emit_all_pairs=True, max_block_strings=1_000_000,
+                       algorithm="transposition")
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["distance"] = df["distance"].astype("int64")
+            return df
+
+        return out.map_batches(fin, batch_format="pandas")
 
     def er_pairs_incremental_q(sf_dir):
-        """Dynamic-dictionary capability: 90/10 url-hash split of the corpus,
-        delta pages re-score only their blocks, merged with the base edges.
-        Equals the from-scratch run (pinned by tests)."""
-        import ray.data as rd
-        from liblevenshtein_rust_ray.functions.simhash import hash64
+        """Dynamic-dictionary INSERT (DynamicDawg insert, reference
+        dynamic_dawg.rs:56-1381) restated as an equality-to-from-scratch
+        oracle row: 90/10 doc_id%10 split of the SQL-reproducible
+        docs-as-pages corpus; delta pages re-score only blocks that gained
+        a member, merged with the base all-pairs edges.  In all-pairs mode
+        the merge EQUALS the from-scratch edge set exactly (adding pages
+        never changes an existing page's block keys), so the
+        er_pairs_allpairs SQL oracle over ALL documents IS the
+        incremental-equals-from-scratch check."""
+        import pandas as pd
         from liblevenshtein_rust_ray.pipelines.entity_resolution import (
             er_pairs_incremental,
         )
 
-        p = _pages_path(sf_dir)
+        old = _docs_as_pages(sf_dir, keep="old")
+        new = _docs_as_pages(sf_dir, keep="new")
+        base = er_pairs(old, emit_all_pairs=True, max_block_strings=1_000_000)
+        out = er_pairs_incremental(old, new, base_pairs=base,
+                                   emit_all_pairs=True,
+                                   max_block_strings=1_000_000)
 
-        def side(is_new):
-            def keep(t: pa.Table) -> pa.Table:
-                import numpy as np
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["distance"] = df["distance"].astype("int64")
+            return df
 
-                mask = np.array(
-                    [(hash64(u) % 10 == 0) == is_new for u in t.column("url").to_pylist()]
-                )
-                return t.filter(pa.array(mask))
-
-            return rd.read_parquet(p).map_batches(keep, batch_format="pyarrow")
-
-        base = er_pairs(side(False))
-        return er_pairs_incremental(side(False), side(True), base_pairs=base)
+        return out.map_batches(fin, batch_format="pandas")
 
     def er_pairs_decremental_q(sf_dir):
-        """Remove half of the dynamic-dictionary capability: delete the 10%
-        url-hash slice from the full corpus, re-score only the blocks that
-        lost a member, merge with the surviving base edges.  Connected
-        components equal the from-scratch run over the remaining pages
-        (pinned by tests/test_pipeline_e2e.py)."""
-        import ray.data as rd
-        from liblevenshtein_rust_ray.functions.simhash import hash64
+        """Dynamic-dictionary REMOVE (DynamicDawg remove, reference
+        dynamic_dawg.rs:56-1381) restated as an equality-to-from-scratch
+        oracle row: delete the doc_id%10==0 slice from the docs-as-pages
+        corpus, re-score only blocks that lost a member, merge with the
+        surviving base all-pairs edges.  In all-pairs mode the merge
+        EQUALS the from-scratch edge set over the remaining pages exactly,
+        so the oracle is the er_pairs_allpairs SQL restricted to
+        doc_id % 10 <> 0."""
+        import pandas as pd
         from liblevenshtein_rust_ray.pipelines.entity_resolution import (
             er_pairs_decremental,
         )
 
-        p = _pages_path(sf_dir)
+        full = _docs_as_pages(sf_dir)
         removed = [
             u
-            for t in rd.read_parquet(p, columns=["url"]).iter_batches(
+            for t in _docs_as_pages(sf_dir, keep="new").iter_batches(
                 batch_format="pyarrow"
             )
             for u in t.column("url").to_pylist()
-            if hash64(u) % 10 == 0
         ]
-        base = er_pairs(p)
-        return er_pairs_decremental(p, removed, base_pairs=base)
+        base = er_pairs(full, emit_all_pairs=True, max_block_strings=1_000_000)
+        out = er_pairs_decremental(full, removed, base_pairs=base,
+                                   emit_all_pairs=True,
+                                   max_block_strings=1_000_000)
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["distance"] = df["distance"].astype("int64")
+            return df
+
+        return out.map_batches(fin, batch_format="pandas")
 
     def fuzzy_selfjoin_part_universal(sf_dir):
         """Same pairs as fuzzy_selfjoin_part, scored by the PARAMETRIC
@@ -1448,90 +1494,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(fin, batch_format="pyarrow")
 
+    # ORDER MATTERS: the round driver's CORRECTNESS check covers the FIRST
+    # 50 entries.  Slots 1-50 lead with the flagship ER oracle family and
+    # every oracle-bearing query that had never received a driver row
+    # through round 2 (VERDICT.md round-2 task 1); r02-green kernel-variant
+    # and relational queries fill the remainder; no_oracle rows and
+    # redundant per-backend twins sit below slot 50.
     return {
-        "fuzzy_selfjoin_part": fuzzy_selfjoin_part,
-        "fuzzy_selfjoin_part_arraytrie": fuzzy_selfjoin_part_arraytrie,
-        "fuzzy_selfjoin_customer": fuzzy_selfjoin_customer,
-        "fuzzy_vocab_pairs": fuzzy_vocab_pairs,
-        "fuzzy_vocab_pairs_deletion": fuzzy_vocab_pairs_deletion,
-        "fuzzy_lookup_parts": fuzzy_lookup_parts,
-        "fuzzy_lookup_parts_pathmap": fuzzy_lookup_parts_pathmap,
-        "fuzzy_lookup_parts_filtered": fuzzy_lookup_parts_filtered,
-        "fuzzy_lookup_parts_valueset": fuzzy_lookup_parts_valueset,
-        "fuzzy_topk_part": fuzzy_topk_part,
-        "fuzzy_join_vocab_partwords": fuzzy_join_vocab_partwords,
-        "fuzzy_join_vocab_partwords_deletion": fuzzy_join_vocab_partwords_deletion,
-        "vocab_canonicalize": vocab_canonicalize,
-        "decontaminate_docs": decontaminate_docs,
-        "redact_docs": redact_docs,
-        "split_docs": split_docs,
-        "rebalance_sources_docs": rebalance_sources_docs,
-        "kmv_distinct_docs": kmv_distinct_docs,
-        "fuzzy_vocab_pairs_subst": fuzzy_vocab_pairs_subst,
-        "substring_search_docs": substring_search_docs,
-        "substring_positions_d0": substring_positions_d0,
-        "substring_positions_d1": substring_positions_d1,
-        "prefix_search_tokens": prefix_search_tokens,
-        "prefix_search_tokens_zipper": prefix_search_tokens_zipper,
-        "exact_dedup_part": exact_dedup_part,
-        "minhash_neardup_docs": minhash_neardup_docs,
-        "minhash_neardup_docs_md5": minhash_neardup_docs_md5,
-        "minhash_neardup_docs_md5_join": minhash_neardup_docs_md5_join,
-        "simhash_pairs_docs": simhash_pairs_docs,
-        "simhash_pairs_docs_md5": simhash_pairs_docs_md5,
-        "ngram_jaccard_docs": ngram_jaccard_docs,
-        "embedding_neardup": embedding_neardup,
-        "embedding_neardup_lsh": embedding_neardup_lsh,
-        "embedding_neardup_lsh_join": embedding_neardup_lsh_join,
-        "scoped_completion": scoped_completion,
-        "fuzzy_selfjoin_part_transposition": fuzzy_selfjoin_part_transposition,
-        "fuzzy_selfjoin_part_transposition_d1": fuzzy_selfjoin_part_transposition_d1,
-        "fuzzy_selfjoin_part_merge_split_d1": fuzzy_selfjoin_part_merge_split_d1,
-        "fuzzy_vocab_pairs_subst_closed": fuzzy_vocab_pairs_subst_closed,
-        "fuzzy_selfjoin_part_merge_split": fuzzy_selfjoin_part_merge_split,
-        "fuzzy_selfjoin_part_ms_universal": fuzzy_selfjoin_part_ms_universal,
-        "fuzzy_selfjoin_part_ocr_restricted": fuzzy_selfjoin_part_ocr_restricted,
-        "fuzzy_selfjoin_part_ocr": fuzzy_selfjoin_part_ocr,
-        "er_pairs_transposition": er_pairs_transposition,
-        "er_pairs_incremental": er_pairs_incremental_q,
-        "er_pairs_decremental": er_pairs_decremental_q,
-        "fuzzy_selfjoin_part_universal": fuzzy_selfjoin_part_universal,
-        "sessions_user": sessions_user,
-        "sliding_events": sliding_events,
-        "asof_click_error": asof_click_error,
-        "band_join_click_error": band_join_click_error,
-        "ann_lsh_topk": ann_lsh_topk_q,
-        "ann_ivf_topk": ann_ivf_topk_q,
-        "ann_ivf_topk_full": ann_ivf_topk_full,
-        "spelling_recall": spelling_recall_q,
-        "spell_correct_vocab": spell_correct_vocab,
-        "vocab_membership": vocab_membership,
-        "curate_docs": curate_docs,
-        "line_dedup_pages": line_dedup_pages,
-        "url_canonical_dedup": url_canonical_dedup,
-        "url_dedup_incremental": url_dedup_incremental,
-        "host_stats_corpus": host_stats_corpus,
-        "corpus_recall_real": corpus_recall_real,
-        "spell_correct_realdict": spell_correct_realdict,
-        "token_stats": token_stats,
-        "quality_docs": quality_docs,
-        "gopher_quality_docs": gopher_quality_docs,
-        "bpe_token_stats_docs": bpe_token_stats_docs,
-        "model_score_docs": model_score_docs,
-        "langid_docs": langid_docs,
-        "doc_fingerprints": doc_fingerprints,
-        "doc_fingerprints_md5": doc_fingerprints_md5,
-        "phonetic_part": phonetic_part,
-        "word_freq": word_freq,
-        "lang_counts": lang_counts,
-        "ann_cosine_topk": ann_cosine_topk,
-        "q1": q1,
-        "revenue_by_segment": revenue_by_segment,
-        "events_hourly": events_hourly,
-        "top_docs_by_tokens": top_docs_by_tokens,
-        "er_clusters": er_clusters_q,
-        "er_pairs": er_pairs_q,
-        "er_f1": er_f1,
+        # --- 1-10: the ER flagship oracle family + dynamic-dict trio ----
         "er_pairs_allpairs": er_pairs_allpairs,
         "er_pairs_reps": er_pairs_reps,
         "er_clusters_allpairs": er_clusters_allpairs,
@@ -1539,6 +1509,95 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_pairs_allpairs_transposition": er_pairs_allpairs_transposition,
         "er_pairs_corpus": er_pairs_corpus,
         "er_pairs_canonical": er_pairs_canonical,
+        "er_pairs_transposition": er_pairs_transposition,
+        "er_pairs_incremental": er_pairs_incremental_q,
+        "er_pairs_decremental": er_pairs_decremental_q,
+        # --- 11-29: oracle-bearing pipelines never driver-checked in r01/r02
+        "curate_docs": curate_docs,
+        "url_canonical_dedup": url_canonical_dedup,
+        "url_dedup_incremental": url_dedup_incremental,
+        "line_dedup_pages": line_dedup_pages,
+        "gopher_quality_docs": gopher_quality_docs,
+        "spell_correct_vocab": spell_correct_vocab,
+        "spell_correct_realdict": spell_correct_realdict,
+        "corpus_recall_real": corpus_recall_real,
+        "spelling_recall": spelling_recall_q,
+        "band_join_click_error": band_join_click_error,
+        "model_score_docs": model_score_docs,
+        "bpe_token_stats_docs": bpe_token_stats_docs,
+        "host_stats_corpus": host_stats_corpus,
+        "doc_fingerprints_md5": doc_fingerprints_md5,
+        "vocab_membership": vocab_membership,
+        "ann_lsh_topk": ann_lsh_topk_q,
+        "ann_ivf_topk_full": ann_ivf_topk_full,
+        "phonetic_part": phonetic_part,
+        "kmv_distinct_docs": kmv_distinct_docs,
+        # --- 30-39: oracle rows whose last driver check was r01 ---------
+        "token_stats": token_stats,
+        "quality_docs": quality_docs,
+        "langid_docs": langid_docs,
+        "word_freq": word_freq,
+        "lang_counts": lang_counts,
+        "ann_cosine_topk": ann_cosine_topk,
+        "q1": q1,
+        "revenue_by_segment": revenue_by_segment,
+        "events_hourly": events_hourly,
+        "top_docs_by_tokens": top_docs_by_tokens,
+        # --- 40-50: kernel-variant fuzzy queries (r02-green refresh) ----
+        "fuzzy_selfjoin_part": fuzzy_selfjoin_part,
+        "fuzzy_selfjoin_part_transposition": fuzzy_selfjoin_part_transposition,
+        "fuzzy_selfjoin_part_transposition_d1": fuzzy_selfjoin_part_transposition_d1,
+        "fuzzy_selfjoin_part_merge_split": fuzzy_selfjoin_part_merge_split,
+        "fuzzy_selfjoin_part_merge_split_d1": fuzzy_selfjoin_part_merge_split_d1,
+        "fuzzy_selfjoin_part_ms_universal": fuzzy_selfjoin_part_ms_universal,
+        "fuzzy_selfjoin_part_universal": fuzzy_selfjoin_part_universal,
+        "fuzzy_selfjoin_part_ocr": fuzzy_selfjoin_part_ocr,
+        "fuzzy_selfjoin_part_ocr_restricted": fuzzy_selfjoin_part_ocr_restricted,
+        "fuzzy_selfjoin_part_arraytrie": fuzzy_selfjoin_part_arraytrie,
+        "fuzzy_vocab_pairs_deletion": fuzzy_vocab_pairs_deletion,
+        # ----------------- below the driver's 50-slot window ------------
+        # (all r02-green with driver rows, or no_oracle by nature)
+        "fuzzy_selfjoin_customer": fuzzy_selfjoin_customer,
+        "fuzzy_vocab_pairs": fuzzy_vocab_pairs,
+        "fuzzy_lookup_parts": fuzzy_lookup_parts,
+        "fuzzy_lookup_parts_pathmap": fuzzy_lookup_parts_pathmap,
+        "fuzzy_lookup_parts_filtered": fuzzy_lookup_parts_filtered,
+        "fuzzy_lookup_parts_valueset": fuzzy_lookup_parts_valueset,
+        "fuzzy_topk_part": fuzzy_topk_part,
+        "fuzzy_join_vocab_partwords": fuzzy_join_vocab_partwords,
+        "fuzzy_join_vocab_partwords_deletion": fuzzy_join_vocab_partwords_deletion,
+        "fuzzy_vocab_pairs_subst": fuzzy_vocab_pairs_subst,
+        "fuzzy_vocab_pairs_subst_closed": fuzzy_vocab_pairs_subst_closed,
+        "vocab_canonicalize": vocab_canonicalize,
+        "decontaminate_docs": decontaminate_docs,
+        "redact_docs": redact_docs,
+        "split_docs": split_docs,
+        "rebalance_sources_docs": rebalance_sources_docs,
+        "substring_search_docs": substring_search_docs,
+        "substring_positions_d0": substring_positions_d0,
+        "substring_positions_d1": substring_positions_d1,
+        "prefix_search_tokens": prefix_search_tokens,
+        "prefix_search_tokens_zipper": prefix_search_tokens_zipper,
+        "exact_dedup_part": exact_dedup_part,
+        "minhash_neardup_docs_md5": minhash_neardup_docs_md5,
+        "minhash_neardup_docs_md5_join": minhash_neardup_docs_md5_join,
+        "simhash_pairs_docs_md5": simhash_pairs_docs_md5,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "embedding_neardup": embedding_neardup,
+        "embedding_neardup_lsh": embedding_neardup_lsh,
+        "embedding_neardup_lsh_join": embedding_neardup_lsh_join,
+        "scoped_completion": scoped_completion,
+        "sessions_user": sessions_user,
+        "sliding_events": sliding_events,
+        "asof_click_error": asof_click_error,
+        # no_oracle by nature (RNG hash family / F1 metric / binary media)
+        "minhash_neardup_docs": minhash_neardup_docs,
+        "simhash_pairs_docs": simhash_pairs_docs,
+        "ann_ivf_topk": ann_ivf_topk_q,
+        "doc_fingerprints": doc_fingerprints,
+        "er_clusters": er_clusters_q,
+        "er_pairs": er_pairs_q,
+        "er_f1": er_f1,
         "multimodal_stub": multimodal_stub,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_features": multimodal_audio_features,
@@ -3128,5 +3187,77 @@ def oracle_sql() -> dict[str, str]:
           FROM base JOIN dpres ON base.a = dpres.a AND base.b = dpres.b
           WHERE base.dl = 2 AND dpres.d <= 2
         )
+    """
+    # --- the oracle-ized dynamic-dictionary trio (round-3 task 3) -------
+    # incremental: all-pairs merge EQUALS from-scratch over ALL documents
+    # (block keys of existing pages are unchanged by inserts), so the
+    # er_pairs_allpairs oracle verbatim IS the equality check.
+    sql["er_pairs_incremental"] = sql["er_pairs_allpairs"]
+    # decremental: all-pairs merge EQUALS from-scratch over the REMAINING
+    # pages — same relation with the removed doc_id%10==0 slice filtered
+    # out of the p CTE (the query removes exactly those urls).
+    sql["er_pairs_decremental"] = """
+            WITH p AS (SELECT doc_id,
+                              'https://h' || lpad(CAST(doc_id % 16 AS VARCHAR), 2, '0')
+                                || '.example.com/d' || CAST(doc_id AS VARCHAR) AS url,
+                              doc_id % 16 AS hostnum,
+                              regexp_extract_all(lower(text), '[a-z0-9]+')[1:5] AS toks
+                       FROM documents WHERE doc_id % 10 <> 0),
+                 t AS (SELECT url, hostnum, toks,
+                              array_to_string(toks, ' ') AS title
+                       FROM p WHERE len(toks) > 0)
+            SELECT a.url AS url_a, b.url AS url_b,
+                   CAST(levenshtein(a.title, b.title) AS BIGINT) AS distance
+            FROM t a JOIN t b ON a.url < b.url
+            WHERE levenshtein(a.title, b.title) <= 2
+              AND (a.title = b.title
+                   OR (a.hostnum = b.hostnum
+                       AND len(list_intersect(a.toks, b.toks)) > 0))
+        """
+    # transposition flagship over the REAL corpus parquet (html-extraction
+    # path included): er_pairs_corpus' extraction/blocking CTEs composed
+    # with the exact-OSA recursive-CTE DP on the DL<=2 frontier (DL <= OSA,
+    # so the frontier is a superset; the DP filter d<=2 makes it exact).
+    sql["er_pairs_transposition"] = f"""
+        WITH RECURSIVE
+         pg AS (SELECT url, text, CAST(html AS VARCHAR) AS h
+                FROM read_parquet('{corpus_pages}')),
+         p AS (SELECT url,
+                  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]*)', 1) AS host,
+                  CASE WHEN text <> ''
+                       THEN lower(trim(split_part(text, chr(10), 1),
+                                       ' ' || chr(9) || chr(13) || chr(10)))
+                       ELSE lower(trim(regexp_replace(
+                                coalesce(regexp_extract(h, '<title>(.*?)</title>', 1), ''),
+                                '\\s+', ' ', 'g'),
+                                ' ' || chr(9) || chr(13) || chr(10)))
+                  END AS title
+               FROM pg),
+         t AS (SELECT url, host, title,
+                  list_filter(string_split_regex(title, '\\s+'), x -> x <> '') AS toks
+               FROM p WHERE title <> ''),
+         samehost AS (
+           SELECT a.url AS url_a, b.url AS url_b,
+                  a.title AS ta, b.title AS tb,
+                  damerau_levenshtein(a.title, b.title) AS dl
+           FROM t a JOIN t b ON a.host = b.host AND a.url < b.url
+           WHERE abs(length(a.title) - length(b.title)) <= 2
+             AND damerau_levenshtein(a.title, b.title) <= 2
+             AND len(list_intersect(a.toks, b.toks)) > 0),
+         sametitle AS (
+           SELECT a.url AS url_a, b.url AS url_b,
+                  a.title AS ta, b.title AS tb, 0 AS dl
+           FROM t a JOIN t b ON a.title = b.title AND a.url < b.url),
+         allc AS (SELECT * FROM samehost UNION ALL SELECT * FROM sametitle),
+         hard AS (SELECT DISTINCT ta AS a, tb AS b FROM allc WHERE dl = 2),
+         {_OSA_DP_CTE}
+        SELECT url_a, url_b, CAST(min(d) AS BIGINT) AS distance FROM (
+          SELECT url_a, url_b, dl AS d FROM allc WHERE dl <= 1
+          UNION ALL
+          SELECT allc.url_a, allc.url_b, dpres.d
+          FROM allc JOIN dpres ON allc.ta = dpres.a AND allc.tb = dpres.b
+          WHERE allc.dl = 2 AND dpres.d <= 2
+        )
+        GROUP BY url_a, url_b
     """
     return sql

@@ -12,7 +12,10 @@ import numpy as np
 from .simhash import hash64
 from .tokenize import tokenize
 
-_PUNCT_RE = re.compile(r"[^\w\s]")
+# re.ASCII pins \w/\s to their RE2 (Arrow kernels / DuckDB oracle)
+# semantics so the scalar, vectorized and SQL implementations agree on
+# non-ASCII input
+_PUNCT_RE = re.compile(r"[^\w\s]", re.ASCII)
 _STOPWORDS = frozenset(
     "the a an and or of to in is are was were be been for on with as at by it "
     "this that from not have has had but they you we he she его der die das le "
@@ -51,7 +54,9 @@ def quality_scores(text: str) -> dict:
 def langid_ngram(text: str) -> str:
     """Character-trigram overlap heuristic; returns the best profile or
     ``und`` when nothing scores."""
-    t = " " + re.sub(r"\s+", " ", text.lower().strip())[:400] + " "
+    # ASCII \s and the ' \t\n\r' trim set pin the normalization to the
+    # RE2/DuckDB semantics shared by langid_scores_batch and the SQL oracle
+    t = " " + re.sub(r"\s+", " ", text.lower().strip(" \t\n\r"), flags=re.ASCII)[:400] + " "
     if len(t) < 5:
         return "und"
     grams = {t[i : i + 3] for i in range(len(t) - 2)}

@@ -44,27 +44,42 @@ def curate_documents(ds, min_tokens: int = 10, max_punct: float = 0.2,
     ``hasher="md5"`` (default) keeps the near-dup step SQL-reproducible —
     the curate_docs oracle depends on it; pass ``"blake2b"`` for the
     fastest production hash family (same pipeline, different pair RNG)."""
-    from ..functions.textstats import langid_ngram, quality_scores
     from ..stages.dedup import exact_dedup, minhash_lsh_pairs
     from ..stages.grouped import bucketed_apply
+    from ..stages.textstats import _LANGID_LANGS, langid_scores_batch
 
     def screen(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        ids = t.column("doc_id").to_pylist()
-        out_id, out_text, out_nt = [], [], []
-        for i, x in zip(ids, texts):
-            x = x or ""
-            q = quality_scores(x)
-            if (q["n_tokens"] >= min_tokens and q["punct_ratio"] <= max_punct
-                    and langid_ngram(x) == lang):
-                out_id.append(i)
-                out_text.append(x)
-                out_nt.append(q["n_tokens"])
-        return pa.table({
-            "doc_id": pa.array(out_id, type=pa.int64()),
-            "text": pa.array(out_text, type=pa.string()),
-            "n_tokens": pa.array(out_nt, type=pa.int64()),
+        # fully vectorized (VERDICT r02 task 2): two RE2 count kernels +
+        # the shared ~60-kernel langid profile scorer — this is a
+        # full-corpus pass at 100 TB, so no Python row loop
+        import numpy as np
+        import pyarrow.compute as pc
+
+        text = pc.coalesce(t.column("text"), pa.scalar("", type=pa.string()))
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lower = pc.utf8_lower(text)
+        n_tokens = (pc.count_substring_regex(lower, pattern=r"[a-z0-9]+")
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+        n_chars = (pc.utf8_length(text)
+                   .to_numpy(zero_copy_only=False).astype(np.int64))
+        n_punct = (pc.count_substring_regex(text, pattern=r"[^\w\s]")
+                   .to_numpy(zero_copy_only=False).astype(np.int64))
+        punct_ratio = np.where(n_chars > 0,
+                               n_punct / np.maximum(n_chars, 1), 0.0)
+        scores = langid_scores_batch(text)
+        best_score = scores.max(axis=0) if scores.size else np.zeros(0)
+        langs = np.array(_LANGID_LANGS, dtype=object)
+        pred = np.where(best_score >= 3,
+                        langs[scores.argmax(axis=0)], "und")
+        keep = ((n_tokens >= min_tokens) & (punct_ratio <= max_punct)
+                & (pred == lang))
+        out = pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "text": text,
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
         })
+        return out.filter(pa.array(keep))
 
     kept = ds.map_batches(screen, batch_format="pyarrow")
     # Diamond: `deduped` feeds both the near-dup scorer and the keep side.

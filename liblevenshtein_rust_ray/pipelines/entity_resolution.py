@@ -316,12 +316,40 @@ def er_pipeline(source, out_dir: str | None = None, output_partitions: int | Non
 
 
 # ----------------------------------------------------------------------
+def _score_blocks_all_pairs(sub, max_distance, algorithm, max_block_strings):
+    """Quadratic (SQL-oracle-mode) scoring of a bucket's blocks through
+    BlockScorer — the same engine er_pairs' ``emit_all_pairs`` path uses.
+    ``score_bucket_vectorized`` is NOT equivalent here: it always collapses
+    identical strings to distance-0 stars and scores one representative url
+    per distinct string."""
+    import pandas as pd
+
+    from ..stages.scorer import BlockScorer, _empty_edges
+
+    scorer = BlockScorer(
+        max_distance=max_distance, algorithm=algorithm,
+        emit_all_pairs=True, max_block_strings=max_block_strings,
+    )
+    outs = []
+    for _key, g in sub.groupby("block_key", sort=False):
+        if len(g) < 2:
+            continue
+        out = scorer(g)
+        if out is not None and len(out):
+            outs.append(out)
+    if not outs:
+        return _empty_edges()
+    return pd.concat(outs, ignore_index=True)
+
+
 def er_pairs_incremental(
     old_source,
     new_source,
     base_pairs=None,
     max_distance: int = 2,
     algorithm: str = STANDARD,
+    emit_all_pairs: bool = False,
+    max_block_strings: int = 512,
 ):
     """Incremental update — the reference's dynamic-dictionary capability
     (DynamicDawg insert/remove, /root/reference/src/dictionary/dynamic_dawg.rs)
@@ -332,12 +360,18 @@ def er_pairs_incremental(
     each hash bucket, blocks containing at least one NEW page are rescored
     in full (old + new members), all other blocks are skipped.
 
-    Contract (pinned by tests): the merge with ``base_pairs`` is a
-    SUPERSET of the from-scratch edge set whose connected components are
-    IDENTICAL.  The possible extras are stale-representative aliases: when
-    a new page becomes a block's minimal url, base edges name the old
-    representative — which the rescored block's distance-0 star already
-    links to the new one, so clustering is unaffected."""
+    Contract (pinned by tests): with representative edges (default) the
+    merge with ``base_pairs`` is a SUPERSET of the from-scratch edge set
+    whose connected components are IDENTICAL.  The possible extras are
+    stale-representative aliases: when a new page becomes a block's
+    minimal url, base edges name the old representative — which the
+    rescored block's distance-0 star already links to the new one, so
+    clustering is unaffected.  With ``emit_all_pairs=True`` (``base_pairs``
+    must also be all-pairs) the merge EQUALS the from-scratch all-pairs
+    edge set exactly: adding pages never changes an existing page's block
+    keys, so old-old pairs co-block identically (in base) and every pair
+    touching a new page lives in a rescored block (in delta) — this is the
+    SQL-oracle-checkable restatement the driver verifies."""
     import pandas as pd
 
     from .context import configure_data_context
@@ -365,8 +399,16 @@ def er_pairs_incremental(
         sub = df[df["block_key"].isin(set(hot))].drop(columns="__new")
         if not len(sub):
             return _empty_edges()
+        if emit_all_pairs:
+            # quadratic SQL-oracle mode: score_bucket_vectorized always
+            # star-collapses identical strings, so hot blocks go through
+            # BlockScorer (the same engine er_pairs' all-pairs path uses)
+            return _score_blocks_all_pairs(
+                sub, max_distance, algorithm, max_block_strings
+            )
         return score_bucket_vectorized(
-            sub, max_distance=max_distance, algorithm=algorithm
+            sub, max_distance=max_distance, algorithm=algorithm,
+            max_block_strings=max_block_strings,
         )
 
     delta = bucketed_apply(
@@ -388,6 +430,8 @@ def er_pairs_decremental(
     base_pairs=None,
     max_distance: int = 2,
     algorithm: str = STANDARD,
+    emit_all_pairs: bool = False,
+    max_block_strings: int = 512,
 ):
     """Decremental update — the remove half of the reference's dynamic
     dictionary (DynamicDawg remove, /root/reference/src/dictionary/
@@ -403,7 +447,13 @@ def er_pairs_decremental(
     endpoints still co-block, so the merge is a SUPERSET of the
     from-scratch edge set over the remaining pages whose connected
     components are IDENTICAL (same argument as the incremental contract:
-    extras are stale-representative aliases; pinned by tests)."""
+    extras are stale-representative aliases; pinned by tests).  With
+    ``emit_all_pairs=True`` (``base_pairs`` must also be all-pairs) the
+    merge EQUALS the from-scratch all-pairs edge set over the remaining
+    pages exactly: removal never changes a survivor's block keys, so
+    surviving base pairs ARE the from-scratch pairs and the rescored hot
+    blocks only re-derive a subset of them — the SQL-oracle-checkable
+    restatement the driver verifies."""
     import pandas as pd
     import pyarrow as pa
 
@@ -431,8 +481,13 @@ def er_pairs_decremental(
         sub = df[df["block_key"].isin(set(hot)) & ~df["__rm"]].drop(columns="__rm")
         if not len(sub):
             return _empty_edges()
+        if emit_all_pairs:
+            return _score_blocks_all_pairs(
+                sub, max_distance, algorithm, max_block_strings
+            )
         return score_bucket_vectorized(
-            sub, max_distance=max_distance, algorithm=algorithm
+            sub, max_distance=max_distance, algorithm=algorithm,
+            max_block_strings=max_block_strings,
         )
 
     delta = bucketed_apply(

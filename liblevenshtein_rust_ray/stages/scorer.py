@@ -224,10 +224,14 @@ def score_bucket_vectorized(
     max_distance: int = 2,
     algorithm: str = STANDARD,
     max_block_strings: int = 512,
-    emit_all_pairs: bool = False,
     subst=None,
 ) -> pd.DataFrame:
     """(block_key, url, key_string) rows -> canonical edges for the bucket.
+
+    NOTE: this path always star-collapses identical strings and scores one
+    representative url per distinct string — there is deliberately NO
+    ``emit_all_pairs`` mode here; quadratic SQL-oracle output goes through
+    ``BlockScorer(emit_all_pairs=True)``.
 
     All-integer hot path: urls / strings / block keys are factorized ONCE
     and every later step (triple dedup, star edges, salting, in-block

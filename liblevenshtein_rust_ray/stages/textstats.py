@@ -3,8 +3,8 @@
 import pyarrow as pa
 
 from ..functions.textstats import (
-    quality_scores,
-    langid_ngram,
+    _LANG_PROFILES,
+    _STOPWORDS,
     rolling_fingerprint,
     fingerprint64,
 )
@@ -48,27 +48,106 @@ def token_stats_batch(t: pa.Table) -> pa.Table:
 
 
 def quality_batch(t: pa.Table) -> pa.Table:
-    texts = t.column("text").to_pylist()
-    qs = [quality_scores(x or "") for x in texts]
-    cols = {"doc_id": t.column("doc_id")}
-    for k, typ in [
-        ("n_chars", pa.int64()),
-        ("n_tokens", pa.int64()),
-        ("punct_ratio", pa.float64()),
-        ("stopword_ratio", pa.float64()),
-        ("mean_token_len", pa.float64()),
-    ]:
-        cols[k] = pa.array([q[k] for q in qs], type=typ)
-    return pa.table(cols)
+    """Vectorized quality stats — same relation as the scalar
+    ``functions.textstats.quality_scores`` per row (parity pinned by
+    tests): two RE2 count kernels (tokens, punctuation) + ONE flattened
+    token pass (Arrow split -> numpy bincount) for stopword counts and
+    token-length sums.  No Python row loop — this runs on the full corpus
+    at 100 TB (VERDICT r02 task 2)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = t.num_rows
+    text = pc.coalesce(t.column("text"), pa.scalar("", type=pa.string()))
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    lower = pc.utf8_lower(text)
+    n_tokens = (pc.count_substring_regex(lower, pattern=r"[a-z0-9]+")
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+    # RE2 [^\w\s] == the scalar kernel's re.ASCII pattern == the DuckDB
+    # oracle's regexp_extract_all(text, '[^\w\s]')
+    n_punct = (pc.count_substring_regex(text, pattern=r"[^\w\s]")
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+
+    tok_lists = pc.split_pattern_regex(lower, pattern=r"[^a-z0-9]+")
+    flat = tok_lists.flatten()
+    counts = np.diff(tok_lists.offsets.to_numpy().astype(np.int64))
+    parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    nonempty = lens > 0
+    parent, lens = parent[nonempty], lens[nonempty]
+    stop_mask = (pc.is_in(flat, value_set=pa.array(sorted(_STOPWORDS)))
+                 .to_numpy(zero_copy_only=False)[nonempty])
+    sum_len = np.bincount(parent, weights=lens, minlength=n)
+    n_stop = np.bincount(parent[stop_mask], minlength=n).astype(np.int64)
+
+    nt = np.maximum(n_tokens, 1)
+    nc = np.maximum(n_chars, 1)
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "n_chars": pa.array(n_chars),
+        "n_tokens": pa.array(n_tokens),
+        "punct_ratio": pa.array(np.where(n_chars > 0, n_punct / nc, 0.0)),
+        "stopword_ratio": pa.array(np.where(n_tokens > 0, n_stop / nt, 0.0)),
+        "mean_token_len": pa.array(np.where(n_tokens > 0, sum_len / nt, 0.0)),
+    })
+
+
+# the four profiles as (lang, trigram) pairs, profile order preserved for
+# the strict-> tie-break of the scalar kernel
+_LANGID_LANGS = list(_LANG_PROFILES)
+
+
+def langid_scores_batch(text: pa.Array) -> "np.ndarray":
+    """(len(_LANGID_LANGS), n) matrix of profile-overlap scores for the
+    PADDED normalized text — one C-path ``match_substring`` per profile
+    trigram (~60 total), summed per language.  Presence (not count)
+    matches the scalar kernel's set-intersection semantics."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    text = pc.coalesce(text, pa.scalar("", type=pa.string()))
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lower = pc.utf8_lower(text)
+    # mirror the scalar chain: lower -> strip -> collapse \s+ -> [:400]
+    # -> pad with single spaces (trim set = the DuckDB oracle's)
+    trimmed = pc.utf8_trim(lower, " \t\n\r")
+    collapsed = pc.replace_substring_regex(trimmed, pattern=r"\s+",
+                                           replacement=" ")
+    clipped = pc.utf8_slice_codeunits(collapsed, 0, 400)
+    padded = pc.binary_join_element_wise(
+        pa.scalar(" "), clipped, pa.scalar(" "), "")
+    n = len(padded)
+    scores = np.zeros((len(_LANGID_LANGS), n), dtype=np.int64)
+    for li, lang in enumerate(_LANGID_LANGS):
+        for g in sorted(_LANG_PROFILES[lang]):
+            scores[li] += (pc.match_substring(padded, g)
+                           .to_numpy(zero_copy_only=False))
+    # len(t) < 5 -> und: padded length = core + 2
+    short = (pc.utf8_length(padded).to_numpy(zero_copy_only=False) < 5)
+    scores[:, short] = 0
+    return scores
 
 
 def langid_batch(t: pa.Table) -> pa.Table:
-    texts = t.column("text").to_pylist()
+    """Vectorized trigram language ID — same answers as the scalar
+    ``functions.textstats.langid_ngram`` per row (parity pinned by
+    tests); ~60 ``match_substring`` kernels replace the per-doc Python
+    trigram set (VERDICT r02 task 2)."""
+    import numpy as np
+
+    scores = langid_scores_batch(t.column("text"))
+    best = scores.argmax(axis=0)  # first max == the scalar strict-> loop
+    best_score = scores.max(axis=0) if scores.size else np.zeros(0)
+    langs = np.array(_LANGID_LANGS, dtype=object)
+    pred = np.where(best_score >= 3, langs[best], "und")
     return pa.table(
         {
             "doc_id": t.column("doc_id"),
             "lang_given": t.column("lang") if "lang" in t.column_names else pa.nulls(t.num_rows, pa.string()),
-            "lang_pred": pa.array([langid_ngram(x or "") for x in texts], type=pa.string()),
+            "lang_pred": pa.array(pred, type=pa.string()),
         }
     )
 

@@ -508,3 +508,44 @@ def test_line_dedup_flood_linear(ray_session):
     assert len(out) == f
     assert (out["n_lines_dropped"] == 1).all()
     assert out["text"].str.startswith("unique ").all()
+
+
+def test_quality_langid_vectorized_parity():
+    """The vectorized quality/langid batch kernels must equal the scalar
+    reference kernels row for row (including unicode, empty, null and
+    whitespace-edge inputs) — they are the 100-TB full-corpus path."""
+    import numpy as np
+
+    from liblevenshtein_rust_ray.functions.textstats import (
+        langid_ngram,
+        quality_scores,
+    )
+    from liblevenshtein_rust_ray.stages.textstats import (
+        langid_batch,
+        quality_batch,
+    )
+
+    texts = [
+        "The quick brown fox, it jumps!", "", None, "xz",
+        "der hund und die katze sind schön in einem haus",
+        "le chat et le chien sont dans la maison",
+        "the cat and the dog are in the house of things",
+        "   leading and trailing   ", "a\tb\nc\r\nd  e", "é œ ß ¿punct?",
+        "que la casa el perro en el jardín ión", "123 456 !!! ???",
+        "x" * 500 + " the and of to in is",
+        " \t\r\n ", "the " * 200,
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["" for _ in texts], pa.string()),
+    })
+    qv = quality_batch(t).to_pydict()
+    lv = langid_batch(t).to_pydict()
+    for i, x in enumerate(texts):
+        x = x or ""
+        qs = quality_scores(x)
+        for k in ["n_chars", "n_tokens", "punct_ratio",
+                  "stopword_ratio", "mean_token_len"]:
+            assert abs(float(qs[k]) - float(qv[k][i])) < 1e-12, (i, k, x)
+        assert langid_ngram(x) == lv["lang_pred"][i], (i, x)
