@@ -3037,7 +3037,7 @@ def oracle_sql() -> dict[str, str]:
             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
               regexp_replace(crawl_url,
                 '#.*$', '', 'g'),
-                '(utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'),
+                '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*', '\\1', 'g'),
                 '&&+', '&', 'g'),
                 '\\?&', '?', 'g'),
                 '[?&]+$', '', 'g') AS g

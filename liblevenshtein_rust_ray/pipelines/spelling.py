@@ -142,7 +142,17 @@ def spell_correct(tokens_ds, tok_col: str, dict_ds, word_col: str,
     def attach(df: pd.DataFrame) -> pd.DataFrame:
         f = ray.get(fref)  # zero-copy handle from the local store
         df = df.rename(columns={"left_val": "tok", "right_val": "correction"})
-        df["freq"] = df["correction"].map(f).astype("int64")
+        freq = df["correction"].map(f)
+        if freq.isna().any():
+            # a correction absent from dict_ds means right_sigs is a stale
+            # or mismatched persisted index — name the cause instead of
+            # letting the astype below die with an opaque cast error
+            missing = df.loc[freq.isna(), "correction"].unique()[:5].tolist()
+            raise ValueError(
+                "spell_correct: corrections not present in dict_ds "
+                f"(stale/mismatched right_sigs index?): {missing}"
+            )
+        df["freq"] = freq.astype("int64")
         return df
 
     def best(df: pd.DataFrame) -> pd.DataFrame:

@@ -67,40 +67,58 @@ def decontaminate(ds, text_col: str, benchmark_texts, k: int = 3,
     set; survivors pass through with their full schema.
 
     The benchmark is the SMALL side by definition (eval sets are
-    thousands of documents, the corpus is the 100-TB side): its shingle
-    set is built once on the driver, broadcast via ``ray.put``, and the
-    corpus streams through ONE stateless ``map_batches`` filter — no
-    shuffle, no join, nothing proportional to the corpus crosses the
-    network.  For a benchmark too large to broadcast exactly, swap the
-    set for a Bloom filter (``kernel.bloom``) — same stage shape, with
-    bounded false-positive over-drops instead of exactness.
+    thousands of documents, the corpus is the 100-TB side): its shingles
+    are hashed once on the driver into a SORTED uint64 numpy array and
+    broadcast via ``ray.put`` — buffer-backed, so every task's
+    ``ray.get`` is a true zero-copy view of the local object store (a
+    Python set would be pickle-deserialized per task).  The corpus
+    streams through ONE stateless ``map_batches`` filter whose
+    membership test is a single ``np.isin`` over the batch's flattened
+    shingle hashes — no shuffle, no join, nothing proportional to the
+    corpus crosses the network.  Overlap is counted on 64-bit blake2b
+    shingle hashes, not strings: a false drop needs a corpus shingle
+    colliding with a benchmark shingle (p ~ |bench| / 2^64 per distinct
+    shingle — negligible even at 10^12 docs).  For a benchmark too large
+    to broadcast exactly, swap the array for a Bloom filter
+    (``kernel.bloom``) — same stage shape, with bounded false-positive
+    over-drops instead of exactness.
 
     ``benchmark_texts``: an iterable of strings, or a Dataset with
     ``text_col`` (consumed on the driver — small side only)."""
+    import numpy as np
     import ray
 
     from ..functions.tokenize import shingles, tokenize
 
-    bench: set[str] = set()
+    bench: set[int] = set()
     if hasattr(benchmark_texts, "iter_batches"):
         for b in benchmark_texts.select_columns([text_col]).iter_batches(
             batch_size=4096, batch_format="pyarrow"
         ):
             for x in b.column(text_col).to_pylist():
-                bench.update(shingles(tokenize(x or ""), k))
+                bench.update(hash64(s) for s in shingles(tokenize(x or ""), k))
     else:
         for x in benchmark_texts:
-            bench.update(shingles(tokenize(x or ""), k))
-    bref = ray.put(bench)
+            bench.update(hash64(s) for s in shingles(tokenize(x or ""), k))
+    bref = ray.put(np.fromiter(sorted(bench), dtype=np.uint64, count=len(bench)))
 
     def keep(t: pa.Table) -> pa.Table:
-        b = ray.get(bref)  # zero-copy handle from the local object store
-        mask = []
-        for x in t.column(text_col).to_pylist():
-            sh = set(shingles(tokenize(x or ""), k))
-            n = len(sh & b) if len(sh) < len(b) else len(b & sh)
-            mask.append(n < min_overlap)
-        return t.filter(pa.array(mask, type=pa.bool_()))
+        b = ray.get(bref)  # zero-copy numpy view of the local object store
+        texts = t.column(text_col).to_pylist()
+        hashes: list[int] = []
+        parents: list[int] = []
+        for i, x in enumerate(texts):
+            sh = set(shingles(tokenize(x or ""), k))  # DISTINCT overlap
+            hashes.extend(hash64(s) for s in sh)
+            parents.extend([i] * len(sh))
+        n = np.zeros(len(texts), dtype=np.int64)
+        if hashes:
+            ha = np.fromiter(hashes, dtype=np.uint64, count=len(hashes))
+            hit = np.isin(ha, b)
+            n += np.bincount(
+                np.asarray(parents, dtype=np.int64)[hit], minlength=len(texts)
+            ).astype(np.int64)
+        return t.filter(pa.array(n < min_overlap, type=pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 

@@ -10,7 +10,28 @@ DuckDB ``md5_number_lower``), so the split is SQL-reproducible."""
 
 import pyarrow as pa
 
-from ..functions.simhash import md5_hash64
+
+def _md5_hash64_batch(keys, salt: str) -> "np.ndarray":
+    """uint64 md5 family hash (``md5_hash64`` / DuckDB ``md5_number_lower``
+    semantics) of ``salt:key`` for a whole column: the string build, byte
+    conversion, word extraction and modulo all run as Arrow/numpy kernels —
+    only the md5 digests themselves loop (intrinsic to hashlib; ~0.4 us
+    each).  The old per-row ``f-string + md5_hash64 + %`` path cost ~5x
+    that and contradicted the module's 10^12-doc framing (round-2 ADVICE)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from hashlib import md5
+
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    s = pc.binary_join_element_wise(
+        pa.scalar(salt + ":"), pc.cast(keys, pa.string()), "")
+    raw = s.cast(pa.binary()).to_pylist()
+    if not raw:
+        return np.zeros(0, dtype=np.uint64)
+    dig = b"".join(md5(x).digest() for x in raw)
+    # md5_hash64 == second digest half, little-endian
+    return np.frombuffer(dig, dtype="<u8").reshape(-1, 2)[:, 1].copy()
 
 
 def split_by_hash(ds, key_col: str, val_pct: int = 10, salt: str = "split",
@@ -20,13 +41,11 @@ def split_by_hash(ds, key_col: str, val_pct: int = 10, salt: str = "split",
     assignment is a pure function of the key, independent of ordering,
     partitioning and cluster size; ``salt`` derives independent splits
     from the same keys."""
+    import numpy as np
 
     def f(t: pa.Table) -> pa.Table:
-        keys = t.column(key_col).to_pylist()
-        lab = [
-            "val" if md5_hash64(f"{salt}:{k}") % 100 < val_pct else "train"
-            for k in keys
-        ]
+        h = _md5_hash64_batch(t.column(key_col), salt)
+        lab = np.where(h % np.uint64(100) < val_pct, "val", "train")
         return t.append_column(out_col, pa.array(lab, type=pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -47,13 +66,13 @@ def rebalance_sources(ds, group_col: str, rates: dict[str, float],
     dthr = int(round(default_rate * 1_000_000))
 
     def f(t: pa.Table) -> pa.Table:
-        keys = t.column(key_col).to_pylist()
-        groups = t.column(group_col).to_pylist()
-        mask = [
-            md5_hash64(f"{salt}:{k}") % 1_000_000 < thr.get(g, dthr)
-            for k, g in zip(keys, groups)
-        ]
-        return t.filter(pa.array(mask, type=pa.bool_()))
+        import numpy as np
+        import pandas as pd
+
+        h = _md5_hash64_batch(t.column(key_col), salt) % np.uint64(1_000_000)
+        cut = (pd.Series(t.column(group_col).to_pandas())
+               .map(thr).fillna(dthr).to_numpy(dtype=np.uint64))
+        return t.filter(pa.array(h < cut, type=pa.bool_()))
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -64,8 +83,9 @@ def sample_by_hash(ds, key_col: str, pct: int, salt: str = "sample"):
     :func:`split_by_hash`; disjoint salts give independent samples."""
 
     def f(t: pa.Table) -> pa.Table:
-        keys = t.column(key_col).to_pylist()
-        mask = [md5_hash64(f"{salt}:{k}") % 100 < pct for k in keys]
-        return t.filter(pa.array(mask, type=pa.bool_()))
+        import numpy as np
+
+        h = _md5_hash64_batch(t.column(key_col), salt)
+        return t.filter(pa.array(h % np.uint64(100) < pct, type=pa.bool_()))
 
     return ds.map_batches(f, batch_format="pyarrow")

@@ -40,8 +40,11 @@ from .grouped import bucketed_apply
 _CANON_STEPS = (
     # 1. drop fragment
     (r"#.*$", ""),
-    # 2. drop tracking params (value included)
-    (r"(utm_[a-z]+|gclid|fbclid)=[^&#]*", ""),
+    # 2. drop tracking params (value included).  Anchored to a query
+    # delimiter which is re-emitted: an UNANCHORED match would also fire
+    # inside legitimate param names/values ('?xutm_source=1', '?q=gclid=x')
+    # and silently collapse distinct pages (round-2 ADVICE item).
+    (r"([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*", r"\1"),
     # 3. query-string cleanup after param removal
     (r"&&+", "&"),
     (r"\?&", "?"),

@@ -38,6 +38,10 @@ CASES = [
     ("https://a.com/", "https://a.com"),
     # combined
     ("HTTPS://A.com:443/e1/p2/?utm_medium=rss&gclid=1#s", "https://a.com/e1/p2"),
+    # anchored tracking-param match: look-alike names/values survive
+    ("https://a.com/x?xutm_source=1", "https://a.com/x?xutm_source=1"),
+    ("https://a.com/x?q=gclid=abc", "https://a.com/x?q=gclid=abc"),
+    ("https://a.com/x?utm_a=1&utm_b=2&keep=3", "https://a.com/x?keep=3"),
     # non-URL passthrough (generic rewrites only)
     ("not a url#frag", "not a url"),
     ("plain", "plain"),
@@ -60,7 +64,7 @@ def test_canonicalize_duckdb_parity():
         WITH g AS (SELECT u,
           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
             regexp_replace(u, '#.*$', '', 'g'),
-            '(utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'),
+            '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*', '\\1', 'g'),
             '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$', '', 'g') AS g
           FROM t),
         f AS (SELECT u, CASE WHEN regexp_extract(g, '{prefix}') = '' THEN g
@@ -212,7 +216,7 @@ def test_canonicalize_duckdb_parity_random():
         WITH g AS (SELECT u,
           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
             regexp_replace(u, '#.*$', '', 'g'),
-            '(utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'),
+            '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*', '\\1', 'g'),
             '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$', '', 'g') AS g
           FROM t),
         f AS (SELECT u, CASE WHEN regexp_extract(g, '{prefix}') = '' THEN g
