@@ -507,8 +507,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def ngram_jaccard_docs(sf_dir):
+        """Exact contract (max_df=None) — the SQL-oracle mode; production
+        default caps stop-shingle groups at max_df=1024 (lower-bound
+        jaccard, documented in stages/dedup.py)."""
         return D.ngram_jaccard_pairs(
-            _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", threshold=0.5
+            _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+            threshold=0.5, max_df=None,
         )
 
     def embedding_neardup(sf_dir):

@@ -177,12 +177,21 @@ def main() -> None:
         "clustered_urls": n_clustered,
     }
     ray.shutdown()
+    # two-parallelism scaling evidence IN the driver artifact (round-2
+    # VERDICT task 8): fresh 8-CPU and 32-CPU child processes re-run the
+    # headline on the same input after the parent session is gone
+    if not os.environ.get("LLRR_SKIP_SCALING"):
+        try:
+            result["scaling"] = _scaling_block()
+        except Exception as e:  # noqa: BLE001 — bench must still emit
+            result["scaling"] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(result))
 
 
-def scaling() -> None:
+def _scaling_block() -> dict:
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), LLRR_HEADLINE_ONLY="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), LLRR_HEADLINE_ONLY="1",
+                   LLRR_SKIP_SCALING="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -202,14 +211,18 @@ def scaling() -> None:
     thr_lo = lo["pages"] / lo["value"]
     thr_hi = hi["pages"] / hi["value"]
     eff = (thr_hi / thr_lo) / (32 / 8)
-    print(json.dumps({
+    return {
         "sec_8": lo["value"],
         "sec_32": hi["value"],
         "pages_per_sec_8": round(thr_lo, 1),
         "pages_per_sec_32": round(thr_hi, 1),
         "scaling_efficiency": round(eff, 3),
         "sf": lo["sf"],
-    }))
+    }
+
+
+def scaling() -> None:
+    print(json.dumps(_scaling_block()))
 
 
 if __name__ == "__main__":

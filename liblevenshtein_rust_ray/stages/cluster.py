@@ -364,11 +364,52 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
                                    "neighbor": pd.Series(dtype="int64")}),
     ).repartition(n_buckets).materialize()
 
-    # ---- 1. label rounds (all int64) ------------------------------------
-    def init_labels(df):
-        out = df.groupby("node", as_index=False)["neighbor"].min()
-        out["label"] = out[["node", "neighbor"]].min(axis=1)
-        return out[["node", "label"]]
+    # ---- 1. label rounds (all int64, ALL-ARROW — round-2 VERDICT task 4:
+    # the loop's blocks stay pa.Table end to end; per-bucket work is numpy
+    # over zero-copy int64 views, so the twice-per-round exchange ships
+    # Arrow buffers instead of pickled pandas frames) ----------------------
+    import ray.data as rd
+
+    _LBL = pa.table({"node": pa.array([], type=pa.int64()),
+                     "label": pa.array([], type=pa.int64())})
+    _MSG = pa.table({"node": pa.array([], type=pa.int64()),
+                     "label": pa.array([], type=pa.int64()),
+                     "neighbor": pa.array([], type=pa.int64())})
+
+    def _int_bucketed(ds, key_col: str, fn, empty: pa.Table):
+        """One hash exchange on an int64 key, Arrow-native: bucket id is a
+        cheap uint32 mod (ids are already integers — no dictionary hash
+        needed), ``fn(pa.Table) -> pa.Table`` runs once per bucket."""
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            k = t.column(key_col).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            b = (k.astype(np.uint32) % np.uint32(n_buckets)).astype(np.int32)
+            return t.append_column("__bucket", pa.array(b))
+
+        out = (
+            ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda t: fn(t.drop_columns(["__bucket"])),
+                        batch_format="pyarrow")
+        )
+        return out.union(rd.from_arrow(empty))
+
+    def _col(t: pa.Table, name: str):
+        return t.column(name).combine_chunks().to_numpy(zero_copy_only=False)
+
+    def _min_per_node(node, label) -> pa.Table:
+        order = np.lexsort((label, node))
+        n_s, l_s = node[order], label[order]
+        head = np.empty(len(n_s), dtype=bool)
+        head[:1] = True
+        head[1:] = n_s[1:] != n_s[:-1]
+        return pa.table({"node": pa.array(n_s[head], type=pa.int64()),
+                         "label": pa.array(l_s[head], type=pa.int64())})
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        node, nbr = _col(t, "node"), _col(t, "neighbor")
+        return _min_per_node(node, np.minimum(node, nbr))
 
     # Block-count hygiene: the sort-based groupby exchange emits roughly one
     # block per INPUT block, and each round unions the edge table into the
@@ -379,7 +420,11 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
     # round cost flat; the coalesce (shuffle=False) only merges adjacent
     # label blocks — O(|nodes|) rows moved, no all-to-all.
     labels = (
-        bucketed_apply(edges, "node", init_labels, n_buckets)
+        _int_bucketed(
+            edges.map_batches(
+                lambda t: t.select(["node", "neighbor"]),
+                batch_format="pyarrow"),
+            "node", init_labels, _LBL)
         .repartition(n_buckets)
         .materialize()
     )
@@ -416,23 +461,17 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
         return (s1 << 64) | s2
 
     # Edge message-rows are loop-invariant: tag (label = -1 sentinel) and
-    # pre-bucket them ONCE, Arrow-native, instead of re-converting the
-    # whole edge table to pandas every round.
-    def tag_and_bucket_edges(t: pa.Table) -> pd.DataFrame:
-        node = t.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+    # pre-bucket them ONCE, Arrow-native — the loop unions this table
+    # verbatim every round with zero re-tagging.
+    def tag_and_bucket_edges(t: pa.Table) -> pa.Table:
+        node = _col(t, "node")
         bucket = (node.astype(np.uint32) % np.uint32(n_buckets)).astype(np.int32)
-        # pandas blocks (int64-only, near-zero-copy) so the in-loop union
-        # with the pandas label side stays one block type
-        return pd.DataFrame(
-            {
-                "node": node,
-                "label": np.full(t.num_rows, -1, dtype=np.int64),
-                "neighbor": t.column("neighbor")
-                .combine_chunks()
-                .to_numpy(zero_copy_only=False),
-                "__bucket": bucket,
-            }
-        )
+        return pa.table({
+            "node": pa.array(node, type=pa.int64()),
+            "label": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            "neighbor": pa.array(_col(t, "neighbor"), type=pa.int64()),
+            "__bucket": pa.array(bucket),
+        })
 
     edg_tagged = edges.map_batches(
         tag_and_bucket_edges, batch_format="pyarrow"
@@ -440,9 +479,9 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
 
     sig = signature(labels)
     for _round in range(max_rounds):
-        # message pass: per bucket, pandas-merge labels onto edges (C path).
-        # -1 marks the absent column (ids are >= 0) so the union schema
-        # stays int64 throughout.
+        # message pass: per bucket, numpy searchsorted joins labels onto
+        # edges over zero-copy int64 views.  -1 marks the absent column
+        # (ids are >= 0) so the union schema stays int64 throughout.
         # label rows AND label-link rows from ONE pass over the label
         # table.  The links treat (node <-> label(node)) as extra edges:
         # feeding them through the same message exchange lets labels
@@ -452,51 +491,57 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
         # extra exchanges.
         with_links = _round > 0  # shallow graphs converge before links help
 
-        def lab_and_links(df: pd.DataFrame) -> pd.DataFrame:
-            lab = df.assign(neighbor=np.int64(-1))[["node", "label", "neighbor"]]
+        def lab_and_links(t: pa.Table) -> pa.Table:
+            node, label = _col(t, "node"), _col(t, "label")
+            neg = np.full(len(node), -1, dtype=np.int64)
             if not with_links:
-                return lab
-            linked = df[df["node"] != df["label"]]
-            links = pd.DataFrame(
-                {
-                    "node": pd.concat([linked["node"], linked["label"]],
-                                      ignore_index=True),
-                    "label": np.int64(-1),
-                    "neighbor": pd.concat([linked["label"], linked["node"]],
-                                          ignore_index=True),
-                }
-            )
-            return pd.concat([lab, links], ignore_index=True)
+                n_, l_, nb = node, label, neg
+            else:
+                linked = node != label
+                ln, ll = node[linked], label[linked]
+                n_ = np.concatenate([node, ln, ll])
+                l_ = np.concatenate([label, np.full(2 * len(ln), -1, np.int64)])
+                nb = np.concatenate([neg, ll, ln])
+            bucket = (n_.astype(np.uint32) % np.uint32(n_buckets)).astype(np.int32)
+            return pa.table({
+                "node": pa.array(n_, type=pa.int64()),
+                "label": pa.array(l_, type=pa.int64()),
+                "neighbor": pa.array(nb, type=pa.int64()),
+                "__bucket": pa.array(bucket),
+            })
 
-        lab_tagged = labels.map_batches(lab_and_links, batch_format="pandas")
-
-        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__bucket"] = (
-                df["node"].to_numpy(dtype=np.int64).astype(np.uint32)
-                % np.uint32(n_buckets)
-            ).astype("int32")
-            return df
-
-        def bucket_messages(g: pd.DataFrame) -> pd.DataFrame:
-            lab = g[g["label"] >= 0][["node", "label"]]
-            edg = g[g["neighbor"] >= 0][["node", "neighbor"]]
-            msgs = edg.merge(lab, on="node", how="inner")[["neighbor", "label"]]
-            msgs.columns = ["node", "label"]
-            return pd.concat([lab, msgs], ignore_index=True)
+        def bucket_messages(t: pa.Table) -> pa.Table:
+            node = _col(t, "node")
+            label = _col(t, "label")
+            nbr = _col(t, "neighbor")
+            is_lab = label >= 0
+            ln, ll = node[is_lab], label[is_lab]
+            order = np.argsort(ln, kind="stable")
+            ln, ll = ln[order], ll[order]
+            is_edge = nbr >= 0
+            en, enb = node[is_edge], nbr[is_edge]
+            pos = np.searchsorted(ln, en)
+            ok = (pos < len(ln))
+            pos = np.minimum(pos, max(len(ln) - 1, 0))
+            ok &= (ln[pos] == en) if len(ln) else False
+            out_n = np.concatenate([ln, enb[ok]])
+            out_l = np.concatenate([ll, ll[pos[ok]]]) if len(ln) else ll
+            return pa.table({"node": pa.array(out_n, type=pa.int64()),
+                             "label": pa.array(out_l, type=pa.int64())})
 
         candidates = (
-            lab_tagged.map_batches(add_bucket, batch_format="pandas")
+            labels.map_batches(lab_and_links, batch_format="pyarrow")
             .union(edg_tagged)
             .groupby("__bucket")
-            .map_groups(bucket_messages, batch_format="pandas")
+            .map_groups(
+                lambda t: bucket_messages(t.drop_columns(["__bucket"])),
+                batch_format="pyarrow")
         )
         labels = (
-            bucketed_apply(
-                candidates,
-                "node",
-                lambda df: df.groupby("node", as_index=False)["label"].min(),
-                n_buckets,
+            _int_bucketed(
+                candidates, "node",
+                lambda t: _min_per_node(_col(t, "node"), _col(t, "label")),
+                _LBL,
             )
             .repartition(n_buckets)  # see block-count hygiene note above
             .materialize()

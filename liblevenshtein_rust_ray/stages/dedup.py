@@ -671,7 +671,7 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
 
 # ----------------------------------------------------------------------
 def ngram_jaccard_pairs(ds, text_col: str, id_col: str, threshold: float = 0.5,
-                        k: int = 3, max_df: int | None = None):
+                        k: int = 3, max_df: int | None = 1024):
     """EXACT token-k-shingle Jaccard pairs via a distributed inverted-index
     join — no LSH approximation, no driver-side collect:
 
@@ -691,12 +691,19 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, threshold: float = 0.5,
        rep's set, so the jaccard transfers verbatim).  Output is the full
        exact pair set — identical to the naive join, oracle-pinned.
 
-    ``max_df`` (optional, APPROXIMATE scale mode): shingle groups with more
-    than ``max_df`` distinct sets are dropped from the index — the standard
-    stop-shingle prefix filter.  Counts then undercount pairs whose overlap
-    includes hot shingles (jaccard becomes a lower bound), so recall
-    degrades for pairs relying on stop-shingles; leave ``None`` for the
-    exact contract."""
+    ``max_df`` (default 1024 — the production scale guard): shingle groups
+    with more than ``max_df`` distinct sets are dropped from the index —
+    the standard stop-shingle prefix filter.  Step 1 already collapses
+    duplicate FLOODS (identical sets) to one rep, but a natural stop-word
+    shingle with document frequency df costs df^2 rep-pair rows under the
+    exact contract (df=10^6 -> 10^12 rows); the cap bounds every shingle
+    group's fan-out at max_df^2 and the total at O(sum df) for the long
+    tail.  RECALL BOUND: computed jaccard becomes a LOWER bound (hot
+    shingles are missing from the intersection count AND still counted in
+    |A|+|B|), so a qualifying pair is missed only if dropping its hot
+    shared shingles pushes c/(|A|+|B|-c) below threshold — pairs whose
+    overlap is mostly stop-shingles.  Pass ``max_df=None`` for the exact
+    contract (the SQL-oracle mode)."""
 
     def sets_batch(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()

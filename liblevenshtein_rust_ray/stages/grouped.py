@@ -66,7 +66,8 @@ def bucketed_group_apply(
             if empty_result is not None:
                 return _empty_arrow(empty_result)
             return _schema_probe(fn, bucket, key_cols)
-        return pd.concat(outs, ignore_index=True)
+        return _as_typed_block(pd.concat(outs, ignore_index=True),
+                               empty_result)
 
     out = (
         ds.map_batches(add_bucket, batch_format="pandas")
@@ -74,6 +75,24 @@ def bucketed_group_apply(
         .map_groups(apply_bucket, batch_format="pandas")
     )
     return _with_schema_sentinel(out, empty_result)
+
+
+def _as_typed_block(out, empty_result: pd.DataFrame | None):
+    """Non-empty bucket output -> a typed ARROW block matching the
+    ``empty_result`` schema.  Without this, non-empty buckets emit pandas
+    blocks while empty buckets and the union sentinel emit Arrow — Ray
+    logs a 'RefBundle with a different schema' warning per block pair
+    (log spam at 800k blocks, and a real schema-drift foot-gun on a
+    cluster).  When no ``empty_result`` pins a schema the pandas block
+    passes through unchanged (no sentinel exists to drift against)."""
+    if empty_result is None or out is None or not isinstance(out, pd.DataFrame):
+        return out
+    import pyarrow as pa
+
+    schema = _empty_arrow(empty_result).schema
+    return pa.Table.from_pandas(
+        out[list(empty_result.columns)], schema=schema, preserve_index=False
+    )
 
 
 def _empty_arrow(empty_result: pd.DataFrame):
@@ -133,7 +152,7 @@ def bucketed_apply(ds, key_cols, bucket_fn, n_buckets: int = 64,
         out = bucket_fn(bucket.drop(columns="__bucket"))
         if empty_result is not None and out is not None and not len(out):
             return _empty_arrow(empty_result)
-        return out
+        return _as_typed_block(out, empty_result)
 
     out = (
         ds.map_batches(add_bucket, batch_format="pandas")

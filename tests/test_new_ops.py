@@ -856,3 +856,36 @@ def test_deletion_blocking_unicode(ray_session):
         out[blocking] = sorted(zip(df["val_a"], df["val_b"], df["distance"]))
     assert out["length"] == out["deletion"]
     assert len(out["length"]) > 30
+
+
+def test_ngram_jaccard_hot_shingle_cap(ray_session):
+    """The max_df stop-shingle guard: a shingle with df >> max_df emits
+    O(df) index rows, not O(df^2) pair rows — pairs whose only overlap is
+    the hot shingle disappear (documented lower-bound recall), pairs with
+    rare shared shingles survive."""
+    import pandas as pd
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.dedup import ngram_jaccard_pairs
+
+    n = 40
+    rows = [{"doc_id": i, "text": f"a b c u{i} v{i}"} for i in range(2, n)]
+    # docs 0/1 share the rare suffix shingles as well as the hot prefix
+    rows += [{"doc_id": 0, "text": "a b c x y z"},
+             {"doc_id": 1, "text": "a b c x y z"}]
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(3)
+
+    # exact contract: every pair shares 'a b c' -> 40*39/2 pairs at a low
+    # threshold (plus nothing new from the duplicate 0/1 pair)
+    exact = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.05,
+                                max_df=None).to_pandas()
+    assert len(exact) == n * (n - 1) // 2
+
+    # capped: the hot 'a b c' group (df=39 distinct sets > 8) is dropped;
+    # only the exact-duplicate pair (0, 1) survives via its rare shingles
+    capped = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.05,
+                                 max_df=8).to_pandas()
+    assert [(r.id_a, r.id_b) for r in capped.itertuples()] == [(0, 1)]
+    # lower-bound jaccard: the dropped hot shingle is missing from the
+    # intersection count but still in |A|+|B| -> 3/(4+4-3), not 1.0
+    assert capped["jaccard"].tolist() == [0.6]
