@@ -98,12 +98,56 @@ def quality_batch(t: pa.Table) -> pa.Table:
 # the strict-> tie-break of the scalar kernel
 _LANGID_LANGS = list(_LANG_PROFILES)
 
+# Flattened-trigram match tables, built lazily once per process: the
+# profile trigrams are keyed by their UTF-8 bytes (3-byte ASCII keys via a
+# 2^24 boolean LUT; the rare multi-byte trigram, e.g. "ión" = 4 bytes, via
+# direct uint32 window equality).  A run of k ASCII bytes in UTF-8 is
+# exactly k consecutive codepoints (continuation bytes are >= 0x80), so
+# byte-window matching of ASCII trigrams is equivalent to the scalar
+# kernel's codepoint-trigram set intersection — parity pinned by tests.
+_LANGID_TABLES = None
+
+
+def _langid_tables():
+    global _LANGID_TABLES
+    if _LANGID_TABLES is None:
+        import numpy as np
+
+        strings = sorted({g for p in _LANG_PROFILES.values() for g in p})
+        s3 = sorted((s for s in strings if len(s.encode()) == 3),
+                    key=lambda s: int.from_bytes(s.encode(), "big"))
+        s4 = sorted((s for s in strings if len(s.encode()) == 4),
+                    key=lambda s: int.from_bytes(s.encode(), "big"))
+        rest = [s for s in strings if len(s.encode()) > 4]
+        if rest:  # profiles are 3 codepoints -> at most 4 UTF-8 bytes here;
+            # wider profiles would need another window size
+            raise ValueError(f"unsupported profile trigram bytes: {rest}")
+        k3 = np.array([int.from_bytes(s.encode(), "big") for s in s3],
+                      dtype=np.uint32)
+        k4 = np.array([int.from_bytes(s.encode(), "big") for s in s4],
+                      dtype=np.uint32)
+        lut3 = np.zeros(1 << 24, dtype=bool)
+        lut3[k3] = True
+
+        def memb(strs):
+            m = np.zeros((len(strs), len(_LANGID_LANGS)), dtype=bool)
+            for si, s in enumerate(strs):
+                for li, lang in enumerate(_LANGID_LANGS):
+                    m[si, li] = s in _LANG_PROFILES[lang]
+            return m
+
+        _LANGID_TABLES = (k3, lut3, memb(s3), k4, memb(s4))
+    return _LANGID_TABLES
+
 
 def langid_scores_batch(text: pa.Array) -> "np.ndarray":
     """(len(_LANGID_LANGS), n) matrix of profile-overlap scores for the
-    PADDED normalized text — one C-path ``match_substring`` per profile
-    trigram (~60 total), summed per language.  Presence (not count)
-    matches the scalar kernel's set-intersection semantics."""
+    PADDED normalized text.  One flattened byte-trigram pass over the
+    Arrow string buffer (zero-copy): uint32 sliding windows -> 2^24 LUT
+    membership -> per-(row, trigram) presence dedup -> per-language
+    bincount.  Presence (not count) matches the scalar kernel's
+    set-intersection semantics; ~3x the ~60-``match_substring`` variant
+    it replaces and O(bytes) regardless of profile count."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -121,10 +165,51 @@ def langid_scores_batch(text: pa.Array) -> "np.ndarray":
         pa.scalar(" "), clipped, pa.scalar(" "), "")
     n = len(padded)
     scores = np.zeros((len(_LANGID_LANGS), n), dtype=np.int64)
-    for li, lang in enumerate(_LANGID_LANGS):
-        for g in sorted(_LANG_PROFILES[lang]):
-            scores[li] += (pc.match_substring(padded, g)
-                           .to_numpy(zero_copy_only=False))
+    if n == 0:
+        return scores
+    k3, lut3, m3, k4, m4 = _langid_tables()
+
+    binv = padded.cast(pa.binary())
+    odt = np.int64 if pa.types.is_large_binary(binv.type) else np.int32
+    offs = np.frombuffer(binv.buffers()[1], dtype=odt).astype(np.int64)
+    offs = offs[binv.offset:binv.offset + n + 1]
+    buf = np.frombuffer(binv.buffers()[2], dtype=np.uint8)
+    b = buf[offs[0]:offs[-1]]
+    offs = offs - offs[0]
+    nb = len(b)
+    row_of_byte = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    row_end = offs[1:]
+
+    def accumulate(width: int, keys, kt, memb):
+        pos_row = row_of_byte[:nb - (width - 1)]
+        valid = (np.arange(nb - (width - 1), dtype=np.int64) + width
+                 <= row_end[pos_row])
+        if width == 3:
+            hit = valid & lut3[keys]
+        else:
+            hit = np.zeros(len(keys), dtype=bool)
+            for kv in kt:
+                hit |= keys == kv
+            hit &= valid
+        if not hit.any():
+            return
+        hrow = pos_row[hit]
+        htid = np.searchsorted(kt, keys[hit]).astype(np.int64)
+        code = np.unique(hrow * np.int64(len(kt)) + htid)
+        urow, utid = code // len(kt), code % len(kt)
+        for li in range(len(_LANGID_LANGS)):
+            sel = memb[utid, li]
+            if sel.any():
+                scores[li] += np.bincount(urow[sel], minlength=n)
+
+    if nb >= 3:
+        b32 = b.astype(np.uint32)
+        keys3 = ((b32[:-2] << np.uint32(16)) | (b32[1:-1] << np.uint32(8))
+                 | b32[2:])
+        accumulate(3, keys3, k3, m3)
+        if nb >= 4 and len(k4):
+            keys4 = (keys3[:-1] << np.uint32(8)) | b32[3:]
+            accumulate(4, keys4, k4, m4)
     # len(t) < 5 -> und: padded length = core + 2
     short = (pc.utf8_length(padded).to_numpy(zero_copy_only=False) < 5)
     scores[:, short] = 0

@@ -12,6 +12,15 @@ Layout under a run directory::
 fingerprint matches — a restarted job re-reads finished stages from parquet
 instead of recomputing (the reference's save/load auto-sync analogue,
 /root/reference/src/bin/liblevenshtein.rs:286-296).
+
+``run_stage_partitioned`` refines this to PER-PARTITION lineage: the stage
+output is hive-partitioned parquet (``<stage>/<col>=<pid>/``), each
+partition committed atomically (dir rename, then a manifest update) the
+moment it lands — a killed run resumes by recomputing ONLY the partitions
+whose manifest entry is absent.  The caller's ``compute(missing)`` receives
+the missing partition ids and may prune its input to just those (e.g.
+filter blocking keys by bucket hash), so resume cost is proportional to
+the UNFINISHED fraction of the job, not to the job.
 """
 
 import json
