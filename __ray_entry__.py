@@ -586,6 +586,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return gopher_quality(_rd(sf_dir, "documents", ["doc_id", "text"]))
 
+    def substring_dedup_docs(sf_dir):
+        """Exact duplicated-span detection (suffix-array dedup restated
+        over fixed-width shingles, Lee et al. 2022): one row per maximal
+        run of 8-token windows whose shingle occurs >= 2 times corpus-wide
+        (stages/spans.py).  Two stateless vectorized passes + ONE 16-byte
+        count exchange; the SQL oracle rebuilds shingles by list-slicing
+        the token array and merges runs with gaps-and-islands."""
+        from liblevenshtein_rust_ray.stages.spans import duplicated_spans
+
+        return duplicated_spans(
+            _rd(sf_dir, "documents", ["doc_id", "text"]),
+            text_col="text", id_col="doc_id", w=8, min_df=2,
+        )
+
+    def dup_span_fraction_docs(sf_dir):
+        """Per-document duplicated-window fraction (the exact version of a
+        BFF-style contamination keep/drop signal) over the same shingle
+        contract as substring_dedup_docs."""
+        from liblevenshtein_rust_ray.stages.spans import dup_span_fraction
+
+        return dup_span_fraction(
+            _rd(sf_dir, "documents", ["doc_id", "text"]),
+            text_col="text", id_col="doc_id", w=8, min_df=2,
+        )
+
     def langid_docs(sf_dir):
         return _rd(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
             T.langid_batch, batch_format="pyarrow"
@@ -1522,6 +1547,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup_incremental": url_dedup_incremental,
         "line_dedup_pages": line_dedup_pages,
         "gopher_quality_docs": gopher_quality_docs,
+        "substring_dedup_docs": substring_dedup_docs,
+        "dup_span_fraction_docs": dup_span_fraction_docs,
         "spell_correct_vocab": spell_correct_vocab,
         "spell_correct_realdict": spell_correct_realdict,
         "corpus_recall_real": corpus_recall_real,
@@ -1552,15 +1579,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_selfjoin_part_transposition": fuzzy_selfjoin_part_transposition,
         "fuzzy_selfjoin_part_transposition_d1": fuzzy_selfjoin_part_transposition_d1,
         "fuzzy_selfjoin_part_merge_split": fuzzy_selfjoin_part_merge_split,
-        "fuzzy_selfjoin_part_merge_split_d1": fuzzy_selfjoin_part_merge_split_d1,
         "fuzzy_selfjoin_part_ms_universal": fuzzy_selfjoin_part_ms_universal,
         "fuzzy_selfjoin_part_universal": fuzzy_selfjoin_part_universal,
         "fuzzy_selfjoin_part_ocr": fuzzy_selfjoin_part_ocr,
         "fuzzy_selfjoin_part_ocr_restricted": fuzzy_selfjoin_part_ocr_restricted,
-        "fuzzy_selfjoin_part_arraytrie": fuzzy_selfjoin_part_arraytrie,
         "fuzzy_vocab_pairs_deletion": fuzzy_vocab_pairs_deletion,
         # ----------------- below the driver's 50-slot window ------------
-        # (all r02-green with driver rows, or no_oracle by nature)
+        # (all r02-green with driver rows, or no_oracle by nature;
+        # _merge_split_d1 and _arraytrie are per-variant twins of in-window
+        # queries, demoted to make room for the span-dedup pair)
+        "fuzzy_selfjoin_part_merge_split_d1": fuzzy_selfjoin_part_merge_split_d1,
+        "fuzzy_selfjoin_part_arraytrie": fuzzy_selfjoin_part_arraytrie,
         "fuzzy_selfjoin_customer": fuzzy_selfjoin_customer,
         "fuzzy_vocab_pairs": fuzzy_vocab_pairs,
         "fuzzy_lookup_parts": fuzzy_lookup_parts,
@@ -2950,6 +2979,55 @@ def oracle_sql() -> dict[str, str]:
     # every ratio is an int64/int64 float64 division on both sides, so the
     # 6dp value hash matches bit-for-bit.  (Empty documents would emit a
     # zeros row in Ray and no row here; the documents table has none.)
+    # substring_dedup_docs / dup_span_fraction_docs: Ray groups by a
+    # polynomial combine of 64-bit blake2b token hashes; the oracle groups
+    # by the shingle STRING itself — identical output absent collisions
+    # (none on the deterministic corpus).  Spans are maximal runs of
+    # duplicated 8-token windows, merged with gaps-and-islands; positions
+    # are 0-based on the Ray side, 1-based in SQL (the -1 below).
+    sql["substring_dedup_docs"] = """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr
+                   FROM documents),
+        pos AS (SELECT doc_id, arr,
+                       unnest(range(1, greatest(len(arr) - 8 + 2, 1))) AS p
+                FROM d),
+        sh AS (SELECT doc_id, p,
+                      array_to_string(arr[p : p + 7], ' ') AS shingle
+               FROM pos),
+        c AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2),
+        dup AS (SELECT s.doc_id, s.p FROM sh s JOIN c USING (shingle)),
+        isl AS (SELECT doc_id, p,
+                       p - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY p) AS grp
+                FROM dup)
+        SELECT doc_id,
+               CAST(min(p) - 1 AS BIGINT) AS span_start,
+               CAST(max(p) - 1 + 8 AS BIGINT) AS span_end,
+               CAST(max(p) - min(p) + 8 AS BIGINT) AS n_tokens
+        FROM isl GROUP BY doc_id, grp
+    """
+    sql["dup_span_fraction_docs"] = """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr
+                   FROM documents),
+        tot AS (SELECT doc_id, greatest(len(arr) - 8 + 1, 0) AS n_windows
+                FROM d),
+        pos AS (SELECT doc_id, arr,
+                       unnest(range(1, greatest(len(arr) - 8 + 2, 1))) AS p
+                FROM d),
+        sh AS (SELECT doc_id,
+                      array_to_string(arr[p : p + 7], ' ') AS shingle
+               FROM pos),
+        c AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2),
+        dupc AS (SELECT doc_id, count(*) AS n_dup
+                 FROM sh JOIN c USING (shingle) GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(t.n_windows AS BIGINT) AS n_windows,
+               CAST(coalesce(dc.n_dup, 0) AS BIGINT) AS n_dup_windows,
+               CASE WHEN t.n_windows > 0
+                    THEN CAST(coalesce(dc.n_dup, 0) AS DOUBLE) / t.n_windows
+                    ELSE 0.0 END AS dup_fraction
+        FROM tot t LEFT JOIN dupc dc USING (doc_id)
+    """
     sql["gopher_quality_docs"] = """
         WITH arr AS (
           SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a

@@ -40,3 +40,36 @@ def configure_data_context() -> None:
     # real N- vs 4N-node cluster reading the same input splits;
     # target_max_block_size (128 MiB) still re-splits genuinely large reads.
     ctx.read_op_min_num_blocks = 64
+    _patch_empty_bundle_schema_warning()
+
+
+def _patch_empty_bundle_schema_warning() -> None:
+    """Teach the executor's schema-divergence check to ignore EMPTY bundles.
+
+    A sort-based ``groupby().map_groups()`` exchange emits a 0-row,
+    schema-less bundle for every empty output partition (the UDF never
+    runs, so no code of ours can type it).  Ray's ``add_output`` compares
+    each bundle's schema against the previous one and logs "Operator
+    produced a RefBundle with a different schema" when a typed bundle is
+    followed by such an empty — once per operator per run, which at
+    cluster block counts is pure log spam for a semantically harmless
+    case (0 rows carry no schema information; Ray itself already skips
+    the check when the PREVIOUS schema is empty, just not when the NEW
+    one is).  Make the check symmetric: a 0-row bundle with an empty
+    schema is schema-neutral.  Idempotent; dataset-level schemas are
+    unaffected (the typed union sentinels in stages/grouped.py pin those).
+    """
+    import ray.data._internal.execution.streaming_executor_state as ses
+    from ray.data.block import _is_empty_schema
+
+    if getattr(ses, "_llr_empty_bundle_patch", False):
+        return
+    orig = ses.dedupe_schemas_with_validation
+
+    def dedupe_ignoring_empty_bundles(old_schema, bundle, *args, **kwargs):
+        if _is_empty_schema(bundle.schema) and not bundle.num_rows():
+            return bundle, False
+        return orig(old_schema, bundle, *args, **kwargs)
+
+    ses.dedupe_schemas_with_validation = dedupe_ignoring_empty_bundles
+    ses._llr_empty_bundle_patch = True

@@ -20,6 +20,7 @@ from .sketch import kmv_distinct_shingles
 from .modelscore import model_score
 from .sampling import rebalance_sources, sample_by_hash, split_by_hash
 from .textstats import bpe_token_stats, gopher_quality, redact_pii
+from .spans import duplicated_spans, dup_span_fraction
 
 __all__ = [
     "extract_batch",
@@ -41,4 +42,6 @@ __all__ = [
     "bpe_token_stats",
     "gopher_quality",
     "redact_pii",
+    "duplicated_spans",
+    "dup_span_fraction",
 ]

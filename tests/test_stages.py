@@ -549,3 +549,89 @@ def test_quality_langid_vectorized_parity():
                   "stopword_ratio", "mean_token_len"]:
             assert abs(float(qs[k]) - float(qv[k][i])) < 1e-12, (i, k, x)
         assert langid_ngram(x) == lv["lang_pred"][i], (i, x)
+
+
+# ---------------------------------------------------------------------------
+# duplicated_spans / dup_span_fraction (stages/spans.py)
+# ---------------------------------------------------------------------------
+
+def _span_docs():
+    shared = " ".join(f"w{i}" for i in range(10))      # 10-token shared run
+    return pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            f"alpha beta {shared} gamma delta",        # shared at tokens 2..11
+            f"{shared} tail0 tail1 tail2",             # shared at tokens 0..9
+            "p q r s t u v w x y z",                   # all-unique, no dups
+            "short doc",                               # < w tokens: 0 windows
+            # two DISJOINT dup regions in one doc: the shared run again,
+            # then uniques, then a within-doc repeat is impossible here so
+            # reuse the shared run once more after a unique gap
+            f"{shared} z0 z1 z2 z3 z4 z5 z6 z7 z8 {shared}",
+        ],
+    })
+
+
+def test_duplicated_spans_exact(ray_session):
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.spans import duplicated_spans
+
+    ds = rd.from_pandas(_span_docs()).repartition(3)
+    out = (duplicated_spans(ds, "text", "doc_id", w=8, min_df=2).to_pandas()
+           .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
+    got = list(out.itertuples(index=False, name=None))
+    # a 10-token duplicated run = positions p..p+2 dup-flagged (3 windows),
+    # merged span covers exactly the 10 tokens
+    assert (0, 2, 12, 10) in got
+    assert (1, 0, 10, 10) in got
+    assert not (out["doc_id"] == 2).any()
+    assert not (out["doc_id"] == 3).any()
+    d4 = out[out["doc_id"] == 4]
+    assert list(d4[["span_start", "span_end"]].itertuples(index=False,
+                                                          name=None)) == \
+        [(0, 10), (19, 29)]
+
+
+def test_dup_span_fraction_consistent(ray_session):
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.spans import (
+        dup_span_fraction,
+        duplicated_spans,
+    )
+
+    ds = rd.from_pandas(_span_docs()).repartition(2)
+    frac = (dup_span_fraction(ds, "text", "doc_id", w=8, min_df=2).to_pandas()
+            .set_index("doc_id").sort_index())
+    spans = duplicated_spans(ds, "text", "doc_id", w=8, min_df=2).to_pandas()
+    # every doc present; <w-token docs have 0 windows and fraction 0.0
+    assert list(frac.index) == [0, 1, 2, 3, 4]
+    assert frac.loc[3, "n_windows"] == 0
+    assert frac.loc[3, "dup_fraction"] == 0.0
+    assert frac.loc[2, "n_dup_windows"] == 0
+    # n_dup_windows == sum over that doc's spans of (len - w + 1)
+    for doc in (0, 1, 4):
+        s = spans[spans["doc_id"] == doc]
+        expect = int((s["n_tokens"] - 8 + 1).sum())
+        assert frac.loc[doc, "n_dup_windows"] == expect
+        assert frac.loc[doc, "dup_fraction"] == pytest.approx(
+            expect / frac.loc[doc, "n_windows"])
+
+
+def test_duplicated_spans_within_doc_repeat(ray_session):
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.spans import duplicated_spans
+
+    # min_df counts OCCURRENCES (Lee et al. semantics): a shingle repeated
+    # inside ONE doc is a duplicate even if no other doc has it
+    rep = " ".join(f"r{i}" for i in range(8))
+    df = pd.DataFrame({"doc_id": [7],
+                       "text": [f"{rep} gap0 gap1 gap2 gap3 gap4 gap5 gap6 gap7 {rep}"]})
+    out = (duplicated_spans(rd.from_pandas(df), "text", "doc_id",
+                            w=8, min_df=2).to_pandas()
+           .sort_values("span_start").reset_index(drop=True))
+    assert list(out[["span_start", "span_end"]].itertuples(index=False,
+                                                           name=None)) == \
+        [(0, 8), (16, 24)]
