@@ -55,9 +55,12 @@ def _patch_empty_bundle_schema_warning() -> None:
     cluster block counts is pure log spam for a semantically harmless
     case (0 rows carry no schema information; Ray itself already skips
     the check when the PREVIOUS schema is empty, just not when the NEW
-    one is).  Make the check symmetric: a 0-row bundle with an empty
-    schema is schema-neutral.  Idempotent; dataset-level schemas are
-    unaffected (the typed union sentinels in stages/grouped.py pin those).
+    one is).  For such bundles, keep Ray's schema COERCION (the empty
+    bundle is re-stamped with the operator's typed schema — downstream
+    concat/unify depends on it) but skip the warning and don't count it
+    as a divergence, so a later REAL schema drift still warns once.
+    Idempotent; dataset-level schemas are unaffected (the typed union
+    sentinels in stages/grouped.py pin those).
     """
     import ray.data._internal.execution.streaming_executor_state as ses
     from ray.data.block import _is_empty_schema
@@ -66,10 +69,14 @@ def _patch_empty_bundle_schema_warning() -> None:
         return
     orig = ses.dedupe_schemas_with_validation
 
-    def dedupe_ignoring_empty_bundles(old_schema, bundle, *args, **kwargs):
+    def dedupe_ignoring_empty_bundles(old_schema, bundle, warn=True,
+                                      enforce_schemas=False):
         if _is_empty_schema(bundle.schema) and not bundle.num_rows():
-            return bundle, False
-        return orig(old_schema, bundle, *args, **kwargs)
+            out, _ = orig(old_schema, bundle, warn=False,
+                          enforce_schemas=enforce_schemas)
+            return out, False
+        return orig(old_schema, bundle, warn=warn,
+                    enforce_schemas=enforce_schemas)
 
     ses.dedupe_schemas_with_validation = dedupe_ignoring_empty_bundles
     ses._llr_empty_bundle_patch = True
