@@ -140,3 +140,131 @@ def minhash_bands_md5(sig: np.ndarray, n_bands: int = 32) -> list[str]:
         ",".join(str(int(v)) for v in sig[i * rows : (i + 1) * rows])
         for i in range(n_bands)
     ]
+
+
+# ----------------------------------------------------------------------
+# Batch kernels — the 100-TB signer.  One call per Arrow batch instead of
+# one per document: shingles are hashed ONCE per distinct string in the
+# batch (np.unique; web corpora repeat stop-shingles heavily), the
+# (a*h+b) mod p sweep runs as a single (num_perm x n_unique) matrix, and
+# per-document minima come from one np.minimum.reduceat over the flat
+# shingle stream.  Bit-identical to the per-row functions above (pinned
+# by tests/test_minhash_batch.py); only the loop structure differs.
+# ----------------------------------------------------------------------
+_U64_MAX = np.uint64(np.iinfo(np.uint64).max)
+
+
+def _flat_shingles(texts, shingle_k: int):
+    """Flatten every doc's shingle list into one stream + doc offsets."""
+    from .tokenize import shingles, tokenize
+
+    flat: list[str] = []
+    offs = np.empty(len(texts) + 1, dtype=np.int64)
+    offs[0] = 0
+    for j, x in enumerate(texts):
+        flat.extend(shingles(tokenize(x or ""), shingle_k))
+        offs[j + 1] = len(flat)
+    return flat, offs
+
+
+def _perm_sweep_md5(uh: np.ndarray, num_perm: int) -> np.ndarray:
+    """(num_perm, n) exact (a*h+b) mod 2^61-1 over md5-derived hashes."""
+    if num_perm not in _MD5_VEC_CACHE:
+        minhash_signature_md5(["warm"], num_perm)  # populate the cache
+    a1, a0, bv = _MD5_VEC_CACHE[num_perm]
+    vals = _mulmod_m61(a1, a0, uh[None, :]) + bv
+    vals = (vals & _M61) + (vals >> np.uint64(61))
+    return np.where(vals >= _M61, vals - _M61, vals)
+
+
+def _perm_sweep_blake2b(uh: np.ndarray, num_perm: int) -> np.ndarray:
+    """(num_perm, n) wraparound (a*h+b) mod p — the fast family, matching
+    minhash_signature exactly (same uint64 overflow multiply)."""
+    params = _PARAM_CACHE.get(num_perm)
+    if params is None:
+        params = _PARAM_CACHE[num_perm] = _perm_params(num_perm)
+    a, b = params
+    with np.errstate(over="ignore"):
+        return (uh[None, :] * a[:, None] + b[:, None]) % _PRIME
+
+
+def minhash_signatures_batch(
+    texts, num_perm: int = 64, shingle_k: int = 3, hasher: str = "blake2b"
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 signature matrix for a batch of texts.
+
+    Row j is bit-identical to
+    ``minhash_signature[_md5](shingles(tokenize(texts[j]), shingle_k))``:
+    a signature is a MIN over the shingle multiset, so hashing each
+    DISTINCT shingle once (pd.factorize; the sf0.1 corpus repeats each
+    shingle ~4x, webtext more), gathering the (n_flat, num_perm) value
+    stream in doc order and segment-reducing with ONE
+    ``np.minimum.reduceat`` changes nothing but the constant factor.
+    Empty docs get the all-max sentinel, same as the per-row kernel.
+    """
+    import pandas as pd
+
+    # Sign each DISTINCT text once: webtext batches carry heavy exact
+    # duplication (boilerplate pages, mirrored docs — the very thing the
+    # dedup stage hunts), and a duplicate's signature is byte-identical.
+    doc_codes, doc_uniq = pd.factorize(
+        np.asarray([x or "" for x in texts], dtype=object))
+    if len(doc_uniq) < len(texts):
+        return minhash_signatures_batch(
+            list(doc_uniq), num_perm, shingle_k, hasher)[doc_codes]
+
+    flat, offs = _flat_shingles(texts, shingle_k)
+    n_docs = len(texts)
+    out = np.full((n_docs, num_perm), _U64_MAX, dtype=np.uint64)
+    if not flat:
+        return out
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    if hasher == "md5":
+        uh = np.fromiter((md5_hash64(f) % _P_INT for f in uniq),
+                         dtype=np.uint64, count=len(uniq))
+        vals = _perm_sweep_md5(uh, num_perm)
+    else:
+        uh = np.fromiter((hash64(f) for f in uniq),
+                         dtype=np.uint64, count=len(uniq)) % _PRIME
+        vals = _perm_sweep_blake2b(uh, num_perm)
+    valsT = np.ascontiguousarray(vals.T)  # (n_uniq, num_perm)
+    # Segment-min over the doc-ordered flat stream.  reduceat needs
+    # non-empty segments: reduce only docs with >=1 shingle, leaving the
+    # all-max sentinel on the rest (the per-row empty-doc semantics).
+    nonempty = np.flatnonzero(np.diff(offs) > 0)
+    out[nonempty] = np.minimum.reduceat(valsT[codes], offs[nonempty], axis=0)
+    return out
+
+
+def minhash_band_keys_batch(
+    sig_mat: np.ndarray, n_bands: int, hasher: str = "blake2b"
+) -> np.ndarray:
+    """(n_docs, n_bands) object array of ``"band_id:key"`` bucket strings,
+    bit-identical to enumerate(minhash_bands[_md5](sig)) per row.
+
+    md5 family: one vectorized uint64→str cast + np.char joins (the keys
+    are value-concatenations, no hashing).  blake2b family: band hashes
+    are computed once per DISTINCT signature (duplicate docs share every
+    band), then broadcast back.
+    """
+    n_docs, num_perm = sig_mat.shape
+    rows = num_perm // n_bands
+    if hasher == "md5":
+        s = sig_mat.astype("U20")  # vectorized decimal repr of uint64
+        parts = s.reshape(n_docs, n_bands, rows)
+        key = parts[:, :, 0]
+        for r in range(1, rows):
+            key = np.char.add(np.char.add(key, ","), parts[:, :, r])
+        prefix = np.array([f"{b}:" for b in range(n_bands)], dtype=object)
+        return np.char.add(prefix[None, :].astype("U8"), key).astype(object)
+    # blake2b: hash each distinct signature's bands once
+    view = np.ascontiguousarray(sig_mat).view(
+        np.dtype((np.void, num_perm * 8))).ravel()
+    _, uidx, uinv = np.unique(view, return_index=True, return_inverse=True)
+    out_u = np.empty((len(uidx), n_bands), dtype=object)
+    for r, i in enumerate(uidx):
+        sig = sig_mat[i]
+        for b in range(n_bands):
+            bh = hash64(sig[b * rows:(b + 1) * rows].tobytes())
+            out_u[r, b] = f"{b}:{bh:016x}"
+    return out_u[uinv]

@@ -20,7 +20,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.minhash import minhash_signature, minhash_bands, jaccard_estimate  # noqa: F401
+from ..functions.minhash import (  # noqa: F401
+    jaccard_estimate,
+    minhash_band_keys_batch,
+    minhash_bands,
+    minhash_signature,
+    minhash_signatures_batch,
+)
 from ..functions.simhash import simhash64, simhash_bands, hamming64, hash64  # noqa: F401
 from ..functions.tokenize import tokenize, shingles, char_ngrams
 
@@ -204,36 +210,29 @@ def minhash_lsh_pairs(
       exceed 1 GiB (row count from parquet/block metadata, no scan), join
       beyond.
     """
-    from ..functions.minhash import minhash_bands_md5, minhash_signature_md5
-
     if sig_transport == "auto":
         n_docs = ds.count()  # parquet/block metadata, no scan
         banded_bytes = n_docs * n_bands * (num_perm * 8 + 48)
         sig_transport = "join" if banded_bytes > _BANDED_SIG_EXCHANGE_CAP else "banded"
 
     def sign(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
+        # batch kernels: distinct-text/distinct-shingle dedup + one matrix
+        # perm sweep per batch (bit-identical to the per-row kernels,
+        # pinned by tests/test_minhash_batch.py).
+        ids = t.column(id_col)
         texts = t.column(text_col).to_pylist()
-        out_id, out_band, out_sig = [], [], []
-        for i, x in zip(ids, texts):
-            feats = shingles(tokenize(x or ""), shingle_k)
-            if hasher == "md5":
-                sig = minhash_signature_md5(feats, num_perm)
-                bands = (f"{band_id}:{bk}" for band_id, bk
-                         in enumerate(minhash_bands_md5(sig, n_bands)))
-            else:
-                sig = minhash_signature(feats, num_perm)
-                bands = (f"{band_id}:{bh:016x}" for band_id, bh
-                         in enumerate(minhash_bands(sig, n_bands)))
-            for band_key in bands:
-                out_id.append(i)
-                out_band.append(band_key)
-                out_sig.append(sig.tobytes())
+        mat = minhash_signatures_batch(texts, num_perm, shingle_k, hasher)
+        keys = minhash_band_keys_batch(mat, n_bands, hasher)
+        sig_bytes = np.empty(len(texts), dtype=object)
+        for j in range(len(texts)):
+            sig_bytes[j] = mat[j].tobytes()
         return pa.table(
             {
-                "id": pa.array(out_id),
-                "bucket": pa.array(out_band, type=pa.string()),
-                "sig": pa.array(out_sig, type=pa.binary()),
+                "id": pa.array(
+                    np.repeat(ids.to_numpy(zero_copy_only=False), n_bands)),
+                "bucket": pa.array(keys.ravel(), type=pa.string()),
+                "sig": pa.array(np.repeat(sig_bytes, n_bands),
+                                type=pa.binary()),
             }
         )
 
@@ -348,25 +347,21 @@ def _minhash_pairs_sig_join(ds, text_col, id_col, threshold, num_perm,
         (the same signature bytes the banded path salts with)."""
         ids = t.column(id_col).to_pylist()
         texts = t.column(text_col).to_pylist()
-        sigs, hs, s0s, s1s = [], [], [], []
-        for x in texts:
-            feats = shingles(tokenize(x or ""), shingle_k)
-            if hasher == "md5":
-                sig = minhash_signature_md5(feats, num_perm)
-            else:
-                sig = minhash_signature(feats, num_perm)
-            sb = sig.tobytes()
+        mat = minhash_signatures_batch(texts, num_perm, shingle_k, hasher)
+        u8 = np.ascontiguousarray(mat).view(np.uint8).reshape(len(texts), -1)
+        sigs, hs = [], []
+        for j in range(len(texts)):
+            sb = u8[j].tobytes()
             sigs.append(sb)
             hs.append(hash64(sb))
-            s0s.append(sb[3 % len(sb)])
-            s1s.append(sb[28 % len(sb)])
+        nbytes = u8.shape[1]
         return pa.table(
             {
                 "id": pa.array(ids, type=pa.int64()),
                 "sig": pa.array(sigs, type=pa.binary()),
                 "h": pa.array(hs, type=pa.uint64()),
-                "s0": pa.array(s0s, type=pa.uint8()),
-                "s1": pa.array(s1s, type=pa.uint8()),
+                "s0": pa.array(u8[:, 3 % nbytes], type=pa.uint8()),
+                "s1": pa.array(u8[:, 28 % nbytes], type=pa.uint8()),
             }
         )
 
@@ -377,32 +372,22 @@ def _minhash_pairs_sig_join(ds, text_col, id_col, threshold, num_perm,
 
     def explode_bands(t: pa.Table) -> pa.Table:
         """Thin band rows from stored signatures — no text access."""
-        out_id, out_band, out_h, out_s0, out_s1 = [], [], [], [], []
-        ids = t.column("id").to_pylist()
-        hs = t.column("h").to_pylist()
-        s0s = t.column("s0").to_pylist()
-        s1s = t.column("s1").to_pylist()
-        for i, sb, h, s0, s1 in zip(ids, t.column("sig").to_pylist(), hs, s0s, s1s):
-            sig = np.frombuffer(sb, dtype=np.uint64)
-            if hasher == "md5":
-                bands = (f"{band_id}:{bk}" for band_id, bk
-                         in enumerate(minhash_bands_md5(sig, n_bands)))
-            else:
-                bands = (f"{band_id}:{bh:016x}" for band_id, bh
-                         in enumerate(minhash_bands(sig, n_bands)))
-            for band_key in bands:
-                out_id.append(i)
-                out_band.append(band_key)
-                out_h.append(h)
-                out_s0.append(s0)
-                out_s1.append(s1)
+        n = t.num_rows
+        sig_col = t.column("sig").combine_chunks()
+        if n:
+            mat = np.stack([np.frombuffer(sig_col[j].as_py(), dtype=np.uint64)
+                            for j in range(n)])
+            keys = minhash_band_keys_batch(mat, n_bands, hasher).ravel()
+        else:
+            keys = np.empty(0, dtype=object)
+        rep = np.repeat(np.arange(n), n_bands)
         return pa.table(
             {
-                "id": pa.array(out_id, type=pa.int64()),
-                "bucket": pa.array(out_band, type=pa.string()),
-                "h": pa.array(out_h, type=pa.uint64()),
-                "s0": pa.array(out_s0, type=pa.uint8()),
-                "s1": pa.array(out_s1, type=pa.uint8()),
+                "id": t.column("id").take(rep).cast(pa.int64()),
+                "bucket": pa.array(keys, type=pa.string()),
+                "h": t.column("h").take(rep),
+                "s0": t.column("s0").take(rep),
+                "s1": t.column("s1").take(rep),
             }
         )
 
