@@ -1527,6 +1527,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # 50 entries.  Slots 1-50 lead with the flagship ER oracle family and
     # every oracle-bearing query that had never received a driver row
     # through round 2 (VERDICT.md round-2 task 1); r02-green kernel-variant
+    def semdedup_embeddings(sf_dir):
+        """SemDeDup-style semantic dedup (Abbas et al. 2023): seeded
+        random-anchor spherical partition of the embedding space, then
+        drop any vector with a lower-id co-clustered neighbour at cosine
+        >= 0.42.  Data-independent anchors make the whole pipeline —
+        assignment argmax AND drop rule — exactly reproducible in SQL
+        with anchor literals (the kmeans-anchor quality path is pinned
+        against this contract in pytest)."""
+        from liblevenshtein_rust_ray.stages.similarity import semdedup
+
+        return semdedup(
+            _rd(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            "embedding", "vec_id", n_clusters=8, threshold=0.42,
+        )
+
     # and relational queries fill the remainder; no_oracle rows and
     # redundant per-backend twins sit below slot 50.
     return {
@@ -1563,7 +1578,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk_full": ann_ivf_topk_full,
         "phonetic_part": phonetic_part,
         "kmv_distinct_docs": kmv_distinct_docs,
-        # --- 30-39: oracle rows whose last driver check was r01 ---------
+        "semdedup_embeddings": semdedup_embeddings,
+        # --- 31-40: oracle rows whose last driver check was r01 ---------
         "token_stats": token_stats,
         "quality_docs": quality_docs,
         "langid_docs": langid_docs,
@@ -1727,6 +1743,48 @@ def _embedding_lsh_oracle_sql(dim: int = 64, threshold: float = 0.42) -> str:
         SELECT id_a, id_b FROM ver
         UNION
         SELECT id_a, id_b FROM stars
+    """
+
+
+def _semdedup_oracle_sql(dim: int = 64, n_clusters: int = 8,
+                         threshold: float = 0.42, seed: int = 1234) -> str:
+    """The SemDeDup pipeline as SQL, generated from the SAME seeded anchor
+    matrix the Ray stage uses (stages.similarity.semdedup_anchors) so the
+    two can't drift: cluster = argmax over dot(v, anchor) (row_number
+    with the stage's first-max = lowest-cid tie order), keep = no
+    lower-id co-clustered vector at cosine >= threshold.  Raw-vector dots
+    are argmax-equivalent to the stage's normalized-row dots (positive
+    scaling); the only divergence risk is a dot within float ulp of a
+    tie, measure-zero for the synthetic corpus."""
+    from liblevenshtein_rust_ray.stages.similarity import semdedup_anchors
+
+    amat = semdedup_anchors(dim, n_clusters, seed)
+    rows = []
+    for cid in range(n_clusters):
+        vec = ", ".join(repr(float(x)) for x in amat[cid])
+        rows.append(f"({cid}, [{vec}])")
+    values = ",\n             ".join(rows)
+    return f"""
+        WITH a(cid, p) AS (VALUES {values}),
+             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+             asg AS (SELECT vec_id, v, cid FROM (
+                       SELECT e.vec_id, e.v, a.cid,
+                              row_number() OVER (
+                                PARTITION BY e.vec_id
+                                ORDER BY list_dot_product(e.v, a.p) DESC,
+                                         a.cid) AS rn
+                       FROM e CROSS JOIN a)
+                     WHERE rn = 1),
+             drops AS (SELECT DISTINCT y.vec_id
+                       FROM asg x JOIN asg y
+                         ON x.cid = y.cid AND x.vec_id < y.vec_id
+                       WHERE list_cosine_similarity(x.v, y.v)
+                             >= {threshold})
+        SELECT asg.vec_id,
+               CAST(asg.cid AS BIGINT) AS cluster_id,
+               (drops.vec_id IS NULL) AS keep
+        FROM asg LEFT JOIN drops ON drops.vec_id = asg.vec_id
     """
 
 
@@ -2867,6 +2925,7 @@ def oracle_sql() -> dict[str, str]:
     sql["embedding_neardup_lsh"] = _embedding_lsh_oracle_sql()
     sql["embedding_neardup_lsh_join"] = sql["embedding_neardup_lsh"]
     sql["ann_lsh_topk"] = _ann_lsh_oracle_sql()
+    sql["semdedup_embeddings"] = _semdedup_oracle_sql()
     sql["curate_docs"] = _curate_oracle_sql()
     # line_dedup groups by 64-bit blake2b line hash; the oracle groups by
     # the line string itself — identical absent collisions (deterministic

@@ -90,9 +90,13 @@ def _as_typed_block(out, empty_result: pd.DataFrame | None):
     import pyarrow as pa
 
     schema = _empty_arrow(empty_result).schema
+    # replace_schema_metadata(None): from_pandas attaches b'pandas' metadata,
+    # and a schema whose metadata holds a dict is UNHASHABLE — Ray's
+    # unify_schemas then logs "Failed to hash the schemas" per bundle pair
+    # and loses its early-exit dedup (transform_pyarrow.py:175-181).
     return pa.Table.from_pandas(
         out[list(empty_result.columns)], schema=schema, preserve_index=False
-    )
+    ).replace_schema_metadata(None)
 
 
 def _empty_arrow(empty_result: pd.DataFrame):

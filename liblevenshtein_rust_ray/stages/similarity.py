@@ -248,3 +248,149 @@ def ann_ivf_topk(ds, queries: dict, k: int = 5, n_clusters: int = 16,
         return g[["query_id", "match_id", "rank", "sim"]]
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+# 2303.09540): partition the embedding space into clusters, then drop any
+# document whose embedding is within cosine ``threshold`` of another
+# document in the SAME cluster.  The reference's near-dup family
+# (src/cache/multimap.rs value-merge semantics) works on strings; this is
+# its embedding-space analogue for training-data curation.
+#
+# Two anchor modes:
+#   * ``"random"`` (default) — seeded Gaussian anchors, data-INDEPENDENT:
+#     the whole pipeline (assignment + drop rule) is exactly reproducible
+#     in SQL with anchor literals, so the driver gets a full value-hash
+#     oracle (same trick as the plane-literal LSH oracles).
+#   * ``"kmeans"`` — spherical k-means on a bounded driver-side sample
+#     (the paper's setup; better-balanced clusters).  Data-dependent, so
+#     pytest pins it against the random-anchor contract instead.
+#
+# Scale notes: anchors are broadcast once (ray.put, tiny); assignment is
+# one streaming map_batches pass; the only exchange is the cluster-keyed
+# groupby.  Per-cluster work is O(|cluster|^2) dot products — size
+# ``n_clusters ~ N / target_cluster_size`` (the paper uses 50k clusters
+# for LAION-440M) so a cluster fits a worker; duplicate-heavy clusters
+# collapse byte-identical vectors to a representative before the gram
+# matrix, so exact-duplicate floods cost O(n), not O(n^2).
+# ----------------------------------------------------------------------
+
+
+def _list_col_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    """(n, dim) float64 matrix from a fixed-width list<float> column —
+    flatten + reshape on the Arrow buffers, no per-row Python objects."""
+    arr = col.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if flat.size % n == 0 and not arr.null_count:
+        offs = arr.offsets.to_numpy()
+        if (np.diff(offs) == flat.size // n).all():
+            return flat.reshape(n, flat.size // n)
+    return np.array(arr.to_pylist(), dtype=np.float64)  # ragged fallback
+
+
+def semdedup_anchors(dim: int, n_clusters: int, seed: int = 1234) -> np.ndarray:
+    """Seeded L2-normalized Gaussian anchor matrix (n_clusters, dim) — the
+    data-independent partition shared verbatim by the SQL oracle."""
+    rng = np.random.RandomState(seed)
+    return _normalize(rng.randn(n_clusters, dim))
+
+
+def semdedup(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    threshold: float = 0.92,
+    anchors: str = "random",
+    seed: int = 1234,
+    sample_size: int = 4096,
+):
+    """Returns Dataset (id_col, cluster_id, keep): ``keep`` is false iff a
+    lower-id document in the same cluster has cosine >= ``threshold``.
+
+    The drop rule is the deterministic pairwise screen (drop j when
+    exists i<j co-clustered with sim(i,j) >= tau) — well-defined without
+    the paper's greedy-order ambiguity and exactly SQL-expressible."""
+    import ray
+
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    if anchors == "random":
+        amat = semdedup_anchors(dim, n_clusters, seed)
+    elif anchors == "kmeans":
+        sample = []
+        remaining = sample_size
+        for b in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+            sample.extend(b.column(vec_col).to_pylist()[:remaining])
+            remaining = sample_size - len(sample)
+            if remaining <= 0:
+                break
+        amat = _kmeans(np.array(sample, dtype=np.float64), n_clusters, seed=seed)
+    else:
+        raise ValueError(f"anchors must be 'random' or 'kmeans', got {anchors!r}")
+    aref = ray.put(amat)
+
+    class Assign:
+        def __init__(self):
+            self._a = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._a is None:
+                self._a = ray.get(aref)
+            mat = _list_col_matrix(t.column(vec_col))
+            if not len(mat):
+                return pa.table({
+                    id_col: t.column(id_col).cast(pa.int64()),
+                    "cluster_id": pa.array([], type=pa.int64()),
+                    vec_col: t.column(vec_col),
+                })
+            # argmax of dot(norm(v), anchor): positive row scaling never
+            # changes the argmax, so raw-vector dots match the SQL oracle's
+            # list_dot_product against the same normalized anchor literals
+            assign = np.argmax(_normalize(mat) @ self._a.T, axis=1)
+            return pa.table({
+                id_col: t.column(id_col).cast(pa.int64()),
+                "cluster_id": pa.array(assign.astype(np.int64)),
+                vec_col: t.column(vec_col),
+            })
+
+    def dedup_cluster(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        cid = t.column("cluster_id")[0].as_py() if t.num_rows else -1
+        mat = _list_col_matrix(t.column(vec_col))
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        # collapse byte-identical vectors: non-reps of a class are dropped
+        # by definition (sim 1.0 to the min-id rep); the gram matrix then
+        # sees each distinct vector once
+        view = np.ascontiguousarray(mat).view(
+            np.dtype((np.void, mat.shape[1] * 8))).ravel()
+        # return_index gives the FIRST occurrence per class — the min-id
+        # rep, because mat is already in ascending-id order
+        _, uidx = np.unique(view, return_index=True)
+        reps = np.sort(uidx)
+        rmat = _normalize(mat[reps])
+        gram = rmat @ rmat.T
+        rep_drop = (np.triu(gram >= threshold, k=1)).any(axis=0)
+        keep = np.zeros(len(ids), dtype=bool)
+        keep[reps] = ~rep_drop
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "cluster_id": pa.array(np.full(len(ids), cid, dtype=np.int64)),
+            "keep": pa.array(keep),
+        })
+
+    assigned = ds.map_batches(Assign, batch_format="pyarrow",
+                              concurrency=(1, 8))
+    out = assigned.groupby("cluster_id").map_groups(
+        dedup_cluster, batch_format="pyarrow")
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "cluster_id": pa.array([], type=pa.int64()),
+                      "keep": pa.array([], type=pa.bool_())})
+    import ray.data as rd
+
+    return out.union(rd.from_arrow(empty))

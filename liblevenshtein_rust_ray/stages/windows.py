@@ -85,7 +85,10 @@ def sliding_window_agg(ds, ts_col: str, value_col: str, width_s: int, slide_s: i
         part = df.groupby(["window_start", "grp"], as_index=False).agg(
             n_events=("n", "sum"), sum_value=("v", "sum")
         )
-        return pa.Table.from_pandas(part, preserve_index=False)
+        # metadata-free schema: pandas metadata makes schemas unhashable
+        # and defeats Ray's unify_schemas dedup (see stages/grouped.py)
+        return pa.Table.from_pandas(
+            part, preserve_index=False).replace_schema_metadata(None)
 
     out = (
         ds.map_batches(explode_partial, batch_format="pyarrow")

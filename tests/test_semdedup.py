@@ -1,0 +1,112 @@
+"""SemDeDup-style semantic dedup (stages/similarity.py::semdedup).
+
+Contract: partition embeddings by argmax dot against anchors, drop any
+vector with a lower-id co-clustered neighbour at cosine >= threshold.
+Pinned against an in-process brute-force reference; the kmeans-anchor
+quality path is checked for internal consistency (its partition is
+data-dependent, so exact keep sets may differ from random anchors).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from liblevenshtein_rust_ray.stages.similarity import (
+    _normalize,
+    semdedup,
+    semdedup_anchors,
+)
+
+
+def _ref_semdedup(ids, mat, anchors, threshold):
+    """O(n^2) reference: same drop rule, no clustering shortcuts."""
+    order = np.argsort(ids)
+    ids, mat = np.asarray(ids)[order], np.asarray(mat, dtype=np.float64)[order]
+    assign = np.argmax(_normalize(mat) @ anchors.T, axis=1)
+    matn = _normalize(mat)
+    keep = np.ones(len(ids), dtype=bool)
+    for j in range(len(ids)):
+        for i in range(j):
+            if assign[i] == assign[j] and matn[i] @ matn[j] >= threshold:
+                keep[j] = False
+                break
+    return dict(zip(ids.tolist(), keep.tolist())), dict(
+        zip(ids.tolist(), assign.tolist()))
+
+
+def _mk_ds(ids, mat):
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              type=pa.list_(pa.float32())),
+    }))
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.RandomState(99)
+    base = rng.randn(40, 16)
+    # planted near-dup pairs: rows 40-49 are jittered copies of rows 0-9
+    dup = base[:10] + 0.01 * rng.randn(10, 16)
+    mat = np.vstack([base, dup]).astype(np.float32)
+    ids = np.arange(len(mat), dtype=np.int64)
+    return ids, mat
+
+
+@pytest.mark.parametrize("threshold", [0.999, 0.95, 0.6])
+@pytest.mark.parametrize("n_clusters", [1, 4, 8])
+def test_matches_bruteforce_reference(ray_session, corpus, threshold, n_clusters):
+    ids, mat = corpus
+    anchors = semdedup_anchors(mat.shape[1], n_clusters)
+    ref_keep, ref_assign = _ref_semdedup(
+        ids, np.asarray(mat, dtype=np.float64), anchors, threshold)
+    out = semdedup(_mk_ds(ids, mat), n_clusters=n_clusters,
+                   threshold=threshold).to_pandas()
+    assert len(out) == len(ids)
+    got = dict(zip(out["vec_id"], out["keep"]))
+    got_assign = dict(zip(out["vec_id"], out["cluster_id"]))
+    assert got == ref_keep
+    assert got_assign == ref_assign
+
+
+def test_exact_duplicates_collapse_to_min_id(ray_session):
+    rng = np.random.RandomState(5)
+    v = rng.randn(8).astype(np.float32)
+    w = rng.randn(8).astype(np.float32)
+    ids = [3, 7, 1, 9, 4]
+    mat = [v, v, w, v, w]  # v-class: ids {3,7,9}; w-class: ids {1,4}
+    out = semdedup(_mk_ds(ids, mat), n_clusters=1,
+                   threshold=0.9999).to_pandas()
+    keep = dict(zip(out["vec_id"], out["keep"]))
+    assert keep[3] and not keep[7] and not keep[9]
+    assert keep[1] and not keep[4]
+
+
+def test_threshold_monotone(ray_session, corpus):
+    ids, mat = corpus
+    drops = []
+    for tau in (0.99, 0.8, 0.5):
+        out = semdedup(_mk_ds(ids, mat), n_clusters=4,
+                       threshold=tau).to_pandas()
+        drops.append(int((~out["keep"]).sum()))
+    assert drops == sorted(drops)  # lower tau can only drop more
+
+
+def test_kmeans_anchor_path(ray_session, corpus):
+    ids, mat = corpus
+    out = semdedup(_mk_ds(ids, mat), n_clusters=4, threshold=0.95,
+                   anchors="kmeans", sample_size=32).to_pandas()
+    assert len(out) == len(ids)
+    assert set(out.columns) == {"vec_id", "cluster_id", "keep"}
+    # the planted jittered copies (cos ~0.9999) must be dropped under any
+    # partition: a copy and its source always co-cluster (argmax of nearly
+    # identical vectors)
+    dropped = set(out.loc[~out["keep"], "vec_id"])
+    assert set(range(40, 50)) <= dropped
+
+
+def test_bad_anchor_mode_raises(ray_session, corpus):
+    ids, mat = corpus
+    with pytest.raises(ValueError, match="anchors"):
+        semdedup(_mk_ds(ids, mat), anchors="nope")
