@@ -161,6 +161,41 @@ def cmd_run_ingest(args) -> int:
     return 0
 
 
+def cmd_run_semdedup(args) -> int:
+    import os
+
+    import ray
+
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address=args.address, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data as rd
+
+    from .pipelines.context import configure_data_context
+    from .stages.similarity import semdedup
+
+    configure_data_context()
+    out = semdedup(
+        rd.read_parquet(args.input, columns=[args.id_col, args.vec_col]),
+        vec_col=args.vec_col,
+        id_col=args.id_col,
+        n_clusters=args.n_clusters,
+        threshold=args.threshold,
+        anchors=args.anchors,
+    )
+    out.write_parquet(args.output)
+    res = rd.read_parquet(args.output)
+    n = res.count()
+    kept = res.filter(expr="keep == True").count()
+    print(json.dumps({"vectors": n, "kept": kept, "dropped": n - kept,
+                      "output": args.output}))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="liblevenshtein_rust_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -224,6 +259,24 @@ def main(argv=None) -> int:
                          "(~2x CPUs) when the source has many small files")
     ig.add_argument("--address", default="local")
     ig.set_defaults(fn=cmd_run_ingest)
+
+    sd = sub.add_parser(
+        "run-semdedup",
+        help="semantic dedup over an embedding column (SemDeDup-style)")
+    sd.add_argument("--input", required=True,
+                    help="embeddings parquet path/dir")
+    sd.add_argument("--output", required=True)
+    sd.add_argument("--id-col", default="vec_id")
+    sd.add_argument("--vec-col", default="embedding")
+    sd.add_argument("--n-clusters", type=int, default=8,
+                    help="size ~N/target_cluster_size (see docs/SCALE.md §11)")
+    sd.add_argument("--threshold", type=float, default=0.42)
+    sd.add_argument("--anchors", default="random",
+                    choices=["random", "kmeans"],
+                    help="random = SQL-reproducible partition; "
+                         "kmeans = paper-style data-dependent anchors")
+    sd.add_argument("--address", default="local")
+    sd.set_defaults(fn=cmd_run_semdedup)
 
     args = p.parse_args(argv)
     return args.fn(args)

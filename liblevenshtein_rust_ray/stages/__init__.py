@@ -17,6 +17,7 @@ from .urls import (
     url_snapshot_dedup,
 )
 from .sketch import kmv_distinct_shingles
+from .similarity import ann_brute_topk, ann_ivf_topk, ann_lsh_topk, semdedup
 from .modelscore import model_score
 from .sampling import rebalance_sources, sample_by_hash, split_by_hash
 from .textstats import bpe_token_stats, gopher_quality, redact_pii
@@ -28,6 +29,10 @@ __all__ = [
     "blocking_keys_batch",
     "BLOCK_BANDS",
     "BlockScorer",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "semdedup",
     "score_block_pandas",
     "connected_components",
     "canonicalize_urls",

@@ -29,6 +29,7 @@ from ..functions.minhash import (  # noqa: F401
 )
 from ..functions.simhash import simhash64, simhash_bands, hamming64, hash64  # noqa: F401
 from ..functions.tokenize import tokenize, shingles, char_ngrams
+from .similarity import _list_col_matrix
 
 # byte-wise popcount lookup table for vectorized 64-bit Hamming distance
 _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
@@ -855,7 +856,7 @@ def embedding_neardup_pairs(
         def score(t: pa.Table) -> pa.Table:
             all_ids, all_m = ray.get(ref)
             bid = np.asarray(t.column(id_col).to_pylist())
-            bm = _norm_rows(np.array(t.column(vec_col).to_pylist(), dtype=np.float64))
+            bm = _norm_rows(_list_col_matrix(t.column(vec_col)))
             sims = bm @ all_m.T
             bi, aj = np.nonzero(sims >= threshold)
             ia, ib = bid[bi], all_ids[aj]
@@ -889,7 +890,7 @@ def embedding_neardup_pairs(
         )
 
     def bucketize(t: pa.Table) -> pa.Table:
-        raw = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        raw = _list_col_matrix(t.column(vec_col))
         if raw.ndim != 2 or raw.shape[0] == 0:
             return pa.table(
                 {
@@ -1024,7 +1025,7 @@ def _embedding_pairs_vec_join(ds, vec_col, id_col, threshold, n_planes,
     )
 
     def sign_vecs(t: pa.Table) -> pa.Table:
-        raw = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        raw = _list_col_matrix(t.column(vec_col))
         if raw.ndim != 2 or raw.shape[0] == 0:
             return sign_schema.empty_table()
         m = _norm_rows(raw)

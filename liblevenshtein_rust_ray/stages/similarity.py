@@ -45,7 +45,7 @@ class _PartialTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         self._ensure()
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = _list_col_matrix(batch.column("embedding"))
         if mat.size == 0:
             return pa.table({"query_id": pa.array([], type=pa.int64()),
                              "match_id": pa.array([], type=pa.int64()),
@@ -117,7 +117,7 @@ def ann_lsh_topk(ds, queries: dict, k: int = 5, n_planes: int = 8, probe_hamming
         def __call__(self, batch: pa.Table) -> pa.Table:
             self._ensure()
             ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            mat = _list_col_matrix(batch.column("embedding"))
             if mat.size == 0:
                 return pa.table({"query_id": pa.array([], type=pa.int64()),
                                  "match_id": pa.array([], type=pa.int64()),
@@ -213,7 +213,7 @@ def ann_ivf_topk(ds, queries: dict, k: int = 5, n_clusters: int = 16,
         def __call__(self, batch: pa.Table) -> pa.Table:
             self._ensure()
             ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            mat = _list_col_matrix(batch.column("embedding"))
             if mat.size == 0:
                 return pa.table({"query_id": pa.array([], type=pa.int64()),
                                  "match_id": pa.array([], type=pa.int64()),
@@ -286,6 +286,8 @@ def _list_col_matrix(col: pa.ChunkedArray) -> np.ndarray:
         return np.empty((0, 0), dtype=np.float64)
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     if flat.size % n == 0 and not arr.null_count:
+        if pa.types.is_fixed_size_list(arr.type):
+            return flat.reshape(n, flat.size // n)
         offs = arr.offsets.to_numpy()
         if (np.diff(offs) == flat.size // n).all():
             return flat.reshape(n, flat.size // n)

@@ -110,3 +110,31 @@ def test_bad_anchor_mode_raises(ray_session, corpus):
     ids, mat = corpus
     with pytest.raises(ValueError, match="anchors"):
         semdedup(_mk_ds(ids, mat), anchors="nope")
+
+
+def test_cli_run_semdedup(tmp_path, capsys, ray_session):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from liblevenshtein_rust_ray.cli import main
+
+    rng = np.random.RandomState(3)
+    v = rng.randn(8).astype(np.float32)
+    mat = np.vstack([rng.randn(6, 8).astype(np.float32), v, v])
+    src = tmp_path / "emb"
+    src.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(8), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in mat],
+                              type=pa.list_(pa.float32())),
+    }), str(src / "e.parquet"))
+    out = tmp_path / "kept"
+    rc = main(["run-semdedup", "--input", str(src), "--output", str(out),
+               "--n-clusters", "2", "--threshold", "0.9999"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload == {"vectors": 8, "kept": 7, "dropped": 1,
+                       "output": str(out)}
+    got = pq.read_table(str(out)).to_pandas()
+    assert not got.loc[got["vec_id"] == 7, "keep"].item()
