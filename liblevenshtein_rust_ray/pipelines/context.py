@@ -63,15 +63,35 @@ def _patch_empty_bundle_schema_warning() -> None:
     sentinels in stages/grouped.py pin those).
     """
     import ray.data._internal.execution.streaming_executor_state as ses
-    from ray.data.block import _is_empty_schema
 
     if getattr(ses, "_llr_empty_bundle_patch", False):
         return
+
+    # Companion noise source: input parquet written by pandas carries
+    # b'pandas' schema metadata whose dict makes pa.Schema UNHASHABLE, so
+    # Ray's unify_schemas logs "Failed to hash the schemas (for
+    # deduplication)" per bundle pair (transform_pyarrow.py:181) and loses
+    # only its early-exit — the unify itself still succeeds.  We write our
+    # own parquet metadata-free (stages/grouped.py strips it); for
+    # read-only third-party inputs, drop just that log line.
+    import logging
+
+    class _DropSchemaHashWarning(logging.Filter):
+        def filter(self, record):  # noqa: A003
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_DropSchemaHashWarning())
     orig = ses.dedupe_schemas_with_validation
 
     def dedupe_ignoring_empty_bundles(old_schema, bundle, warn=True,
                                       enforce_schemas=False):
-        if _is_empty_schema(bundle.schema) and not bundle.num_rows():
+        # ANY 0-row bundle is schema-neutral, not just schema-less ones:
+        # the push-based sort-shuffle merge can stamp an empty partition
+        # with a PARTIAL schema (e.g. a lone id_a column, observed on the
+        # minhash pair-dedup exchange) — still zero information
+        if not bundle.num_rows():
             out, _ = orig(old_schema, bundle, warn=False,
                           enforce_schemas=enforce_schemas)
             return out, False
