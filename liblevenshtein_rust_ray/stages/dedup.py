@@ -573,6 +573,9 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
         n_bands = max_hamming + 1
     if 64 % n_bands:
         n_bands = next(b for b in (2, 4, 8, 16, 32, 64) if b >= n_bands)
+    from .grouped import coalesce_small_input
+
+    ds = coalesce_small_input(ds)
 
     def sign(t: pa.Table) -> pa.Table:
         from ..functions.simhash import simhash64_md5
@@ -699,6 +702,9 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, threshold: float = 0.5,
     shared shingles pushes c/(|A|+|B|-c) below threshold — pairs whose
     overlap is mostly stop-shingles.  Pass ``max_df=None`` for the exact
     contract (the SQL-oracle mode)."""
+    from .grouped import coalesce_small_input
+
+    ds = coalesce_small_input(ds)
 
     def sets_batch(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
@@ -842,6 +848,9 @@ def embedding_neardup_pairs(
       would exceed 1 GiB (row count from parquet metadata, no scan)."""
     import ray
 
+    from .grouped import coalesce_small_input
+
+    ds = coalesce_small_input(ds)
     n_tables = 16
     n_rows = dim = None
     if method == "auto" or (method != "exact" and vec_transport == "auto"):

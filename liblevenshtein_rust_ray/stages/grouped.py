@@ -223,3 +223,22 @@ def bucketed_apply_arrow(ds, key_cols, bucket_fn, n_buckets: int = 256,
     if empty_result is not None:
         out = out.union(rd.from_arrow(empty_result))
     return out
+
+
+def coalesce_small_input(ds, rows_per_block: int = 256, max_rows: int = 65536):
+    """Repartition a SMALL input to ~``rows_per_block`` rows/block.
+
+    The fixed 64-split read plan is right for the web-scale corpus, but a
+    tiny side table split 64 ways pays 64x task dispatch per stage and
+    64 x n_partitions shuffle fragments of ~80-row blocks — pure overhead
+    (measured 3.0 -> 1.6 s on the sf0.1 minhash pipeline, identical
+    output).  Above ``max_rows`` the input is returned untouched, so the
+    cluster physical plan never changes at scale.
+
+    Call this on READS or materialized datasets only: ``count()`` is free
+    there (parquet/block metadata) but would execute a derived lazy plan.
+    """
+    n = ds.count()
+    if n <= max_rows:
+        ds = ds.repartition(max(8, n // rows_per_block))
+    return ds

@@ -319,6 +319,9 @@ def semdedup(
     the paper's greedy-order ambiguity and exactly SQL-expressible."""
     import ray
 
+    from .grouped import coalesce_small_input
+
+    ds = coalesce_small_input(ds)
     first = ds.take(1)[0]
     dim = len(first[vec_col])
     if anchors == "random":
