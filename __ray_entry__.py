@@ -650,6 +650,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def word_freq(sf_dir):
         return R.word_freq(sf_dir)
 
+    def tfidf_docs(sf_dir):
+        """Top-5 TF-IDF terms per document (frequency-aggregation family,
+        ref `src/corpus/parser.rs:58-127` words_by_frequency ranking
+        generalized to per-doc relevance): two thin-row exchanges —
+        token-keyed df+idf attach, doc-keyed top-k — exactly mirrored by
+        the QUALIFY row_number SQL oracle."""
+        from liblevenshtein_rust_ray.stages.textstats import tfidf_top_terms
+
+        return tfidf_top_terms(
+            _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+            k=5)
+
     def scoped_completion(sf_dir):
         """Contextual-engine capability: per-scope prefix completion over the
         union of the scope's and its ancestors' terms.  Scope tree derived
@@ -1584,6 +1596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": quality_docs,
         "langid_docs": langid_docs,
         "word_freq": word_freq,
+        "tfidf_docs": tfidf_docs,
         "lang_counts": lang_counts,
         "ann_cosine_topk": ann_cosine_topk,
         "q1": q1,
@@ -1597,8 +1610,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_selfjoin_part_merge_split": fuzzy_selfjoin_part_merge_split,
         "fuzzy_selfjoin_part_ms_universal": fuzzy_selfjoin_part_ms_universal,
         "fuzzy_selfjoin_part_universal": fuzzy_selfjoin_part_universal,
-        "fuzzy_selfjoin_part_ocr": fuzzy_selfjoin_part_ocr,
         "fuzzy_selfjoin_part_ocr_restricted": fuzzy_selfjoin_part_ocr_restricted,
+        "fuzzy_selfjoin_part_ocr": fuzzy_selfjoin_part_ocr,
         "fuzzy_vocab_pairs_deletion": fuzzy_vocab_pairs_deletion,
         # ----------------- below the driver's 50-slot window ------------
         # (all r02-green with driver rows, or no_oracle by nature;
@@ -2474,6 +2487,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.tok AS token, CAST(count(*) AS BIGINT) AS freq
             FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
             GROUP BY t.tok HAVING count(*) >= 2
+        """,
+        # tfidf_docs: same tokenization as word_freq; idf = ln(N/df);
+        # rank by (tfidf desc, token asc) per doc — ties on equal (tf, df)
+        # resolve identically in both engines because the double
+        # expression is identical
+        "tfidf_docs": """
+            WITH tf AS (SELECT doc_id, t.tok AS token,
+                               CAST(count(*) AS BIGINT) AS tf
+                        FROM documents,
+                             unnest(regexp_extract_all(lower(text),
+                                                       '[a-z0-9]+')) AS t(tok)
+                        GROUP BY doc_id, t.tok),
+                 dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                         FROM tf GROUP BY token),
+                 n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+                 scored AS (SELECT tf.doc_id, tf.token, tf.tf, dfr.df,
+                                   tf.tf * ln(n.n / dfr.df) AS tfidf
+                            FROM tf JOIN dfr USING (token) CROSS JOIN n)
+            SELECT doc_id, token, tf, df, tfidf,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tfidf DESC, token) AS BIGINT) AS rank
+            FROM scored
+            QUALIFY rank <= 5
         """,
         # spelling corrector: best dictionary word per token — (distance
         # asc, freq desc, word asc), dictionary = the word_freq relation

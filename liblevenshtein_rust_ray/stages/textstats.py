@@ -448,3 +448,82 @@ def redact_pii(ds, text_col: str = "text", out_col: str = "redacted"):
         lambda t: redact_pii_batch(t, text_col, out_col),
         batch_format="pyarrow",
     )
+
+
+def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 5):
+    """Top-``k`` TF-IDF terms per document: (doc_id, token, tf, df, tfidf,
+    rank), rank 1..k by (tfidf desc, token asc) — fully SQL-mirrorable.
+
+    Plan (two exchanges, both on thin rows):
+    1. stateless map: exact (doc, token, tf) rows per batch — Arrow
+       lower+split (the token_stats kernel) + one C-path pandas groupby;
+       a doc's text lives in one row, so per-batch tf is already final.
+    2. token-keyed bucketed exchange: df per token is the group's row
+       count (rows are distinct (doc, token)), idf = ln(N/df) attached
+       in-bucket — no separate join, nothing doc-sized crosses twice.
+    3. doc-keyed bucketed exchange: per-doc top-k with deterministic tie
+       order.
+
+    N (total docs) is read from input metadata before the tiny-input
+    coalesce; hot tokens cost O(df) rows here (no pairing), so there is
+    no stop-word blowup — the exchange volume is bounded by total
+    distinct (doc, token) pairs, the same as word_freq."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .grouped import bucketed_apply, coalesce_small_input
+
+    n_docs = ds.count()
+    ds = coalesce_small_input(ds)
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        text = pc.coalesce(t.column(text_col), pa.scalar("", type=pa.string()))
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lower = pc.utf8_lower(text)
+        tok_lists = pc.split_pattern_regex(lower, pattern=r"[^a-z0-9]+")
+        flat = tok_lists.flatten()
+        counts = np.diff(tok_lists.offsets.to_numpy().astype(np.int64))
+        parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        mask = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        toks = flat.to_numpy(zero_copy_only=False)[mask]
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)[parent[mask]]
+        tf = (pd.DataFrame({"doc_id": ids, "token": toks})
+              .groupby(["doc_id", "token"], sort=False)
+              .size().reset_index(name="tf"))
+        return pa.table({
+            "doc_id": pa.array(tf["doc_id"].to_numpy(), type=pa.int64()),
+            "token": pa.array(tf["token"], type=pa.string()),
+            "tf": pa.array(tf["tf"].to_numpy(), type=pa.int64()),
+        })
+
+    _scored_empty = pd.DataFrame({
+        "doc_id": pd.Series(dtype="int64"), "token": pd.Series(dtype=object),
+        "tf": pd.Series(dtype="int64"), "df": pd.Series(dtype="int64"),
+        "tfidf": pd.Series(dtype="float64"),
+    })
+
+    def attach_idf(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["df"] = df.groupby("token", sort=False)["doc_id"].transform(
+            "size").astype("int64")
+        out["tfidf"] = out["tf"] * np.log(float(n_docs) / out["df"])
+        return out
+
+    scored = bucketed_apply(
+        ds.map_batches(term_counts, batch_format="pyarrow"),
+        "token", attach_idf, empty_result=_scored_empty)
+
+    _empty = _scored_empty.assign(rank=pd.Series(dtype="int64"))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "tfidf", "token"],
+                            ascending=[True, False, True])
+        df = df.groupby("doc_id", sort=False).head(k).copy()
+        df["rank"] = (df.groupby("doc_id", sort=False).cumcount() + 1
+                      ).astype("int64")
+        return df
+
+    return bucketed_apply(scored, "doc_id", topk, empty_result=_empty)

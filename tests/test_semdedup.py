@@ -138,3 +138,28 @@ def test_cli_run_semdedup(tmp_path, capsys, ray_session):
                        "output": str(out)}
     got = pq.read_table(str(out)).to_pandas()
     assert not got.loc[got["vec_id"] == 7, "keep"].item()
+
+
+def test_tfidf_top_terms(ray_session):
+    """TF-IDF pinned against a tiny hand-checkable corpus."""
+    import math
+
+    from liblevenshtein_rust_ray.stages.textstats import tfidf_top_terms
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": ["cat dog cat", "dog mouse", ""],
+    })
+    out = tfidf_top_terms(rd.from_arrow(docs), k=2).to_pandas()
+    got = {(r.doc_id, r.token): (r.tf, r.df, round(r.tfidf, 9), r["rank"])
+           for _, r in out.iterrows()}
+    ln = math.log
+    # doc 0: cat tf=2 df=1 -> 2*ln(3); dog tf=1 df=2 -> ln(1.5)
+    assert got[(0, "cat")] == (2, 1, round(2 * ln(3.0), 9), 1)
+    assert got[(0, "dog")] == (1, 2, round(ln(3.0 / 2), 9), 2)
+    # doc 1: mouse tf=1 df=1 -> ln(3) beats dog ln(1.5)
+    assert got[(1, "mouse")] == (1, 1, round(ln(3.0), 9), 1)
+    assert got[(1, "dog")] == (1, 2, round(ln(3.0 / 2), 9), 2)
+    # doc 2 empty: no rows
+    assert not any(d == 2 for d, _ in got)
+    assert len(got) == 4
