@@ -40,16 +40,20 @@ def read_pages(source):
 
 
 def _auto_buckets(source, ds, floor: int = 256, cap: int = 4096,
-                  pages_per_bucket: int = 4096) -> int:
-    """Scale the exchange bucket count with corpus size (~4k pages/bucket).
+                  pages_per_bucket: int = 1024) -> int:
+    """Scale the exchange bucket count with corpus size (~1k pages/bucket).
 
     Fixed buckets skew at scale: at sf2.0 (4.2M pages) the 256-bucket plan
-    leaves a 37 s straggler scorer task; 1024 buckets cut the same input
-    from 54 to 47 s (same-session A/B, identical outputs).  Row counts come
-    from parquet FILE METADATA only (ms) — ``Dataset.count()`` would spin
-    up read tasks (~3 s).  Unknown inputs keep the floor; the cap bounds
-    the sort fan-out on this single node (at cluster scale pass
-    ``n_buckets`` explicitly — thousands to millions)."""
+    reads 176 s (hot buckets pack into few sort ranges; 21 s straggler
+    scorer task at 1024 buckets), while interleaved warm-pool A/B measured
+    4096 buckets at 47.0/34.3 s vs 1024 at 52.3/41.5 s — finer buckets
+    spread quadratic-cost blocks across sort ranges, so ~1k pages/bucket
+    is the round-3 default (sf0.1 still lands on the 256 floor — the bench
+    physical plan is unchanged).  Row counts come from parquet FILE
+    METADATA only (ms) — ``Dataset.count()`` would spin up read tasks
+    (~3 s).  Unknown inputs keep the floor; the cap bounds the sort
+    fan-out on this single node (at cluster scale pass ``n_buckets``
+    explicitly — thousands to millions)."""
     try:
         files = None
         if isinstance(source, str):
