@@ -194,6 +194,9 @@ def fuzzy_self_join(ds, col: str, n: int = 2, algorithm: str = STANDARD, subst=N
     sizes are corpus-size-independent).  Deletion blocking supports
     standard/transposition with unit costs only (zero-cost substitutions
     and merge/split ops break signature completeness)."""
+    from ..stages.grouped import coalesce_small_input
+
+    ds = coalesce_small_input(ds)
     if blocking == "deletion":
         if subst is not None or pair_scorer is not None or \
                 algorithm not in (STANDARD, "transposition"):

@@ -240,5 +240,10 @@ def coalesce_small_input(ds, rows_per_block: int = 256, max_rows: int = 65536):
     """
     n = ds.count()
     if n <= max_rows:
-        ds = ds.repartition(max(8, n // rows_per_block))
+        # only ever REDUCE below the 64-split read plan: a target >= 64
+        # would ADD a shuffle for nothing (the read already has <= 64
+        # blocks under read_op_min_num_blocks)
+        target = min(64, max(8, n // rows_per_block))
+        if target < 64:
+            ds = ds.repartition(target)
     return ds
