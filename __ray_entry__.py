@@ -151,7 +151,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  n=2, engine="arraytrie")
 
     def fuzzy_selfjoin_customer(sf_dir):
-        return F.fuzzy_self_join(_rd(sf_dir, "customer", ["c_name"]), "c_name", n=1)
+        """Customer names are all the same length, so length blocking
+        degenerates to ONE quadratic bucket — exactly the skew FastSS
+        deletion-signature blocking exists for (group sizes are
+        corpus-size-independent).  Exact for unit-cost standard n=1;
+        output-identical to the length plan (pinned by the
+        fuzzy_vocab_pairs / _deletion twin oracles)."""
+        return F.fuzzy_self_join(_rd(sf_dir, "customer", ["c_name"]),
+                                 "c_name", n=1, blocking="deletion")
 
     def _vocab_ds(sf_dir):
         import ray.data as rd
