@@ -1561,6 +1561,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding", "vec_id", n_clusters=8, threshold=0.42,
         )
 
+    def chunk_docs(sf_dir):
+        """Training-sequence chunking: each document split into <=32-token
+        normalized chunks (context-window packing front half) — no
+        exchange at all; string_agg-ordered SQL mirror."""
+        from liblevenshtein_rust_ray.stages.textstats import chunk_documents
+
+        return chunk_documents(
+            _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+            max_tokens=32)
+
     # and relational queries fill the remainder; no_oracle rows and
     # redundant per-backend twins sit below slot 50.
     return {
@@ -1604,12 +1614,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": langid_docs,
         "word_freq": word_freq,
         "tfidf_docs": tfidf_docs,
+        "chunk_docs": chunk_docs,
         "lang_counts": lang_counts,
         "ann_cosine_topk": ann_cosine_topk,
         "q1": q1,
         "revenue_by_segment": revenue_by_segment,
         "events_hourly": events_hourly,
-        "top_docs_by_tokens": top_docs_by_tokens,
         # --- 40-50: kernel-variant fuzzy queries (r02-green refresh) ----
         "fuzzy_selfjoin_part": fuzzy_selfjoin_part,
         "fuzzy_selfjoin_part_transposition": fuzzy_selfjoin_part_transposition,
@@ -1619,6 +1629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_selfjoin_part_universal": fuzzy_selfjoin_part_universal,
         "fuzzy_selfjoin_part_ocr_restricted": fuzzy_selfjoin_part_ocr_restricted,
         "fuzzy_selfjoin_part_ocr": fuzzy_selfjoin_part_ocr,
+        "top_docs_by_tokens": top_docs_by_tokens,
         "fuzzy_vocab_pairs_deletion": fuzzy_vocab_pairs_deletion,
         # ----------------- below the driver's 50-slot window ------------
         # (all r02-green with driver rows, or no_oracle by nature;
@@ -2494,6 +2505,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.tok AS token, CAST(count(*) AS BIGINT) AS freq
             FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
             GROUP BY t.tok HAVING count(*) >= 2
+        """,
+        # chunk_docs: same tokenization; chunk = floor(pos/32) within doc,
+        # text joined in token order on both sides
+        "chunk_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[a-z0-9]+')) AS tok,
+                     generate_subscripts(regexp_extract_all(lower(text),
+                                                            '[a-z0-9]+'),
+                                         1) AS pos
+              FROM documents)
+            SELECT doc_id,
+                   CAST((pos - 1) // 32 AS BIGINT) AS chunk_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS text,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM toks
+            GROUP BY doc_id, (pos - 1) // 32
         """,
         # tfidf_docs: same tokenization as word_freq; idf = ln(N/df);
         # rank by (tfidf desc, token asc) per doc — ties on equal (tf, df)

@@ -527,3 +527,55 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
         return df
 
     return bucketed_apply(scored, "doc_id", topk, empty_result=_empty)
+
+
+def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
+                    max_tokens: int = 32):
+    """Split each document into training-sequence chunks of at most
+    ``max_tokens`` tokens: (doc_id, chunk_id, text, n_tokens), chunk_id
+    0.., text = the chunk's tokens joined by single spaces (the same
+    normalized [a-z0-9]+ tokenization as word_freq/tfidf — chunking for a
+    fixed context window normalizes anyway), last chunk carries the
+    remainder, empty docs emit nothing.
+
+    One stateless pass: Arrow lower+split gives the flat token stream +
+    offsets; chunk index = token position // max_tokens; one pandas
+    C-groupby joins each (doc, chunk) group in order.  No exchange at
+    all — chunking is embarrassingly parallel at any corpus size."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def chunks(t: pa.Table) -> pa.Table:
+        text = pc.coalesce(t.column(text_col), pa.scalar("", type=pa.string()))
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lower = pc.utf8_lower(text)
+        tok_lists = pc.split_pattern_regex(lower, pattern=r"[^a-z0-9]+")
+        flat = tok_lists.flatten()
+        counts = np.diff(tok_lists.offsets.to_numpy().astype(np.int64))
+        parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        mask = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        toks = flat.to_numpy(zero_copy_only=False)[mask]
+        parent = parent[mask]
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)[parent]
+        # token position within its doc, over the kept (non-empty) tokens
+        pos = np.arange(len(parent), dtype=np.int64)
+        starts = np.zeros(len(parent), dtype=np.int64)
+        if len(parent):
+            new_doc = np.flatnonzero(np.diff(parent) != 0) + 1
+            starts[new_doc] = pos[new_doc]
+            starts = np.maximum.accumulate(starts)
+        chunk_id = (pos - starts) // max_tokens
+        df = pd.DataFrame({"doc_id": ids, "chunk_id": chunk_id, "tok": toks})
+        out = (df.groupby(["doc_id", "chunk_id"], sort=False)["tok"]
+               .agg([(("text"), " ".join), ("n_tokens", "size")])
+               .reset_index())
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+            "chunk_id": pa.array(out["chunk_id"].to_numpy(), type=pa.int64()),
+            "text": pa.array(out["text"], type=pa.string()),
+            "n_tokens": pa.array(out["n_tokens"].to_numpy(), type=pa.int64()),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow")

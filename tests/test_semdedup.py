@@ -163,3 +163,19 @@ def test_tfidf_top_terms(ray_session):
     # doc 2 empty: no rows
     assert not any(d == 2 for d, _ in got)
     assert len(got) == 4
+
+
+def test_chunk_documents(ray_session):
+    from liblevenshtein_rust_ray.stages.textstats import chunk_documents
+
+    docs = pa.table({
+        "doc_id": pa.array([7, 8, 9], type=pa.int64()),
+        "text": ["A b, c D e", "", "x  y"],
+    })
+    out = chunk_documents(rd.from_arrow(docs), max_tokens=2).to_pandas()
+    got = {(r.doc_id, r.chunk_id): (r.text, r.n_tokens)
+           for _, r in out.iterrows()}
+    assert got == {
+        (7, 0): ("a b", 2), (7, 1): ("c d", 2), (7, 2): ("e", 1),
+        (9, 0): ("x y", 2),
+    }
