@@ -134,9 +134,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     import pyarrow as pa
 
     def _rd(sf_dir, table, columns=None):
+        import pyarrow.parquet as pq
         import ray.data as rd
 
-        return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+        # remove_metadata(): the driver's testdata parquet bakes b'pandas'
+        # schema metadata whose dict makes pa.Schema UNHASHABLE — every
+        # SplitBlocks/unify in every worker then logs "Failed to hash the
+        # schemas" and loses Ray's schema-dedup early-exit.  An explicit
+        # metadata-free read schema fixes it at the source.
+        path = f"{sf_dir}/{table}.parquet"
+        sch = pq.read_schema(path).remove_metadata()
+        if columns:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return rd.read_parquet(path, columns=columns, schema=sch)
 
     # -------------------------- fuzzy operators -----------------------
     def fuzzy_selfjoin_part(sf_dir):

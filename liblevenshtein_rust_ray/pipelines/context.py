@@ -73,16 +73,9 @@ def _patch_empty_bundle_schema_warning() -> None:
     # deduplication)" per bundle pair (transform_pyarrow.py:181) and loses
     # only its early-exit — the unify itself still succeeds.  We write our
     # own parquet metadata-free (stages/grouped.py strips it); for
-    # read-only third-party inputs, drop just that log line.
-    import logging
-
-    class _DropSchemaHashWarning(logging.Filter):
-        def filter(self, record):  # noqa: A003
-            return "Failed to hash the schemas" not in record.getMessage()
-
-    logging.getLogger(
-        "ray.data._internal.arrow_ops.transform_pyarrow"
-    ).addFilter(_DropSchemaHashWarning())
+    # read-only third-party inputs, drop just that log line (driver side
+    # here; quiet_worker_logging installs the same filter in workers).
+    quiet_worker_logging()
     orig = ses.dedupe_schemas_with_validation
 
     def dedupe_ignoring_empty_bundles(old_schema, bundle, warn=True,
@@ -100,3 +93,26 @@ def _patch_empty_bundle_schema_warning() -> None:
 
     ses.dedupe_schemas_with_validation = dedupe_ignoring_empty_bundles
     ses._llr_empty_bundle_patch = True
+
+
+class _DropSchemaHashWarning:
+    """logging.Filter dropping Ray's 'Failed to hash the schemas' line —
+    third-party parquet (the driver's testdata) bakes b'pandas' schema
+    metadata whose dict makes pa.Schema unhashable; the unify still
+    succeeds, only its early-exit dedup is lost, so the warning is pure
+    noise at block counts."""
+
+    def filter(self, record):  # noqa: A003
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+def quiet_worker_logging() -> None:
+    """``runtime_env={"worker_process_setup_hook": quiet_worker_logging}``:
+    read tasks hit the unhashable-metadata path INSIDE workers (SplitBlocks
+    unify), where the driver-side filter can't reach — install the same
+    filter in every worker at startup."""
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_DropSchemaHashWarning())

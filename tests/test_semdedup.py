@@ -179,3 +179,78 @@ def test_chunk_documents(ray_session):
         (7, 0): ("a b", 2), (7, 1): ("c d", 2), (7, 2): ("e", 1),
         (9, 0): ("x y", 2),
     }
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="ab c1.", min_size=0, max_size=40),
+                min_size=1, max_size=8),
+       st.integers(min_value=1, max_value=5))
+def test_chunk_documents_property(ray_session, texts, k):
+    """Chunks reassemble to the doc's token stream; sizes <= k with only
+    the last chunk short; chunk ids dense from 0."""
+    import re
+
+    from liblevenshtein_rust_ray.stages.textstats import chunk_documents
+
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    out = chunk_documents(rd.from_arrow(docs), max_tokens=k).to_pandas()
+    if not len(out):
+        assert all(not re.findall(r"[a-z0-9]+", t.lower()) for t in texts)
+        return
+    for d, text in enumerate(texts):
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        sub = out[out["doc_id"] == d].sort_values("chunk_id")
+        assert sub["chunk_id"].tolist() == list(range(len(sub)))
+        joined = " ".join(sub["text"])
+        assert joined.split() == toks
+        sizes = sub["n_tokens"].tolist()
+        assert all(s == k for s in sizes[:-1])
+        if sizes:
+            assert 1 <= sizes[-1] <= k
+            assert sizes == [len(c.split()) for c in sub["text"]]
+        else:
+            assert not toks
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(alphabet="xy z2,", min_size=0, max_size=30),
+                min_size=1, max_size=6),
+       st.integers(min_value=1, max_value=4))
+def test_tfidf_property(ray_session, texts, k):
+    """tfidf rows match a pure-pandas reference computation."""
+    import math
+    import re
+
+    from liblevenshtein_rust_ray.stages.textstats import tfidf_top_terms
+
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    out = tfidf_top_terms(rd.from_arrow(docs), k=k).to_pandas()
+    # reference
+    n = len(texts)
+    tf = {}
+    for d, text in enumerate(texts):
+        for tok in re.findall(r"[a-z0-9]+", text.lower()):
+            tf[(d, tok)] = tf.get((d, tok), 0) + 1
+    df = {}
+    for (_, tok) in tf:
+        df[tok] = df.get(tok, 0) + 1
+    scored = [(d, tok, c, df[tok], c * math.log(n / df[tok]))
+              for (d, tok), c in tf.items()]
+    expect = {}
+    for d in range(n):
+        rows = sorted((r for r in scored if r[0] == d),
+                      key=lambda r: (-r[4], r[1]))[:k]
+        for rank, r in enumerate(rows, 1):
+            expect[(d, r[1])] = (r[2], r[3], round(r[4], 9), rank)
+    got = {(r.doc_id, r.token): (r.tf, r.df, round(r.tfidf, 9), r["rank"])
+           for _, r in out.iterrows()}
+    assert got == expect
