@@ -476,6 +476,8 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
     from .grouped import bucketed_apply, coalesce_small_input
 
     n_docs = ds.count()
+    id_type = ds.schema().base_schema.field(id_col).type
+    id_pd_dtype = "int64" if pa.types.is_integer(id_type) else object
     ds = coalesce_small_input(ds)
 
     def term_counts(t: pa.Table) -> pa.Table:
@@ -490,24 +492,24 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
         mask = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
         toks = flat.to_numpy(zero_copy_only=False)[mask]
         ids = t.column(id_col).to_numpy(zero_copy_only=False)[parent[mask]]
-        tf = (pd.DataFrame({"doc_id": ids, "token": toks})
-              .groupby(["doc_id", "token"], sort=False)
+        tf = (pd.DataFrame({id_col: ids, "token": toks})
+              .groupby([id_col, "token"], sort=False)
               .size().reset_index(name="tf"))
         return pa.table({
-            "doc_id": pa.array(tf["doc_id"].to_numpy(), type=pa.int64()),
+            id_col: pa.array(tf[id_col].to_numpy(), type=id_type),
             "token": pa.array(tf["token"], type=pa.string()),
             "tf": pa.array(tf["tf"].to_numpy(), type=pa.int64()),
         })
 
     _scored_empty = pd.DataFrame({
-        "doc_id": pd.Series(dtype="int64"), "token": pd.Series(dtype=object),
+        id_col: pd.Series(dtype=id_pd_dtype), "token": pd.Series(dtype=object),
         "tf": pd.Series(dtype="int64"), "df": pd.Series(dtype="int64"),
         "tfidf": pd.Series(dtype="float64"),
     })
 
     def attach_idf(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
-        out["df"] = df.groupby("token", sort=False)["doc_id"].transform(
+        out["df"] = df.groupby("token", sort=False)[id_col].transform(
             "size").astype("int64")
         out["tfidf"] = out["tf"] * np.log(float(n_docs) / out["df"])
         return out
@@ -519,14 +521,14 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
     _empty = _scored_empty.assign(rank=pd.Series(dtype="int64"))
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["doc_id", "tfidf", "token"],
+        df = df.sort_values([id_col, "tfidf", "token"],
                             ascending=[True, False, True])
-        df = df.groupby("doc_id", sort=False).head(k).copy()
-        df["rank"] = (df.groupby("doc_id", sort=False).cumcount() + 1
+        df = df.groupby(id_col, sort=False).head(k).copy()
+        df["rank"] = (df.groupby(id_col, sort=False).cumcount() + 1
                       ).astype("int64")
         return df
 
-    return bucketed_apply(scored, "doc_id", topk, empty_result=_empty)
+    return bucketed_apply(scored, id_col, topk, empty_result=_empty)
 
 
 def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -558,6 +560,7 @@ def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
         mask = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
         toks = flat.to_numpy(zero_copy_only=False)[mask]
         parent = parent[mask]
+        id_type = t.column(id_col).type
         ids = t.column(id_col).to_numpy(zero_copy_only=False)[parent]
         # token position within its doc, over the kept (non-empty) tokens
         pos = np.arange(len(parent), dtype=np.int64)
@@ -567,12 +570,12 @@ def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
             starts[new_doc] = pos[new_doc]
             starts = np.maximum.accumulate(starts)
         chunk_id = (pos - starts) // max_tokens
-        df = pd.DataFrame({"doc_id": ids, "chunk_id": chunk_id, "tok": toks})
-        out = (df.groupby(["doc_id", "chunk_id"], sort=False)["tok"]
+        df = pd.DataFrame({id_col: ids, "chunk_id": chunk_id, "tok": toks})
+        out = (df.groupby([id_col, "chunk_id"], sort=False)["tok"]
                .agg([(("text"), " ".join), ("n_tokens", "size")])
                .reset_index())
         return pa.table({
-            "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+            id_col: pa.array(out[id_col].to_numpy(), type=id_type),
             "chunk_id": pa.array(out["chunk_id"].to_numpy(), type=pa.int64()),
             "text": pa.array(out["text"], type=pa.string()),
             "n_tokens": pa.array(out["n_tokens"].to_numpy(), type=pa.int64()),
