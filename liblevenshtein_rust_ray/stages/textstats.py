@@ -451,11 +451,13 @@ def redact_pii(ds, text_col: str = "text", out_col: str = "redacted"):
 
 
 def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
-                    k: int = 5):
+                    k: int = 5, mode: str = "exchange",
+                    max_vocab_driver: int = 50_000_000):
     """Top-``k`` TF-IDF terms per document: (doc_id, token, tf, df, tfidf,
     rank), rank 1..k by (tfidf desc, token asc) — fully SQL-mirrorable.
 
-    Plan (two exchanges, both on thin rows):
+    ``mode="exchange"`` (default, the oracle path — two exchanges, both
+    on thin rows):
     1. stateless map: exact (doc, token, tf) rows per batch — Arrow
        lower+split (the token_stats kernel) + one C-path pandas groupby;
        a doc's text lives in one row, so per-batch tf is already final.
@@ -465,10 +467,32 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
     3. doc-keyed bucketed exchange: per-doc top-k with deterministic tie
        order.
 
+    ``mode="broadcast_df"`` (the corpus-scale path — identical output,
+    exchange volume shrunk from every (doc, token) row to the per-batch
+    DISTINCT-token partials):
+    1. pass A: per-batch (token_hash, partial_df) — one 16-byte row per
+       distinct token per batch (Zipf vocab overlap makes this a small
+       fraction of the (doc, token) rows the exchange mode ships) — then
+       one tiny hash-keyed ``groupby().sum()`` to the exact global df
+       table, pulled to the driver (vocab-sized, ``max_vocab_driver``
+       guard) and broadcast once via ``ray.put`` as two buffer-backed
+       numpy arrays (sorted int64 hashes + int64 dfs — zero-copy reads
+       from every worker's local object store).
+    2. pass B: ONE stateless map — re-tokenize, ``np.searchsorted`` df
+       lookup, idf, and per-doc top-k computed locally (a doc's text
+       lives in one row, so its whole posting list is batch-local; the
+       doc-keyed exchange of mode "exchange" is unnecessary).
+    Token identity uses the repo's fixed-key 64-bit siphash: a df merge
+    needs two distinct corpus tokens colliding (p ≈ vocab²/2⁶⁵ —
+    negligible; the parity test pins bit-equality vs mode "exchange").
+    The one scale liability is the driver-materialized vocabulary
+    (~16 B/token: 50M tokens ≈ 800 MB); beyond ``max_vocab_driver`` this
+    raises and the exchange mode — whose volume is bounded by total
+    distinct (doc, token) pairs, same as word_freq — is the fallback.
+
     N (total docs) is read from input metadata before the tiny-input
-    coalesce; hot tokens cost O(df) rows here (no pairing), so there is
-    no stop-word blowup — the exchange volume is bounded by total
-    distinct (doc, token) pairs, the same as word_freq."""
+    coalesce; hot tokens cost O(df) rows in either mode (no pairing), so
+    there is no stop-word blowup."""
     import numpy as np
     import pandas as pd
     import pyarrow.compute as pc
@@ -507,6 +531,69 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
         "tfidf": pd.Series(dtype="float64"),
     })
 
+    _empty = _scored_empty.assign(rank=pd.Series(dtype="int64"))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "tfidf", "token"],
+                            ascending=[True, False, True])
+        df = df.groupby(id_col, sort=False).head(k).copy()
+        df["rank"] = (df.groupby(id_col, sort=False).cumcount() + 1
+                      ).astype("int64")
+        return df
+
+    if mode == "broadcast_df":
+        import ray
+
+        from .grouped import _empty_arrow
+
+        def _tok_hash(tokens) -> np.ndarray:
+            # fixed-key siphash — elementwise-deterministic across
+            # processes; int64 bit-view so Ray's groupby key stays signed
+            return pd.util.hash_pandas_object(
+                pd.Series(tokens, dtype=object), index=False
+            ).to_numpy().view(np.int64)
+
+        def partial_df(t: pa.Table) -> pa.Table:
+            tf = term_counts(t)  # rows are distinct (doc, token)
+            h = _tok_hash(tf.column("token").to_numpy(zero_copy_only=False))
+            dfp = pd.DataFrame({"h": h}).groupby("h", sort=False).size()
+            return pa.table({
+                "h": pa.array(dfp.index.to_numpy(), type=pa.int64()),
+                "dfp": pa.array(dfp.to_numpy(), type=pa.int64()),
+            })
+
+        agg = (ds.map_batches(partial_df, batch_format="pyarrow")
+               .groupby("h").sum("dfp").materialize())
+        n_vocab = agg.count()
+        if n_vocab > max_vocab_driver:
+            raise ValueError(
+                f"tfidf_top_terms(mode='broadcast_df'): vocabulary "
+                f"({n_vocab} tokens) exceeds max_vocab_driver="
+                f"{max_vocab_driver}; use mode='exchange' (bounded "
+                f"exchange volume, no driver materialization)")
+        vocab = agg.to_pandas()
+        order = np.argsort(vocab["h"].to_numpy(), kind="stable")
+        href = ray.put(np.ascontiguousarray(vocab["h"].to_numpy()[order]))
+        dref = ray.put(np.ascontiguousarray(
+            vocab["sum(dfp)"].to_numpy()[order].astype(np.int64)))
+
+        out_schema = _empty_arrow(_empty).schema
+
+        def topk_local(t: pa.Table) -> pa.Table:
+            tf = term_counts(t).to_pandas()
+            hs = ray.get(href)  # zero-copy local-object-store views
+            dfv = ray.get(dref)
+            h = _tok_hash(tf["token"].to_numpy())
+            tf["df"] = (dfv[np.searchsorted(hs, h)] if len(tf)
+                        else pd.Series(dtype="int64"))
+            tf["tfidf"] = tf["tf"] * np.log(float(n_docs) / tf["df"])
+            out = topk(tf)
+            return pa.Table.from_pandas(
+                out[list(_empty.columns)], schema=out_schema,
+                preserve_index=False).replace_schema_metadata(None)
+
+        return ds.map_batches(topk_local, batch_format="pyarrow")
+
     def attach_idf(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
         out["df"] = df.groupby("token", sort=False)[id_col].transform(
@@ -517,16 +604,6 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
     scored = bucketed_apply(
         ds.map_batches(term_counts, batch_format="pyarrow"),
         "token", attach_idf, empty_result=_scored_empty)
-
-    _empty = _scored_empty.assign(rank=pd.Series(dtype="int64"))
-
-    def topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([id_col, "tfidf", "token"],
-                            ascending=[True, False, True])
-        df = df.groupby(id_col, sort=False).head(k).copy()
-        df["rank"] = (df.groupby(id_col, sort=False).cumcount() + 1
-                      ).astype("int64")
-        return df
 
     return bucketed_apply(scored, id_col, topk, empty_result=_empty)
 

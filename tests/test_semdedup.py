@@ -165,6 +165,44 @@ def test_tfidf_top_terms(ray_session):
     assert len(got) == 4
 
 
+def test_tfidf_broadcast_df_parity(ray_session):
+    """mode='broadcast_df' (partial-df combiner + ray.put lookup + local
+    top-k, zero doc-keyed exchange) is bit-identical to the exchange
+    mode, string and int id columns both."""
+    import pandas as pd
+
+    from liblevenshtein_rust_ray.stages.textstats import tfidf_top_terms
+
+    for ids, typ in [([0, 1, 2, 3], pa.int64()),
+                     (["u0", "u1", "u2", "u3"], pa.string())]:
+        docs = pa.table({
+            "doc_id": pa.array(ids, type=typ),
+            "text": ["cat dog cat", "dog mouse", "", "the cat the mouse x"],
+        })
+        a = tfidf_top_terms(rd.from_arrow(docs), k=3).to_pandas()
+        b = tfidf_top_terms(rd.from_arrow(docs), k=3,
+                            mode="broadcast_df").to_pandas()
+        key = ["doc_id", "token"]
+        a = a.sort_values(key).reset_index(drop=True)[sorted(a.columns)]
+        b = b.sort_values(key).reset_index(drop=True)[sorted(b.columns)]
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_tfidf_broadcast_df_vocab_guard(ray_session):
+    """max_vocab_driver exceeded -> loud error naming the fallback."""
+    import pytest
+
+    from liblevenshtein_rust_ray.stages.textstats import tfidf_top_terms
+
+    docs = pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": ["a b c d e f g h"],
+    })
+    with pytest.raises(ValueError, match="exchange"):
+        tfidf_top_terms(rd.from_arrow(docs), mode="broadcast_df",
+                        max_vocab_driver=3)
+
+
 def test_chunk_documents(ray_session):
     from liblevenshtein_rust_ray.stages.textstats import chunk_documents
 
