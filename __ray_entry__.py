@@ -1581,6 +1581,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
             max_tokens=32)
 
+    def dsir_weights_docs(sf_dir):
+        """DSIR importance weights (Xie et al. 2023 hashed-unigram
+        importance resampling — the standard LLM-data domain-selection
+        scorer): every document scored by sum-of-token
+        ln(p_target/p_raw) over 4096 md5 hash buckets against a
+        deterministic target-domain sample (doc_id % 20 == 0).  The md5
+        bucket family == DuckDB md5_number_lower, and both histograms
+        are exact, so weights are fully SQL-reproducible.  Scale shape:
+        two tiny (bucket, count) partial-combiner exchanges + one
+        broadcast log-ratio array + ONE stateless corpus pass — nothing
+        doc-sized is ever exchanged (stages/selection.py)."""
+        import numpy as np
+        from liblevenshtein_rust_ray.stages.selection import dsir_weights
+
+        docs = _rd(sf_dir, "documents", ["doc_id", "text"])
+
+        def is_target(t: pa.Table) -> pa.Table:
+            keep = t.column("doc_id").to_numpy(zero_copy_only=False) % 20 == 0
+            return t.filter(pa.array(keep, type=pa.bool_()))
+
+        target = docs.map_batches(is_target, batch_format="pyarrow")
+        return dsir_weights(docs, target, "text", "doc_id",
+                            n_buckets=4096, alpha=1.0)
+
     # and relational queries fill the remainder; no_oracle rows and
     # redundant per-backend twins sit below slot 50.
     return {
@@ -1618,6 +1642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phonetic_part": phonetic_part,
         "kmv_distinct_docs": kmv_distinct_docs,
         "semdedup_embeddings": semdedup_embeddings,
+        "dsir_weights_docs": dsir_weights_docs,
         # --- 31-40: oracle rows whose last driver check was r01 ---------
         "token_stats": token_stats,
         "quality_docs": quality_docs,
@@ -1640,8 +1665,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_selfjoin_part_ocr_restricted": fuzzy_selfjoin_part_ocr_restricted,
         "fuzzy_selfjoin_part_ocr": fuzzy_selfjoin_part_ocr,
         "top_docs_by_tokens": top_docs_by_tokens,
-        "fuzzy_vocab_pairs_deletion": fuzzy_vocab_pairs_deletion,
         # ----------------- below the driver's 50-slot window ------------
+        # (fuzzy_vocab_pairs_deletion demoted to make room for
+        # dsir_weights_docs — it already holds an r02-green driver row)
+        "fuzzy_vocab_pairs_deletion": fuzzy_vocab_pairs_deletion,
         # (all r02-green with driver rows, or no_oracle by nature;
         # _merge_split_d1 and _arraytrie are per-variant twins of in-window
         # queries, demoted to make room for the span-dedup pair)
@@ -2557,6 +2584,41 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY tfidf DESC, token) AS BIGINT) AS rank
             FROM scored
             QUALIFY rank <= 5
+        """,
+        # dsir_weights_docs: same tokenization as word_freq; bucket =
+        # md5_number_lower(token) % 4096 (== functions.simhash.md5_hash64
+        # % 4096); target = docs with doc_id % 20 == 0; add-1 smoothing
+        # over 4096 buckets on both histograms; zero-token docs keep
+        # (n_feats=0, logw=0.0) via the LEFT JOIN
+        "dsir_weights_docs": """
+            WITH tok AS (SELECT doc_id, t.tok AS token
+                         FROM documents,
+                              unnest(regexp_extract_all(lower(text),
+                                                        '[a-z0-9]+')) AS t(tok)),
+                 b AS (SELECT doc_id,
+                              CAST(md5_number_lower(token) % 4096 AS BIGINT) AS b
+                       FROM tok),
+                 tgt AS (SELECT b, CAST(count(*) AS DOUBLE) AS c
+                         FROM b WHERE doc_id % 20 = 0 GROUP BY b),
+                 raw AS (SELECT b, CAST(count(*) AS DOUBLE) AS c
+                         FROM b GROUP BY b),
+                 tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM tgt) AS ts,
+                                (SELECT coalesce(sum(c), 0) FROM raw) AS rs),
+                 ratio AS (SELECT raw.b,
+                                  ln(coalesce(tgt.c, 0) + 1.0)
+                                  - ln(tot.ts + 1.0 * 4096)
+                                  - ln(raw.c + 1.0)
+                                  + ln(tot.rs + 1.0 * 4096) AS lr
+                           FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+                 w AS (SELECT b.doc_id,
+                              CAST(count(*) AS BIGINT) AS n_feats,
+                              sum(ratio.lr) AS logw
+                       FROM b JOIN ratio USING (b)
+                       GROUP BY b.doc_id)
+            SELECT d.doc_id,
+                   coalesce(w.n_feats, 0) AS n_feats,
+                   coalesce(w.logw, 0.0) AS logw
+            FROM documents d LEFT JOIN w USING (doc_id)
         """,
         # spelling corrector: best dictionary word per token — (distance
         # asc, freq desc, word asc), dictionary = the word_freq relation

@@ -20,6 +20,7 @@ from .sketch import kmv_distinct_shingles
 from .similarity import ann_brute_topk, ann_ivf_topk, ann_lsh_topk, semdedup
 from .modelscore import model_score
 from .sampling import rebalance_sources, sample_by_hash, split_by_hash
+from .selection import dsir_select, dsir_weights
 from .textstats import bpe_token_stats, gopher_quality, redact_pii
 from .spans import duplicated_spans, dup_span_fraction
 
@@ -44,6 +45,8 @@ __all__ = [
     "rebalance_sources",
     "sample_by_hash",
     "split_by_hash",
+    "dsir_weights",
+    "dsir_select",
     "bpe_token_stats",
     "gopher_quality",
     "redact_pii",

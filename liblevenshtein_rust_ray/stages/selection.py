@@ -1,0 +1,167 @@
+"""DSIR-style importance-weighted data selection (hashed n-gram
+importance resampling — Xie et al. 2023, "Data Selection for Language
+Models via Importance Resampling", public method): score every corpus
+document by how much its hashed-token distribution resembles a small
+target-domain sample, then keep the high-weight documents.  This is the
+standard way an LLM-data job selects "looks like Wikipedia/books/code"
+subsets out of a web crawl, so it is a first-class operator here.
+
+Scale shape (10^12 docs):
+- The TARGET side is small by definition (a domain exemplar of
+  thousands-to-millions of docs); its hashed-bucket histogram is built
+  once (driver-side for an iterable, streamed via the same partial
+  combiner for a Dataset) — never joined against the corpus.
+- Pass A over the corpus: per-batch nonzero ``(bucket, count)``
+  partials (≤ ``n_buckets`` 16-byte rows per batch, independent of
+  batch text volume) → one tiny bucket-keyed ``groupby().sum()`` →
+  the exact raw histogram.  Nothing doc-sized crosses the network.
+- The per-bucket log-ratio array (``n_buckets`` float64 — 512 KiB at
+  the default 65,536) is broadcast once via ``ray.put`` (buffer-backed,
+  zero-copy reads from every worker's object store).
+- Pass B: ONE stateless ``map_batches`` — tokenize, bucket, and reduce
+  ``log_ratio[bucket]`` per doc with a single ``np.bincount``; the
+  keep/drop rule is a pure function of the row, so selection composes
+  with any downstream stage without an exchange.
+
+Token bucketing uses the md5 hash family (``functions.simhash
+.md5_hash64`` == DuckDB ``md5_number_lower``), so weights — and
+therefore the selected subset — are exactly SQL-reproducible; hashing
+runs on the DISTINCT tokens of each batch (factorize first), not per
+occurrence.
+
+Reference tie-in: this generalizes the reference's frequency-weighted
+candidate ranking (ordered queries weight terms by corpus frequency,
+/root/reference/src/transducer/query.rs:259-282) from per-term ranking
+to per-document distribution scoring.
+"""
+
+import pyarrow as pa
+
+__all__ = ["dsir_weights", "dsir_select"]
+
+
+def _doc_token_buckets(t: pa.Table, text_col: str, n_buckets: int):
+    """(parent_row_idx, bucket_id) int64 arrays — one entry per token
+    OCCURRENCE; md5 is computed once per distinct token in the batch."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.simhash import md5_hash64
+
+    text = pc.coalesce(t.column(text_col), pa.scalar("", type=pa.string()))
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lower = pc.utf8_lower(text)
+    tok_lists = pc.split_pattern_regex(lower, pattern=r"[^a-z0-9]+")
+    flat = tok_lists.flatten()
+    counts = np.diff(tok_lists.offsets.to_numpy().astype(np.int64))
+    parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+    mask = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+    toks = flat.to_numpy(zero_copy_only=False)[mask]
+    codes, uniq = pd.factorize(pd.Series(toks))
+    lut = np.fromiter(
+        (md5_hash64(u) % n_buckets for u in uniq),
+        dtype=np.int64, count=len(uniq))
+    buckets = lut[codes] if len(codes) else np.zeros(0, dtype=np.int64)
+    return parent[mask], buckets
+
+
+def _histogram(ds_or_texts, text_col: str, n_buckets: int):
+    """Exact bucket histogram (int64[n_buckets]) of a text collection.
+
+    Dataset input streams through the partial combiner (corpus-safe);
+    an iterable of strings is hashed directly on the driver (target-side
+    convenience)."""
+    import numpy as np
+
+    if hasattr(ds_or_texts, "map_batches"):
+        def partial(t: pa.Table) -> pa.Table:
+            _, b = _doc_token_buckets(t, text_col, n_buckets)
+            c = np.bincount(b, minlength=n_buckets).astype(np.int64)
+            nz = np.nonzero(c)[0]
+            return pa.table({
+                "b": pa.array(nz, type=pa.int64()),
+                "c": pa.array(c[nz], type=pa.int64()),
+            })
+
+        agg = (ds_or_texts.map_batches(partial, batch_format="pyarrow")
+               .groupby("b").sum("c").to_pandas())
+        h = np.zeros(n_buckets, dtype=np.int64)
+        if len(agg):
+            h[agg["b"].to_numpy()] = agg["sum(c)"].to_numpy()
+        return h
+
+    t = pa.table({text_col: pa.array(list(ds_or_texts), type=pa.string())})
+    _, b = _doc_token_buckets(t, text_col, n_buckets)
+    return np.bincount(b, minlength=n_buckets).astype(np.int64)
+
+
+def dsir_weights(ds, target, text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = 65536, alpha: float = 1.0):
+    """Dataset[(id_col, n_feats, logw)] — per-document importance weight
+    ``logw = Σ_tokens ln(p_target(bucket) / p_raw(bucket))`` with
+    add-``alpha`` smoothing over ``n_buckets`` hashed unigram buckets
+    (p(b) = (count(b)+alpha) / (total+alpha·n_buckets)).  ``n_feats`` is
+    the document's token count.  Positive ``logw`` ⇒ the document looks
+    more like the target sample than like the corpus average.
+
+    ``target``: iterable of strings or a Dataset with ``text_col`` — the
+    small domain-exemplar side."""
+    import numpy as np
+    import ray
+
+    t_hist = _histogram(target, text_col, n_buckets)
+    r_hist = _histogram(ds, text_col, n_buckets)
+    log_ratio = (
+        np.log(t_hist + alpha) - np.log(float(t_hist.sum()) + alpha * n_buckets)
+        - np.log(r_hist + alpha) + np.log(float(r_hist.sum()) + alpha * n_buckets)
+    )
+    lref = ray.put(np.ascontiguousarray(log_ratio))
+    id_type = ds.schema().base_schema.field(id_col).type
+
+    def weigh(t: pa.Table) -> pa.Table:
+        lr = ray.get(lref)  # zero-copy local-object-store view
+        parent, b = _doc_token_buckets(t, text_col, n_buckets)
+        logw = np.bincount(parent, weights=lr[b], minlength=t.num_rows)
+        n_feats = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        return pa.table({
+            id_col: t.column(id_col).combine_chunks()
+            if isinstance(t.column(id_col), pa.ChunkedArray)
+            else t.column(id_col),
+            "n_feats": pa.array(n_feats, type=pa.int64()),
+            "logw": pa.array(logw, type=pa.float64()),
+        }, schema=pa.schema([(id_col, id_type), ("n_feats", pa.int64()),
+                             ("logw", pa.float64())]))
+
+    return ds.map_batches(weigh, batch_format="pyarrow")
+
+
+def dsir_select(ds, target, logw_threshold: float = 0.0,
+                text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 65536, alpha: float = 1.0):
+    """The selection form: corpus rows (full schema) whose importance
+    weight is ≥ ``logw_threshold`` — a stateless per-row keep rule once
+    the two tiny histograms exist, so it streams like any filter.
+
+    (A fixed threshold is the resumable/cluster-size-independent form;
+    to select a target FRACTION, read the threshold off a driver-side
+    quantile of a ``dsir_weights`` sample first.)"""
+    import numpy as np
+    import ray
+
+    t_hist = _histogram(target, text_col, n_buckets)
+    r_hist = _histogram(ds, text_col, n_buckets)
+    log_ratio = (
+        np.log(t_hist + alpha) - np.log(float(t_hist.sum()) + alpha * n_buckets)
+        - np.log(r_hist + alpha) + np.log(float(r_hist.sum()) + alpha * n_buckets)
+    )
+    lref = ray.put(np.ascontiguousarray(log_ratio))
+
+    def keep(t: pa.Table) -> pa.Table:
+        lr = ray.get(lref)
+        parent, b = _doc_token_buckets(t, text_col, n_buckets)
+        logw = np.bincount(parent, weights=lr[b], minlength=t.num_rows)
+        return t.filter(pa.array(logw >= logw_threshold, type=pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1,0 +1,104 @@
+"""DSIR importance-weighted selection (stages/selection.py)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from liblevenshtein_rust_ray.functions.simhash import md5_hash64
+from liblevenshtein_rust_ray.stages.selection import dsir_select, dsir_weights
+
+B = 64
+ALPHA = 1.0
+
+
+def _ref_weights(corpus, target):
+    """Pure-Python reference: exact histograms + per-token log-ratio."""
+    import re
+
+    def toks(x):
+        return [t for t in re.split(r"[^a-z0-9]+", (x or "").lower()) if t]
+
+    def hist(texts):
+        h = np.zeros(B, dtype=np.int64)
+        for x in texts:
+            for t in toks(x):
+                h[md5_hash64(t) % B] += 1
+        return h
+
+    th, rh = hist(target), hist(corpus)
+    lr = (np.log(th + ALPHA) - math.log(th.sum() + ALPHA * B)
+          - np.log(rh + ALPHA) + math.log(rh.sum() + ALPHA * B))
+    out = []
+    for x in corpus:
+        tt = toks(x)
+        out.append((len(tt), float(sum(lr[md5_hash64(t) % B] for t in tt))))
+    return out
+
+
+CORPUS = ["cat dog cat", "dog mouse", "", "the CAT the mouse x!",
+          "zebra quagga", "dog dog dog dog"]
+TARGET = ["cat mouse", "cat cat zebra"]
+
+
+def test_dsir_weights_matches_reference(ray_session):
+    docs = pa.table({
+        "doc_id": pa.array(range(len(CORPUS)), type=pa.int64()),
+        "text": CORPUS,
+    })
+    out = (dsir_weights(rd.from_arrow(docs), TARGET,
+                        n_buckets=B, alpha=ALPHA)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    ref = _ref_weights(CORPUS, TARGET)
+    assert list(out["n_feats"]) == [n for n, _ in ref]
+    for got, (_, want) in zip(out["logw"], ref):
+        assert got == pytest.approx(want, abs=1e-9)
+    # empty doc: zero features, zero weight
+    assert out.loc[2, "n_feats"] == 0 and out.loc[2, "logw"] == 0.0
+    # target-lookalike docs outrank target-unlike ones
+    assert out.loc[0, "logw"] > out.loc[5, "logw"]  # cat-heavy > dog-only
+
+
+def test_dsir_target_dataset_equals_iterable(ray_session):
+    docs = pa.table({
+        "doc_id": pa.array(range(len(CORPUS)), type=pa.int64()),
+        "text": CORPUS,
+    })
+    tgt_ds = rd.from_arrow(pa.table({"text": TARGET}))
+    a = (dsir_weights(rd.from_arrow(docs), TARGET, n_buckets=B)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (dsir_weights(rd.from_arrow(docs), tgt_ds, n_buckets=B)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(a["logw"]) == list(b["logw"])
+    assert list(a["n_feats"]) == list(b["n_feats"])
+
+
+def test_dsir_select_is_threshold_on_weights(ray_session):
+    docs = pa.table({
+        "doc_id": pa.array(range(len(CORPUS)), type=pa.int64()),
+        "text": CORPUS,
+        "extra": [f"e{i}" for i in range(len(CORPUS))],
+    })
+    w = (dsir_weights(rd.from_arrow(docs), TARGET, n_buckets=B)
+         .to_pandas().set_index("doc_id")["logw"])
+    thr = float(w.median())
+    kept = (dsir_select(rd.from_arrow(docs), TARGET, logw_threshold=thr,
+                        n_buckets=B).to_pandas())
+    assert set(kept["doc_id"]) == set(w[w >= thr].index)
+    # full input schema passes through the filter
+    assert list(kept.columns) == ["doc_id", "text", "extra"]
+
+
+def test_dsir_weights_string_ids(ray_session):
+    docs = pa.table({
+        "url": pa.array([f"u{i}" for i in range(len(CORPUS))],
+                        type=pa.string()),
+        "text": CORPUS,
+    })
+    out = (dsir_weights(rd.from_arrow(docs), TARGET, text_col="text",
+                        id_col="url", n_buckets=B)
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    assert len(out) == len(CORPUS)
+    assert out["logw"].dtype == np.float64
