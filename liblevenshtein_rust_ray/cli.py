@@ -196,6 +196,44 @@ def cmd_run_semdedup(args) -> int:
     return 0
 
 
+def cmd_run_dsir(args) -> int:
+    import os
+
+    import ray
+
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address=args.address, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data as rd
+
+    from .pipelines.context import configure_data_context
+    from .stages.selection import dsir_select
+    from .stages.sampling import sample_by_hash
+
+    configure_data_context()
+    corpus = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    if args.target:
+        target = rd.read_parquet(args.target, columns=[args.text_col])
+    else:
+        target = sample_by_hash(corpus, args.id_col,
+                                pct=args.target_pct, salt="dsir")
+    kept = dsir_select(
+        corpus, target, logw_threshold=args.threshold,
+        text_col=args.text_col, id_col=args.id_col,
+        n_buckets=args.n_buckets,
+    )
+    kept.write_parquet(args.output)
+    n_in = corpus.count()
+    n_kept = rd.read_parquet(args.output).count()
+    print(json.dumps({"docs": n_in, "kept": n_kept,
+                      "dropped": n_in - n_kept, "output": args.output}))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="liblevenshtein_rust_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -277,6 +315,25 @@ def main(argv=None) -> int:
                          "kmeans = paper-style data-dependent anchors")
     sd.add_argument("--address", default="local")
     sd.set_defaults(fn=cmd_run_semdedup)
+
+    dz = sub.add_parser(
+        "run-dsir",
+        help="DSIR importance-weighted selection against a target sample")
+    dz.add_argument("--input", required=True,
+                    help="documents parquet path/dir")
+    dz.add_argument("--output", required=True)
+    dz.add_argument("--target", default=None,
+                    help="target-domain parquet (small side); default: a "
+                         "deterministic md5 sample of the input itself")
+    dz.add_argument("--target-pct", type=int, default=2,
+                    help="target sample percent when --target is omitted")
+    dz.add_argument("--id-col", default="doc_id")
+    dz.add_argument("--text-col", default="text")
+    dz.add_argument("--n-buckets", type=int, default=65536)
+    dz.add_argument("--threshold", type=float, default=0.0,
+                    help="keep docs with logw >= threshold")
+    dz.add_argument("--address", default="local")
+    dz.set_defaults(fn=cmd_run_dsir)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -102,3 +102,35 @@ def test_dsir_weights_string_ids(ray_session):
            .to_pandas().sort_values("url").reset_index(drop=True))
     assert len(out) == len(CORPUS)
     assert out["logw"].dtype == np.float64
+
+
+def test_run_dsir_cli(ray_session, tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from liblevenshtein_rust_ray.cli import main
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(CORPUS)), type=pa.int64()),
+        "text": CORPUS,
+    }), str(src / "d.parquet"))
+    tgt = tmp_path / "tgt"
+    tgt.mkdir()
+    pq.write_table(pa.table({"text": TARGET}), str(tgt / "t.parquet"))
+    out = tmp_path / "kept"
+    rc = main(["run-dsir", "--input", str(src), "--target", str(tgt),
+               "--output", str(out), "--n-buckets", str(B)])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["docs"] == len(CORPUS)
+    assert payload["kept"] == payload["docs"] - payload["dropped"]
+    # CLI threshold 0.0 == library dsir_select at 0.0
+    w = (dsir_weights(
+            rd.from_arrow(pa.table({
+                "doc_id": pa.array(range(len(CORPUS)), type=pa.int64()),
+                "text": CORPUS})),
+            TARGET, n_buckets=B).to_pandas())
+    assert payload["kept"] == int((w["logw"] >= 0.0).sum())
