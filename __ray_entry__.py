@@ -1581,6 +1581,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
             max_tokens=32)
 
+    def pack_docs(sf_dir):
+        """Sequence packing (chunk_docs' dual — whole short docs into
+        fixed-token-budget training bins): deterministic md5-group +
+        in-group id-order cumsum rule, one thin-row group-keyed
+        exchange; window-SUM SQL mirror."""
+        from liblevenshtein_rust_ray.stages.textstats import pack_documents
+
+        return pack_documents(
+            _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+            max_tokens=256, n_groups=16)
+
     def dsir_weights_docs(sf_dir):
         """DSIR importance weights (Xie et al. 2023 hashed-unigram
         importance resampling — the standard LLM-data domain-selection
@@ -1650,6 +1661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_freq": word_freq,
         "tfidf_docs": tfidf_docs,
         "chunk_docs": chunk_docs,
+        "pack_docs": pack_docs,
         "lang_counts": lang_counts,
         "ann_cosine_topk": ann_cosine_topk,
         "q1": q1,
@@ -1664,10 +1676,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_selfjoin_part_universal": fuzzy_selfjoin_part_universal,
         "fuzzy_selfjoin_part_ocr_restricted": fuzzy_selfjoin_part_ocr_restricted,
         "fuzzy_selfjoin_part_ocr": fuzzy_selfjoin_part_ocr,
-        "top_docs_by_tokens": top_docs_by_tokens,
         # ----------------- below the driver's 50-slot window ------------
-        # (fuzzy_vocab_pairs_deletion demoted to make room for
-        # dsir_weights_docs — it already holds an r02-green driver row)
+        # (fuzzy_vocab_pairs_deletion and top_docs_by_tokens demoted to
+        # make room for dsir_weights_docs and pack_docs — both demotions
+        # already hold green driver rows from earlier rounds)
+        "top_docs_by_tokens": top_docs_by_tokens,
         "fuzzy_vocab_pairs_deletion": fuzzy_vocab_pairs_deletion,
         # (all r02-green with driver rows, or no_oracle by nature;
         # _merge_split_d1 and _arraytrie are per-variant twins of in-window
@@ -2584,6 +2597,27 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY tfidf DESC, token) AS BIGINT) AS rank
             FROM scored
             QUALIFY rank <= 5
+        """,
+        # pack_docs: token count = same tokenization as token_stats;
+        # grp = md5_number_lower(CAST(doc_id AS VARCHAR)) % 16
+        # (== stages.sampling._md5_hash64_batch(salt=None)); pack_id =
+        # floor(sum of PRECEDING docs' tokens in id order / 256)
+        "pack_docs": """
+            WITH t AS (SELECT doc_id,
+                              CAST(len(regexp_extract_all(lower(text),
+                                                          '[a-z0-9]+'))
+                                   AS BIGINT) AS n_tokens,
+                              CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                                   % 16 AS BIGINT) AS grp
+                       FROM documents)
+            SELECT doc_id, grp,
+                   CAST(coalesce(SUM(n_tokens) OVER (
+                            PARTITION BY grp ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) // 256
+                        AS BIGINT) AS pack_id,
+                   n_tokens
+            FROM t
         """,
         # dsir_weights_docs: same tokenization as word_freq; bucket =
         # md5_number_lower(token) % 4096 (== functions.simhash.md5_hash64

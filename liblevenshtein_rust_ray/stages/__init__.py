@@ -21,7 +21,7 @@ from .similarity import ann_brute_topk, ann_ivf_topk, ann_lsh_topk, semdedup
 from .modelscore import model_score
 from .sampling import rebalance_sources, sample_by_hash, split_by_hash
 from .selection import dsir_select, dsir_weights
-from .textstats import bpe_token_stats, gopher_quality, redact_pii
+from .textstats import bpe_token_stats, gopher_quality, pack_documents, redact_pii
 from .spans import duplicated_spans, dup_span_fraction
 
 __all__ = [
@@ -47,6 +47,7 @@ __all__ = [
     "split_by_hash",
     "dsir_weights",
     "dsir_select",
+    "pack_documents",
     "bpe_token_stats",
     "gopher_quality",
     "redact_pii",

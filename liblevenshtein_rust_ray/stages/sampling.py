@@ -11,21 +11,24 @@ DuckDB ``md5_number_lower``), so the split is SQL-reproducible."""
 import pyarrow as pa
 
 
-def _md5_hash64_batch(keys, salt: str) -> "np.ndarray":
+def _md5_hash64_batch(keys, salt: str | None) -> "np.ndarray":
     """uint64 md5 family hash (``md5_hash64`` / DuckDB ``md5_number_lower``
-    semantics) of ``salt:key`` for a whole column: the string build, byte
-    conversion, word extraction and modulo all run as Arrow/numpy kernels —
-    only the md5 digests themselves loop (intrinsic to hashlib; ~0.4 us
-    each).  The old per-row ``f-string + md5_hash64 + %`` path cost ~5x
-    that and contradicted the module's 10^12-doc framing (round-2 ADVICE)."""
+    semantics) of ``salt:key`` — or of the bare key string when ``salt``
+    is None (== ``md5_number_lower(CAST(key AS VARCHAR))``) — for a whole
+    column: the string build, byte conversion, word extraction and modulo
+    all run as Arrow/numpy kernels — only the md5 digests themselves loop
+    (intrinsic to hashlib; ~0.4 us each).  The old per-row ``f-string +
+    md5_hash64 + %`` path cost ~5x that and contradicted the module's
+    10^12-doc framing (round-2 ADVICE)."""
     import numpy as np
     import pyarrow.compute as pc
     from hashlib import md5
 
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
-    s = pc.binary_join_element_wise(
-        pa.scalar(salt + ":"), pc.cast(keys, pa.string()), "")
+    s = pc.cast(keys, pa.string())
+    if salt is not None:
+        s = pc.binary_join_element_wise(pa.scalar(salt + ":"), s, "")
     raw = s.cast(pa.binary()).to_pylist()
     if not raw:
         return np.zeros(0, dtype=np.uint64)

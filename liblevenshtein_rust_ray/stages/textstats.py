@@ -659,3 +659,75 @@ def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def pack_documents(ds, text_col: str = "text", id_col: str = "doc_id",
+                   max_tokens: int = 1024, n_groups: int = 64):
+    """Sequence packing — assign WHOLE documents to fixed-token-budget
+    training bins: (id, grp, pack_id, n_tokens), where ``pack_id`` is the
+    bin index within the document's group.  The dual of
+    :func:`chunk_documents` (that splits long docs; this packs short ones
+    so training sequences aren't mostly padding).
+
+    Deterministic, cluster-size-independent rule — no greedy global
+    state: ``grp = md5(id) % n_groups`` (the DuckDB ``md5_number_lower``
+    family), and within a group in ``id`` order,
+    ``pack_id = floor(cumsum_of_previous_docs' tokens / max_tokens)``.
+    A bin may overshoot ``max_tokens`` by less than the largest single
+    document in it (the standard approximate-packing contract; run
+    :func:`chunk_documents` first if hard caps are needed) and average
+    fill is ~``max_tokens``.
+
+    Scale shape: token counts are one RE2 count kernel per batch
+    (stateless map, the doc TEXT never leaves the map — only
+    (id, grp, n_tokens) thin rows cross); the one exchange is
+    group-keyed on those thin rows, and each group's cumsum is a C-path
+    pandas pass.  ``n_groups`` bounds per-worker group size (rows/group
+    ≈ N/n_groups 24-byte rows — at 10^12 docs pass n_groups in the
+    tens of thousands); packing quality does not depend on n_groups,
+    and resumed runs reproduce the exact assignment."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .grouped import bucketed_apply, coalesce_small_input
+    from .sampling import _md5_hash64_batch
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    id_pd_dtype = "int64" if pa.types.is_integer(id_type) else object
+    ds = coalesce_small_input(ds)
+
+    def counts(t: pa.Table) -> pa.Table:
+        text = pc.coalesce(t.column(text_col), pa.scalar("", type=pa.string()))
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_tokens = (pc.count_substring_regex(
+            pc.utf8_lower(text), pattern=r"[a-z0-9]+")
+            .to_numpy(zero_copy_only=False).astype(np.int64))
+        grp = (_md5_hash64_batch(t.column(id_col), salt=None)
+               % np.uint64(n_groups)).astype(np.int64)
+        return pa.table({
+            id_col: t.column(id_col).combine_chunks()
+            if isinstance(t.column(id_col), pa.ChunkedArray)
+            else t.column(id_col),
+            "grp": pa.array(grp, type=pa.int64()),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+        })
+
+    _empty = pd.DataFrame({
+        id_col: pd.Series(dtype=id_pd_dtype),
+        "grp": pd.Series(dtype="int64"),
+        "pack_id": pd.Series(dtype="int64"),
+        "n_tokens": pd.Series(dtype="int64"),
+    })
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["grp", id_col]).reset_index(drop=True)
+        cum = (df.groupby("grp", sort=False)["n_tokens"].cumsum()
+               - df["n_tokens"])
+        df["pack_id"] = (cum // max_tokens).astype("int64")
+        return df[[id_col, "grp", "pack_id", "n_tokens"]]
+
+    return bucketed_apply(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        "grp", pack, empty_result=_empty)

@@ -134,3 +134,56 @@ def test_run_dsir_cli(ray_session, tmp_path, capsys):
                 "text": CORPUS})),
             TARGET, n_buckets=B).to_pandas())
     assert payload["kept"] == int((w["logw"] >= 0.0).sum())
+
+
+# ---------------------------------------------------------------------
+# pack_documents (sequence packing — textstats.py, chunk_documents' dual)
+
+def test_pack_documents_rule(ray_session):
+    from liblevenshtein_rust_ray.functions.simhash import md5_hash64
+    from liblevenshtein_rust_ray.stages.textstats import pack_documents
+
+    texts = ["a b c", "", "d e f g", "h", "i j", "k l m n o", "p q"]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": texts,
+    })
+    out = (pack_documents(rd.from_arrow(docs), max_tokens=4, n_groups=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # reference: same rule in plain python
+    ntok = [3, 0, 4, 1, 2, 5, 2]
+    grp = [md5_hash64(str(i)) % 3 for i in range(len(texts))]
+    cum = {}
+    for i in range(len(texts)):
+        before = cum.get(grp[i], 0)
+        want_pack = before // 4
+        cum[grp[i]] = before + ntok[i]
+        row = out.loc[i]
+        assert (row["grp"], row["pack_id"], row["n_tokens"]) == \
+            (grp[i], want_pack, ntok[i]), i
+    # every doc appears exactly once
+    assert len(out) == len(texts)
+
+
+def test_pack_documents_bin_overflow_bound(ray_session):
+    """No bin exceeds max_tokens by more than its largest single doc,
+    and bins below the last in a group are filled to >= max_tokens."""
+    from liblevenshtein_rust_ray.stages.textstats import pack_documents
+
+    texts = [("tok " * ((i * 7) % 23 + 1)).strip() for i in range(200)]
+    docs = pa.table({
+        "doc_id": pa.array(range(200), type=pa.int64()),
+        "text": texts,
+    })
+    out = pack_documents(rd.from_arrow(docs), max_tokens=64,
+                         n_groups=4).to_pandas()
+    g = out.groupby(["grp", "pack_id"])["n_tokens"]
+    total, biggest = g.sum(), g.max()
+    assert (total < 64 + biggest).all()
+    # exact fill invariant of the floor(cum/k) rule: bin k+1 only opens
+    # once the group's cumulative tokens reach 64*(k+1), so the running
+    # fill through every non-last bin is >= 64*(bin_index+1)
+    for grp, tot in total.groupby(level=0):
+        cums = tot.droplevel(0).sort_index().cumsum()
+        for k, c in cums.iloc[:-1].items():
+            assert c >= 64 * (k + 1), (grp, k, c)
