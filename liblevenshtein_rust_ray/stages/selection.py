@@ -37,7 +37,7 @@ to per-document distribution scoring.
 
 import pyarrow as pa
 
-__all__ = ["dsir_weights", "dsir_select"]
+__all__ = ["dsir_weights", "dsir_select", "dsir_top_frac_threshold"]
 
 
 def _doc_token_buckets(t: pa.Table, text_col: str, n_buckets: int):
@@ -135,6 +135,37 @@ def dsir_weights(ds, target, text_col: str = "text", id_col: str = "doc_id",
                              ("logw", pa.float64())]))
 
     return ds.map_batches(weigh, batch_format="pyarrow")
+
+
+def dsir_top_frac_threshold(weights_ds, frac: float, id_col: str = "doc_id",
+                            max_driver_rows: int = 2_000_000) -> float:
+    """The ``logw_threshold`` that keeps ~``frac`` of documents — read
+    off a driver-side quantile of ``dsir_weights`` output.
+
+    At most ``max_driver_rows`` logw float64s ever reach the driver:
+    beyond that the quantile comes from a deterministic md5 hash-sample
+    of the ids (order/partitioning/cluster-size independent, so resumed
+    runs agree), which makes the kept fraction approximate to sampling
+    error (~1/sqrt(sample)).  Combine with :func:`dsir_select`::
+
+        w   = dsir_weights(ds, target)
+        thr = dsir_top_frac_threshold(w, 0.2)
+        kept = dsir_select(ds, target, logw_threshold=thr)
+    """
+    import numpy as np
+
+    from .sampling import sample_by_hash
+
+    n = weights_ds.count()
+    ds_w = weights_ds
+    if n > max_driver_rows:
+        pct = max(1, int(100 * max_driver_rows / n))
+        ds_w = sample_by_hash(weights_ds, id_col, pct=pct, salt="dsir_thr")
+    w = ds_w.select_columns(["logw"]).to_pandas()["logw"].to_numpy()
+    if not len(w):
+        return 0.0
+    # method="lower" -> keep-fraction >= frac on the sampled distribution
+    return float(np.quantile(w, max(0.0, 1.0 - frac), method="lower"))
 
 
 def dsir_select(ds, target, logw_threshold: float = 0.0,

@@ -187,3 +187,24 @@ def test_pack_documents_bin_overflow_bound(ray_session):
         cums = tot.droplevel(0).sort_index().cumsum()
         for k, c in cums.iloc[:-1].items():
             assert c >= 64 * (k + 1), (grp, k, c)
+
+
+def test_dsir_top_frac_threshold(ray_session):
+    from liblevenshtein_rust_ray.stages.selection import (
+        dsir_top_frac_threshold)
+
+    w = dsir_weights(
+        rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(CORPUS)), type=pa.int64()),
+            "text": CORPUS})),
+        TARGET, n_buckets=B)
+    thr = dsir_top_frac_threshold(w, 0.5)
+    got = w.to_pandas()
+    kept_frac = (got["logw"] >= thr).mean()
+    assert kept_frac >= 0.5
+    # exact path: threshold is an actual observed weight
+    assert thr in set(got["logw"])
+    # sampled path stays deterministic and returns a sane threshold
+    thr2 = dsir_top_frac_threshold(w, 0.5, max_driver_rows=3)
+    thr3 = dsir_top_frac_threshold(w, 0.5, max_driver_rows=3)
+    assert thr2 == thr3
