@@ -40,9 +40,14 @@ import pyarrow as pa
 __all__ = ["dsir_weights", "dsir_select", "dsir_top_frac_threshold"]
 
 
-def _doc_token_buckets(t: pa.Table, text_col: str, n_buckets: int):
-    """(parent_row_idx, bucket_id) int64 arrays — one entry per token
-    OCCURRENCE; md5 is computed once per distinct token in the batch."""
+def _doc_token_buckets(t: pa.Table, text_col: str, n_buckets: int,
+                       ngram: int = 1):
+    """(parent_row_idx, bucket_id) int64 arrays — one entry per feature
+    OCCURRENCE; md5 is computed once per distinct feature in the batch.
+
+    ``ngram=1``: hashed word unigrams (the SQL-mirrorable default).
+    ``ngram=2``: unigrams PLUS space-joined word bigrams — the DSIR
+    paper's feature set; bigrams never cross a document boundary."""
     import numpy as np
     import pandas as pd
     import pyarrow.compute as pc
@@ -59,15 +64,23 @@ def _doc_token_buckets(t: pa.Table, text_col: str, n_buckets: int):
     parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
     mask = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
     toks = flat.to_numpy(zero_copy_only=False)[mask]
+    parent = parent[mask]
+    if ngram >= 2 and len(toks) > 1:
+        same_doc = parent[1:] == parent[:-1]
+        u = toks.astype(str)  # np.char needs a unicode array
+        big = np.char.add(np.char.add(u[:-1], " "), u[1:])[same_doc]
+        toks = np.concatenate([toks, big.astype(object)])
+        parent = np.concatenate([parent, parent[:-1][same_doc]])
     codes, uniq = pd.factorize(pd.Series(toks))
     lut = np.fromiter(
         (md5_hash64(u) % n_buckets for u in uniq),
         dtype=np.int64, count=len(uniq))
     buckets = lut[codes] if len(codes) else np.zeros(0, dtype=np.int64)
-    return parent[mask], buckets
+    return parent, buckets
 
 
-def _histogram(ds_or_texts, text_col: str, n_buckets: int):
+def _histogram(ds_or_texts, text_col: str, n_buckets: int,
+               ngram: int = 1):
     """Exact bucket histogram (int64[n_buckets]) of a text collection.
 
     Dataset input streams through the partial combiner (corpus-safe);
@@ -77,7 +90,7 @@ def _histogram(ds_or_texts, text_col: str, n_buckets: int):
 
     if hasattr(ds_or_texts, "map_batches"):
         def partial(t: pa.Table) -> pa.Table:
-            _, b = _doc_token_buckets(t, text_col, n_buckets)
+            _, b = _doc_token_buckets(t, text_col, n_buckets, ngram)
             c = np.bincount(b, minlength=n_buckets).astype(np.int64)
             nz = np.nonzero(c)[0]
             return pa.table({
@@ -93,12 +106,13 @@ def _histogram(ds_or_texts, text_col: str, n_buckets: int):
         return h
 
     t = pa.table({text_col: pa.array(list(ds_or_texts), type=pa.string())})
-    _, b = _doc_token_buckets(t, text_col, n_buckets)
+    _, b = _doc_token_buckets(t, text_col, n_buckets, ngram)
     return np.bincount(b, minlength=n_buckets).astype(np.int64)
 
 
 def dsir_weights(ds, target, text_col: str = "text", id_col: str = "doc_id",
-                 n_buckets: int = 65536, alpha: float = 1.0):
+                 n_buckets: int = 65536, alpha: float = 1.0,
+                 ngram: int = 1):
     """Dataset[(id_col, n_feats, logw)] — per-document importance weight
     ``logw = Σ_tokens ln(p_target(bucket) / p_raw(bucket))`` with
     add-``alpha`` smoothing over ``n_buckets`` hashed unigram buckets
@@ -107,12 +121,14 @@ def dsir_weights(ds, target, text_col: str = "text", id_col: str = "doc_id",
     more like the target sample than like the corpus average.
 
     ``target``: iterable of strings or a Dataset with ``text_col`` — the
-    small domain-exemplar side."""
+    small domain-exemplar side.  ``ngram=2`` adds hashed word bigrams
+    (the DSIR paper's feature set; n_feats then counts uni+bigram
+    occurrences); the SQL oracle covers the unigram default."""
     import numpy as np
     import ray
 
-    t_hist = _histogram(target, text_col, n_buckets)
-    r_hist = _histogram(ds, text_col, n_buckets)
+    t_hist = _histogram(target, text_col, n_buckets, ngram)
+    r_hist = _histogram(ds, text_col, n_buckets, ngram)
     log_ratio = (
         np.log(t_hist + alpha) - np.log(float(t_hist.sum()) + alpha * n_buckets)
         - np.log(r_hist + alpha) + np.log(float(r_hist.sum()) + alpha * n_buckets)
@@ -122,7 +138,7 @@ def dsir_weights(ds, target, text_col: str = "text", id_col: str = "doc_id",
 
     def weigh(t: pa.Table) -> pa.Table:
         lr = ray.get(lref)  # zero-copy local-object-store view
-        parent, b = _doc_token_buckets(t, text_col, n_buckets)
+        parent, b = _doc_token_buckets(t, text_col, n_buckets, ngram)
         logw = np.bincount(parent, weights=lr[b], minlength=t.num_rows)
         n_feats = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
         return pa.table({
@@ -170,7 +186,8 @@ def dsir_top_frac_threshold(weights_ds, frac: float, id_col: str = "doc_id",
 
 def dsir_select(ds, target, logw_threshold: float = 0.0,
                 text_col: str = "text", id_col: str = "doc_id",
-                n_buckets: int = 65536, alpha: float = 1.0):
+                n_buckets: int = 65536, alpha: float = 1.0,
+                ngram: int = 1):
     """The selection form: corpus rows (full schema) whose importance
     weight is ≥ ``logw_threshold`` — a stateless per-row keep rule once
     the two tiny histograms exist, so it streams like any filter.
@@ -181,8 +198,8 @@ def dsir_select(ds, target, logw_threshold: float = 0.0,
     import numpy as np
     import ray
 
-    t_hist = _histogram(target, text_col, n_buckets)
-    r_hist = _histogram(ds, text_col, n_buckets)
+    t_hist = _histogram(target, text_col, n_buckets, ngram)
+    r_hist = _histogram(ds, text_col, n_buckets, ngram)
     log_ratio = (
         np.log(t_hist + alpha) - np.log(float(t_hist.sum()) + alpha * n_buckets)
         - np.log(r_hist + alpha) + np.log(float(r_hist.sum()) + alpha * n_buckets)
@@ -191,7 +208,7 @@ def dsir_select(ds, target, logw_threshold: float = 0.0,
 
     def keep(t: pa.Table) -> pa.Table:
         lr = ray.get(lref)
-        parent, b = _doc_token_buckets(t, text_col, n_buckets)
+        parent, b = _doc_token_buckets(t, text_col, n_buckets, ngram)
         logw = np.bincount(parent, weights=lr[b], minlength=t.num_rows)
         return t.filter(pa.array(logw >= logw_threshold, type=pa.bool_()))
 

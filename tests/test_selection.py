@@ -208,3 +208,40 @@ def test_dsir_top_frac_threshold(ray_session):
     thr2 = dsir_top_frac_threshold(w, 0.5, max_driver_rows=3)
     thr3 = dsir_top_frac_threshold(w, 0.5, max_driver_rows=3)
     assert thr2 == thr3
+
+
+def test_dsir_bigram_features(ray_session):
+    """ngram=2 == unigram+bigram reference computation."""
+    import re
+
+    from liblevenshtein_rust_ray.functions.simhash import md5_hash64
+
+    def toks(x):
+        return [t for t in re.split(r"[^a-z0-9]+", (x or "").lower()) if t]
+
+    def feats(x):
+        tt = toks(x)
+        return tt + [f"{a} {b}" for a, b in zip(tt, tt[1:])]
+
+    def hist(texts):
+        h = np.zeros(B, dtype=np.int64)
+        for x in texts:
+            for f in feats(x):
+                h[md5_hash64(f) % B] += 1
+        return h
+
+    th, rh = hist(CORPUS if False else TARGET), hist(CORPUS)
+    lr = (np.log(th + ALPHA) - math.log(th.sum() + ALPHA * B)
+          - np.log(rh + ALPHA) + math.log(rh.sum() + ALPHA * B))
+    docs = pa.table({
+        "doc_id": pa.array(range(len(CORPUS)), type=pa.int64()),
+        "text": CORPUS,
+    })
+    out = (dsir_weights(rd.from_arrow(docs), TARGET, n_buckets=B,
+                        ngram=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, x in enumerate(CORPUS):
+        ff = feats(x)
+        assert out.loc[i, "n_feats"] == len(ff)
+        want = float(sum(lr[md5_hash64(f) % B] for f in ff))
+        assert out.loc[i, "logw"] == pytest.approx(want, abs=1e-9)
