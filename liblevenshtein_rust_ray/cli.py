@@ -209,16 +209,15 @@ def cmd_run_dsir(args) -> int:
     import ray.data as rd
 
     from .pipelines.context import configure_data_context
-    from .stages.selection import dsir_select
-    from .stages.sampling import sample_by_hash
+    from .stages.selection import HashSampleTarget, dsir_select
 
     configure_data_context()
     corpus = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
     if args.target:
         target = rd.read_parquet(args.target, columns=[args.text_col])
     else:
-        target = sample_by_hash(corpus, args.id_col,
-                                pct=args.target_pct, salt="dsir")
+        # self-sample spec -> fused single-pass histograms
+        target = HashSampleTarget(pct=args.target_pct, salt="dsir")
     kept = dsir_select(
         corpus, target, logw_threshold=args.threshold,
         text_col=args.text_col, id_col=args.id_col,

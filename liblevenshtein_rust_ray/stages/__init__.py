@@ -20,7 +20,8 @@ from .sketch import kmv_distinct_shingles
 from .similarity import ann_brute_topk, ann_ivf_topk, ann_lsh_topk, semdedup
 from .modelscore import model_score
 from .sampling import rebalance_sources, sample_by_hash, split_by_hash
-from .selection import dsir_select, dsir_weights
+from .selection import (HashSampleTarget, dsir_select,
+                        dsir_top_frac_threshold, dsir_weights)
 from .textstats import bpe_token_stats, gopher_quality, pack_documents, redact_pii
 from .spans import duplicated_spans, dup_span_fraction
 
@@ -48,6 +49,8 @@ __all__ = [
     "dsir_weights",
     "dsir_select",
     "pack_documents",
+    "dsir_top_frac_threshold",
+    "HashSampleTarget",
     "bpe_token_stats",
     "gopher_quality",
     "redact_pii",

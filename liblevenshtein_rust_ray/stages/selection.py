@@ -37,7 +37,29 @@ to per-document distribution scoring.
 
 import pyarrow as pa
 
-__all__ = ["dsir_weights", "dsir_select", "dsir_top_frac_threshold"]
+__all__ = ["dsir_weights", "dsir_select", "dsir_top_frac_threshold",
+           "HashSampleTarget"]
+
+
+class HashSampleTarget:
+    """Target spec: a deterministic md5 ``pct``% sample of the CORPUS
+    itself (``md5(salt:id) % 100 < pct`` — the sample_by_hash rule).
+
+    Passing this instead of a materialized sample lets the histogram
+    stage compute the raw AND target histograms in ONE fused corpus
+    pass (each batch tokenizes once and emits both counts), dropping a
+    pipeline launch and a FULL CORPUS READ (the explicit-sample target
+    re-reads every page just to filter 98% away before tokenizing).
+    On this page-cached single node the wall time is unchanged
+    (18.8 vs 18.1 s at sf1.0/32 CPUs — the saved read was nearly free);
+    on a cluster reading 100 TB from storage, corpus reads are the
+    budget, so 3 reads → 2 is a 1/3 cut in the dominant term."""
+
+    def __init__(self, pct: int = 2, salt: str = "dsir",
+                 key_col: str | None = None):
+        self.pct = pct
+        self.salt = salt
+        self.key_col = key_col  # None -> the pipeline's id_col
 
 
 def _doc_token_buckets(t: pa.Table, text_col: str, n_buckets: int,
@@ -110,6 +132,62 @@ def _histogram(ds_or_texts, text_col: str, n_buckets: int,
     return np.bincount(b, minlength=n_buckets).astype(np.int64)
 
 
+def _fused_histograms(ds, spec: HashSampleTarget, text_col: str,
+                      id_col: str, n_buckets: int, ngram: int):
+    """(target_hist, raw_hist) in ONE corpus pass: each batch tokenizes
+    once, bincounts all features AND the md5-sampled subset's features,
+    and emits nonzero (b, c, ct) 24-byte rows."""
+    import numpy as np
+
+    from .sampling import _md5_hash64_batch
+
+    key = spec.key_col or id_col
+    pct, salt = spec.pct, spec.salt
+
+    def partial(t: pa.Table) -> pa.Table:
+        parent, b = _doc_token_buckets(t, text_col, n_buckets, ngram)
+        in_tgt = (_md5_hash64_batch(t.column(key), salt)
+                  % np.uint64(100) < pct)
+        c = np.bincount(b, minlength=n_buckets).astype(np.int64)
+        ct = np.bincount(b[in_tgt[parent]],
+                         minlength=n_buckets).astype(np.int64)
+        nz = np.nonzero(c)[0]
+        return pa.table({
+            "b": pa.array(nz, type=pa.int64()),
+            "c": pa.array(c[nz], type=pa.int64()),
+            "ct": pa.array(ct[nz], type=pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("b").sum(["c", "ct"]).to_pandas())
+    r_hist = np.zeros(n_buckets, dtype=np.int64)
+    t_hist = np.zeros(n_buckets, dtype=np.int64)
+    if len(agg):
+        r_hist[agg["b"].to_numpy()] = agg["sum(c)"].to_numpy()
+        t_hist[agg["b"].to_numpy()] = agg["sum(ct)"].to_numpy()
+    return t_hist, r_hist
+
+
+def _log_ratio_ref(ds, target, text_col, id_col, n_buckets, alpha, ngram):
+    """Broadcast-ready log-ratio array (an ObjectRef) for both public
+    entry points; fuses the two histogram passes when ``target`` is a
+    :class:`HashSampleTarget`."""
+    import numpy as np
+    import ray
+
+    if isinstance(target, HashSampleTarget):
+        t_hist, r_hist = _fused_histograms(
+            ds, target, text_col, id_col, n_buckets, ngram)
+    else:
+        t_hist = _histogram(target, text_col, n_buckets, ngram)
+        r_hist = _histogram(ds, text_col, n_buckets, ngram)
+    log_ratio = (
+        np.log(t_hist + alpha) - np.log(float(t_hist.sum()) + alpha * n_buckets)
+        - np.log(r_hist + alpha) + np.log(float(r_hist.sum()) + alpha * n_buckets)
+    )
+    return ray.put(np.ascontiguousarray(log_ratio))
+
+
 def dsir_weights(ds, target, text_col: str = "text", id_col: str = "doc_id",
                  n_buckets: int = 65536, alpha: float = 1.0,
                  ngram: int = 1):
@@ -120,20 +198,17 @@ def dsir_weights(ds, target, text_col: str = "text", id_col: str = "doc_id",
     the document's token count.  Positive ``logw`` ⇒ the document looks
     more like the target sample than like the corpus average.
 
-    ``target``: iterable of strings or a Dataset with ``text_col`` — the
-    small domain-exemplar side.  ``ngram=2`` adds hashed word bigrams
-    (the DSIR paper's feature set; n_feats then counts uni+bigram
-    occurrences); the SQL oracle covers the unigram default."""
+    ``target``: iterable of strings, a Dataset with ``text_col``, or a
+    :class:`HashSampleTarget` (self-sample; fused single-pass
+    histograms) — the small domain-exemplar side.  ``ngram=2`` adds
+    hashed word bigrams (the DSIR paper's feature set; n_feats then
+    counts uni+bigram occurrences); the SQL oracle covers the unigram
+    default."""
     import numpy as np
     import ray
 
-    t_hist = _histogram(target, text_col, n_buckets, ngram)
-    r_hist = _histogram(ds, text_col, n_buckets, ngram)
-    log_ratio = (
-        np.log(t_hist + alpha) - np.log(float(t_hist.sum()) + alpha * n_buckets)
-        - np.log(r_hist + alpha) + np.log(float(r_hist.sum()) + alpha * n_buckets)
-    )
-    lref = ray.put(np.ascontiguousarray(log_ratio))
+    lref = _log_ratio_ref(ds, target, text_col, id_col, n_buckets,
+                          alpha, ngram)
     id_type = ds.schema().base_schema.field(id_col).type
 
     def weigh(t: pa.Table) -> pa.Table:
@@ -198,13 +273,8 @@ def dsir_select(ds, target, logw_threshold: float = 0.0,
     import numpy as np
     import ray
 
-    t_hist = _histogram(target, text_col, n_buckets, ngram)
-    r_hist = _histogram(ds, text_col, n_buckets, ngram)
-    log_ratio = (
-        np.log(t_hist + alpha) - np.log(float(t_hist.sum()) + alpha * n_buckets)
-        - np.log(r_hist + alpha) + np.log(float(r_hist.sum()) + alpha * n_buckets)
-    )
-    lref = ray.put(np.ascontiguousarray(log_ratio))
+    lref = _log_ratio_ref(ds, target, text_col, id_col, n_buckets,
+                          alpha, ngram)
 
     def keep(t: pa.Table) -> pa.Table:
         lr = ray.get(lref)

@@ -245,3 +245,27 @@ def test_dsir_bigram_features(ray_session):
         assert out.loc[i, "n_feats"] == len(ff)
         want = float(sum(lr[md5_hash64(f) % B] for f in ff))
         assert out.loc[i, "logw"] == pytest.approx(want, abs=1e-9)
+
+
+def test_dsir_fused_self_sample_target(ray_session):
+    """HashSampleTarget (one fused histogram pass) == an explicit
+    sample_by_hash Dataset target, bit for bit; ngram=2 too."""
+    import pandas as pd
+
+    from liblevenshtein_rust_ray.stages.sampling import sample_by_hash
+    from liblevenshtein_rust_ray.stages.selection import HashSampleTarget
+
+    texts = [f"cat dog w{i % 11} mouse zebra t{i % 3}" for i in range(60)]
+    docs = pa.table({
+        "doc_id": pa.array(range(60), type=pa.int64()),
+        "text": texts,
+    })
+    ds = rd.from_arrow(docs)
+    for ng in (1, 2):
+        a = (dsir_weights(ds, sample_by_hash(ds, "doc_id", pct=20, salt="s7"),
+                          n_buckets=B, ngram=ng)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (dsir_weights(ds, HashSampleTarget(pct=20, salt="s7"),
+                          n_buckets=B, ngram=ng)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
