@@ -1592,6 +1592,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
             max_tokens=256, n_groups=16)
 
+    def lm_ppl_docs(sf_dir):
+        """CCNet-style LM quality scoring: hashed-bigram LM (md5 bucket
+        family, add-1-smoothed unigram interpolation) trained on the
+        deterministic clean-reference sample (doc_id % 20 == 0), scoring
+        every document's logp + perplexity.  Exactly SQL-reproducible —
+        counts, smoothing and the per-token ln chain are mirrored in the
+        oracle (stages/lm.py)."""
+        import numpy as np
+        from liblevenshtein_rust_ray.stages.lm import lm_score
+
+        docs = _rd(sf_dir, "documents", ["doc_id", "text"])
+
+        def is_train(t: pa.Table) -> pa.Table:
+            keep = t.column("doc_id").to_numpy(zero_copy_only=False) % 20 == 0
+            return t.filter(pa.array(keep, type=pa.bool_()))
+
+        train = docs.map_batches(is_train, batch_format="pyarrow")
+        return lm_score(docs, train, "text", "doc_id", b1=4096, b2=65536)
+
     def dsir_weights_docs(sf_dir):
         """DSIR importance weights (Xie et al. 2023 hashed-unigram
         importance resampling — the standard LLM-data domain-selection
@@ -1654,6 +1673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct_docs": kmv_distinct_docs,
         "semdedup_embeddings": semdedup_embeddings,
         "dsir_weights_docs": dsir_weights_docs,
+        "lm_ppl_docs": lm_ppl_docs,
         # --- 31-40: oracle rows whose last driver check was r01 ---------
         "token_stats": token_stats,
         "quality_docs": quality_docs,
@@ -1675,11 +1695,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_selfjoin_part_ms_universal": fuzzy_selfjoin_part_ms_universal,
         "fuzzy_selfjoin_part_universal": fuzzy_selfjoin_part_universal,
         "fuzzy_selfjoin_part_ocr_restricted": fuzzy_selfjoin_part_ocr_restricted,
-        "fuzzy_selfjoin_part_ocr": fuzzy_selfjoin_part_ocr,
         # ----------------- below the driver's 50-slot window ------------
-        # (fuzzy_vocab_pairs_deletion and top_docs_by_tokens demoted to
-        # make room for dsir_weights_docs and pack_docs — both demotions
-        # already hold green driver rows from earlier rounds)
+        # (fuzzy_vocab_pairs_deletion, top_docs_by_tokens and the
+        # unrestricted _ocr twin demoted to make room for
+        # dsir_weights_docs, pack_docs and lm_ppl_docs — all three
+        # demotions already hold green driver rows from earlier rounds,
+        # and _ocr's generalized-automaton plan stays proven in-window
+        # by _ocr_restricted)
+        "fuzzy_selfjoin_part_ocr": fuzzy_selfjoin_part_ocr,
         "top_docs_by_tokens": top_docs_by_tokens,
         "fuzzy_vocab_pairs_deletion": fuzzy_vocab_pairs_deletion,
         # (all r02-green with driver rows, or no_oracle by nature;
@@ -2618,6 +2641,68 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS pack_id,
                    n_tokens
             FROM t
+        """,
+        # lm_ppl_docs: hashed-bigram LM (stages/lm.py semantics verbatim):
+        # train = docs with doc_id % 20 == 0; u(w)=md5%4096,
+        # g(v,w)=md5(v||' '||w)%65536, C_ctx over bigram contexts;
+        # p1=(c1+1)/(T1+4096); p(w|v)=(c2+1.0*p1(w))/(cctx+1.0);
+        # logp = ln p1(first) + sum ln p(w|prev); ppl=exp(-logp/max(n,1))
+        "lm_ppl_docs": """
+            WITH toks AS (SELECT doc_id,
+                                 unnest(regexp_extract_all(lower(text),
+                                                           '[a-z0-9]+')) AS tok,
+                                 generate_subscripts(
+                                     regexp_extract_all(lower(text),
+                                                        '[a-z0-9]+'), 1) AS pos
+                          FROM documents),
+                 tt AS (SELECT doc_id, tok, pos,
+                               lag(tok) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS prev
+                        FROM toks),
+                 tr AS (SELECT * FROM tt WHERE doc_id % 20 = 0),
+                 c1 AS (SELECT CAST(md5_number_lower(tok) % 4096 AS BIGINT) AS b,
+                               CAST(count(*) AS DOUBLE) AS n
+                        FROM tr GROUP BY 1),
+                 t1 AS (SELECT (SELECT coalesce(sum(n), 0) FROM c1) AS t),
+                 c2 AS (SELECT CAST(md5_number_lower(prev || ' ' || tok)
+                                    % 65536 AS BIGINT) AS b,
+                               CAST(count(*) AS DOUBLE) AS n
+                        FROM tr WHERE prev IS NOT NULL GROUP BY 1),
+                 cc AS (SELECT CAST(md5_number_lower(prev) % 4096 AS BIGINT) AS b,
+                               CAST(count(*) AS DOUBLE) AS n
+                        FROM tr WHERE prev IS NOT NULL GROUP BY 1),
+                 scored AS (SELECT tt.doc_id,
+                                   (coalesce(u.n, 0) + 1.0) / (t1.t + 4096)
+                                       AS p1,
+                                   coalesce(bg.n, 0) AS nbg,
+                                   coalesce(ctx.n, 0) AS nctx,
+                                   tt.prev IS NULL AS is_first
+                            FROM tt
+                            CROSS JOIN t1
+                            LEFT JOIN c1 u
+                              ON u.b = CAST(md5_number_lower(tt.tok) % 4096
+                                            AS BIGINT)
+                            LEFT JOIN c2 bg
+                              ON tt.prev IS NOT NULL
+                             AND bg.b = CAST(md5_number_lower(
+                                     tt.prev || ' ' || tt.tok) % 65536
+                                     AS BIGINT)
+                            LEFT JOIN cc ctx
+                              ON tt.prev IS NOT NULL
+                             AND ctx.b = CAST(md5_number_lower(tt.prev) % 4096
+                                              AS BIGINT)),
+                 w AS (SELECT doc_id,
+                              CAST(count(*) AS BIGINT) AS n_tokens,
+                              sum(CASE WHEN is_first THEN ln(p1)
+                                  ELSE ln((nbg + 1.0 * p1) / (nctx + 1.0))
+                                  END) AS logp
+                       FROM scored GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(w.n_tokens, 0) AS n_tokens,
+                   coalesce(w.logp, 0.0) AS logp,
+                   exp(-coalesce(w.logp, 0.0)
+                       / greatest(coalesce(w.n_tokens, 0), 1)) AS ppl
+            FROM documents d LEFT JOIN w USING (doc_id)
         """,
         # dsir_weights_docs: same tokenization as word_freq; bucket =
         # md5_number_lower(token) % 4096 (== functions.simhash.md5_hash64

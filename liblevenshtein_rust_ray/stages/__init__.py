@@ -23,6 +23,7 @@ from .sampling import rebalance_sources, sample_by_hash, split_by_hash
 from .selection import (HashSampleTarget, dsir_select,
                         dsir_top_frac_threshold, dsir_weights)
 from .textstats import bpe_token_stats, gopher_quality, pack_documents, redact_pii
+from .lm import lm_filter, lm_score
 from .spans import duplicated_spans, dup_span_fraction
 
 __all__ = [
@@ -51,6 +52,8 @@ __all__ = [
     "pack_documents",
     "dsir_top_frac_threshold",
     "HashSampleTarget",
+    "lm_score",
+    "lm_filter",
     "bpe_token_stats",
     "gopher_quality",
     "redact_pii",

@@ -1,0 +1,209 @@
+"""Hashed n-gram language-model perplexity scoring — the CCNet-style
+quality filter (Wenzek et al. 2020 filter corpora by LM perplexity
+against a clean reference; KenLM replaced here by an exactly-specified
+hashed bigram model so scores are deterministic and SQL-reproducible).
+
+Model (all hashing = md5 family == DuckDB ``md5_number_lower``):
+- unigram buckets  u(w) = md5(w) % B1           (dense int64[B1])
+- bigram buckets   g(v,w) = md5(v + ' ' + w) % B2  (dense int64[B2])
+- context counts   C_ctx[u(v)] = #train bigram occurrences with
+  context v (NOT the raw unigram count — a document's last token is a
+  context of nothing; both engines compute it identically)
+- p1(w)     = (C1[u(w)] + 1) / (T1 + B1)            add-1 smoothing
+- p(w | v)  = (C2[g(v,w)] + alpha * p1(w)) / (C_ctx[u(v)] + alpha)
+  (a bigram MLE interpolated toward the smoothed unigram; alpha is the
+  interpolation pseudo-count)
+- per doc: logp = ln p1(w_1) + sum_{i>=2} ln p(w_i | w_{i-1});
+  ppl = exp(-logp / max(n_tokens, 1)); empty docs score (0, 0.0, 1.0).
+
+Scale shape — identical skeleton to stages/selection.py (DSIR):
+- TRAIN side is the small clean reference; its three count tables are
+  built with (bucket, count) partial combiners (nothing doc-sized is
+  exchanged) and broadcast once via ``ray.put`` as dense numpy arrays
+  (B1=65,536 + B2=4,194,304 int64 ≈ 34 MB — one object-store entry,
+  zero-copy views in every task).
+- Scoring is ONE stateless ``map_batches`` pass: tokenize, hash the
+  DISTINCT tokens/bigrams of the batch (factorize first), gather the
+  three count arrays, one ``np.bincount`` per doc.  Filtering on ppl
+  composes as a pure per-row rule, so the whole filter streams.
+"""
+
+import pyarrow as pa
+
+__all__ = ["lm_score", "lm_filter"]
+
+
+def _doc_tokens(t: pa.Table, text_col: str):
+    """(parent_row_idx int64[], tokens object[]) — the shared
+    tokenization (lower + [a-z0-9]+), one entry per token occurrence in
+    document order."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    text = pc.coalesce(t.column(text_col), pa.scalar("", type=pa.string()))
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lower = pc.utf8_lower(text)
+    tok_lists = pc.split_pattern_regex(lower, pattern=r"[^a-z0-9]+")
+    flat = tok_lists.flatten()
+    counts = np.diff(tok_lists.offsets.to_numpy().astype(np.int64))
+    parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+    mask = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+    return parent[mask], flat.to_numpy(zero_copy_only=False)[mask]
+
+
+def _hash_mod(values, mod: int):
+    """md5_hash64 % mod per DISTINCT value (factorize first), int64."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.simhash import md5_hash64
+
+    codes, uniq = pd.factorize(pd.Series(values, dtype=object))
+    lut = np.fromiter((md5_hash64(u) % mod for u in uniq),
+                      dtype=np.int64, count=len(uniq))
+    return lut[codes] if len(codes) else np.zeros(0, dtype=np.int64)
+
+
+def _grams(parent, toks):
+    """(bigram_parent, context_tokens, bigram_strings) — consecutive
+    same-doc token pairs, space-joined like the SQL mirror."""
+    import numpy as np
+
+    if len(toks) < 2:
+        z = np.zeros(0, dtype=np.int64)
+        return z, np.array([], dtype=object), np.array([], dtype=object)
+    same = parent[1:] == parent[:-1]
+    u = toks.astype(str)
+    big = np.char.add(np.char.add(u[:-1], " "), u[1:])[same].astype(object)
+    return parent[:-1][same], toks[:-1][same], big
+
+
+def _train_counts(train, text_col: str, b1: int, b2: int):
+    """(C1, C2, C_ctx, T1) dense train-count arrays.
+
+    ``train``: iterable of strings (driver-side) or a Dataset with
+    ``text_col`` (streamed via (bucket, count) partial combiners)."""
+    import numpy as np
+
+    def batch_counts(t: pa.Table):
+        parent, toks = _doc_tokens(t, text_col)
+        u = _hash_mod(toks, b1)
+        _, ctx, big = _grams(parent, toks)
+        g = _hash_mod(big, b2)
+        cu = _hash_mod(ctx, b1)
+        return (np.bincount(u, minlength=b1).astype(np.int64),
+                np.bincount(g, minlength=b2).astype(np.int64),
+                np.bincount(cu, minlength=b1).astype(np.int64))
+
+    if hasattr(train, "map_batches"):
+        def partial(t: pa.Table) -> pa.Table:
+            c1, c2, cc = batch_counts(t)
+            out = []
+            for tag, arr in (("u", c1), ("g", c2), ("c", cc)):
+                nz = np.nonzero(arr)[0]
+                out.append(pa.table({
+                    "tag": pa.array([tag] * len(nz), type=pa.string()),
+                    "b": pa.array(nz, type=pa.int64()),
+                    "n": pa.array(arr[nz], type=pa.int64()),
+                }))
+            return pa.concat_tables(out)
+
+        agg = (train.map_batches(partial, batch_format="pyarrow")
+               .groupby(["tag", "b"]).sum("n").to_pandas())
+        c1 = np.zeros(b1, dtype=np.int64)
+        c2 = np.zeros(b2, dtype=np.int64)
+        cc = np.zeros(b1, dtype=np.int64)
+        for tag, arr in (("u", c1), ("g", c2), ("c", cc)):
+            part = agg[agg["tag"] == tag]
+            arr[part["b"].to_numpy()] = part["sum(n)"].to_numpy()
+    else:
+        t = pa.table({text_col: pa.array(list(train), type=pa.string())})
+        c1, c2, cc = batch_counts(t)
+    return c1, c2, cc, int(c1.sum())
+
+
+def lm_score(ds, train, text_col: str = "text", id_col: str = "doc_id",
+             b1: int = 65536, b2: int = 4_194_304, alpha: float = 1.0):
+    """Dataset[(id_col, n_tokens, logp, ppl)] — hashed-bigram LM score
+    of every document under a model counted from ``train`` (the small
+    clean-reference side).  Low ``ppl`` ⇒ the document reads like the
+    reference corpus; filter with :func:`lm_filter` or any threshold."""
+    import numpy as np
+    import ray
+
+    c1, c2, cc, t1 = _train_counts(train, text_col, b1, b2)
+    refs = [ray.put(np.ascontiguousarray(a)) for a in (c1, c2, cc)]
+    id_type = ds.schema().base_schema.field(id_col).type
+
+    def score(t: pa.Table) -> pa.Table:
+        C1, C2, CC = (ray.get(r) for r in refs)  # zero-copy views
+        parent, toks = _doc_tokens(t, text_col)
+        n_tok = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        u = _hash_mod(toks, b1)
+        p1 = (C1[u] + 1.0) / (t1 + b1)
+        logp = np.zeros(t.num_rows, dtype=np.float64)
+        # first token of every doc: ln p1
+        if len(parent):
+            first = np.ones(len(parent), dtype=bool)
+            first[1:] = parent[1:] != parent[:-1]
+            logp += np.bincount(parent[first], weights=np.log(p1[first]),
+                                minlength=t.num_rows)
+        gp, ctx, big = _grams(parent, toks)
+        if len(big):
+            g = _hash_mod(big, b2)
+            cu = _hash_mod(ctx, b1)
+            # p1 of the FOLLOWING token: positions of bigram second
+            # elements are the non-first tokens in doc order
+            w_p1 = p1[~first]
+            cond = (C2[g] + alpha * w_p1) / (CC[cu] + alpha)
+            logp += np.bincount(gp, weights=np.log(cond),
+                                minlength=t.num_rows)
+        ppl = np.exp(-logp / np.maximum(n_tok, 1))
+        return pa.table({
+            id_col: t.column(id_col).combine_chunks()
+            if isinstance(t.column(id_col), pa.ChunkedArray)
+            else t.column(id_col),
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "logp": pa.array(logp, type=pa.float64()),
+            "ppl": pa.array(ppl, type=pa.float64()),
+        }, schema=pa.schema([(id_col, id_type), ("n_tokens", pa.int64()),
+                             ("logp", pa.float64()), ("ppl", pa.float64())]))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def lm_filter(ds, train, max_ppl: float, text_col: str = "text",
+              id_col: str = "doc_id", b1: int = 65536,
+              b2: int = 4_194_304, alpha: float = 1.0):
+    """Corpus rows (full schema) with LM perplexity ≤ ``max_ppl`` — the
+    CCNet keep rule as a stateless streaming filter."""
+    import numpy as np
+    import ray
+
+    c1, c2, cc, t1 = _train_counts(train, text_col, b1, b2)
+    refs = [ray.put(np.ascontiguousarray(a)) for a in (c1, c2, cc)]
+
+    def keep(t: pa.Table) -> pa.Table:
+        C1, C2, CC = (ray.get(r) for r in refs)
+        parent, toks = _doc_tokens(t, text_col)
+        n_tok = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        u = _hash_mod(toks, b1)
+        p1 = (C1[u] + 1.0) / (t1 + b1)
+        logp = np.zeros(t.num_rows, dtype=np.float64)
+        if len(parent):
+            first = np.ones(len(parent), dtype=bool)
+            first[1:] = parent[1:] != parent[:-1]
+            logp += np.bincount(parent[first], weights=np.log(p1[first]),
+                                minlength=t.num_rows)
+            gp, ctx, big = _grams(parent, toks)
+            if len(big):
+                g = _hash_mod(big, b2)
+                cu = _hash_mod(ctx, b1)
+                cond = (C2[g] + alpha * p1[~first]) / (CC[cu] + alpha)
+                logp += np.bincount(gp, weights=np.log(cond),
+                                    minlength=t.num_rows)
+        ppl = np.exp(-logp / np.maximum(n_tok, 1))
+        return t.filter(pa.array(ppl <= max_ppl, type=pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1,0 +1,98 @@
+"""Hashed-bigram LM perplexity scoring (stages/lm.py)."""
+
+import math
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from liblevenshtein_rust_ray.functions.simhash import md5_hash64
+from liblevenshtein_rust_ray.stages.lm import lm_filter, lm_score
+
+B1, B2, ALPHA = 256, 4096, 1.0
+
+CORPUS = ["the cat sat on the mat", "dog mouse dog mouse", "",
+          "the the the", "zebra", "cat on mat the cat sat"]
+TRAIN = ["the cat sat", "the mat", "cat on the mat"]
+
+
+def _toks(x):
+    return [t for t in re.split(r"[^a-z0-9]+", (x or "").lower()) if t]
+
+
+def _ref_scores(corpus, train):
+    c1 = np.zeros(B1, dtype=np.int64)
+    c2 = np.zeros(B2, dtype=np.int64)
+    cc = np.zeros(B1, dtype=np.int64)
+    for x in train:
+        tt = _toks(x)
+        for w in tt:
+            c1[md5_hash64(w) % B1] += 1
+        for v, w in zip(tt, tt[1:]):
+            c2[md5_hash64(f"{v} {w}") % B2] += 1
+            cc[md5_hash64(v) % B1] += 1
+    t1 = int(c1.sum())
+
+    def p1(w):
+        return (c1[md5_hash64(w) % B1] + 1.0) / (t1 + B1)
+
+    out = []
+    for x in corpus:
+        tt = _toks(x)
+        if not tt:
+            out.append((0, 0.0, 1.0))
+            continue
+        lp = math.log(p1(tt[0]))
+        for v, w in zip(tt, tt[1:]):
+            num = c2[md5_hash64(f"{v} {w}") % B2] + ALPHA * p1(w)
+            den = cc[md5_hash64(v) % B1] + ALPHA
+            lp += math.log(num / den)
+        out.append((len(tt), lp, math.exp(-lp / len(tt))))
+    return out
+
+
+def test_lm_score_matches_reference(ray_session):
+    docs = pa.table({
+        "doc_id": pa.array(range(len(CORPUS)), type=pa.int64()),
+        "text": CORPUS,
+    })
+    out = (lm_score(rd.from_arrow(docs), TRAIN, b1=B1, b2=B2, alpha=ALPHA)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    ref = _ref_scores(CORPUS, TRAIN)
+    for i, (n, lp, ppl) in enumerate(ref):
+        assert out.loc[i, "n_tokens"] == n
+        assert out.loc[i, "logp"] == pytest.approx(lp, abs=1e-9)
+        assert out.loc[i, "ppl"] == pytest.approx(ppl, abs=1e-9)
+    # train-lookalike text scores lower perplexity than off-domain text
+    assert out.loc[0, "ppl"] < out.loc[1, "ppl"]
+
+
+def test_lm_train_dataset_equals_iterable(ray_session):
+    docs = pa.table({
+        "doc_id": pa.array(range(len(CORPUS)), type=pa.int64()),
+        "text": CORPUS,
+    })
+    tr_ds = rd.from_arrow(pa.table({"text": TRAIN}))
+    a = (lm_score(rd.from_arrow(docs), TRAIN, b1=B1, b2=B2)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (lm_score(rd.from_arrow(docs), tr_ds, b1=B1, b2=B2)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(a["logp"]) == list(b["logp"])
+    assert list(a["ppl"]) == list(b["ppl"])
+
+
+def test_lm_filter_is_threshold(ray_session):
+    docs = pa.table({
+        "doc_id": pa.array(range(len(CORPUS)), type=pa.int64()),
+        "text": CORPUS,
+        "extra": [f"e{i}" for i in range(len(CORPUS))],
+    })
+    scores = (lm_score(rd.from_arrow(docs), TRAIN, b1=B1, b2=B2)
+              .to_pandas().set_index("doc_id")["ppl"])
+    thr = float(scores.median())
+    kept = lm_filter(rd.from_arrow(docs), TRAIN, max_ppl=thr,
+                     b1=B1, b2=B2).to_pandas()
+    assert set(kept["doc_id"]) == set(scores[scores <= thr].index)
+    assert list(kept.columns) == ["doc_id", "text", "extra"]
