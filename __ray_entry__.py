@@ -2644,7 +2644,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # lm_ppl_docs: hashed-bigram LM (stages/lm.py semantics verbatim):
         # train = docs with doc_id % 20 == 0; u(w)=md5%4096,
-        # g(v,w)=md5(v||' '||w)%65536, C_ctx over bigram contexts;
+        # g(v,w)=((md5(v)%2^20)*2^20 + md5(w)%2^20) % 65536 (arithmetic
+        # combine so Python hashes distinct tokens only; products < 2^40
+        # so DuckDB's non-wrapping UBIGINT math matches numpy exactly),
+        # C_ctx over bigram contexts;
         # p1=(c1+1)/(T1+4096); p(w|v)=(c2+1.0*p1(w))/(cctx+1.0);
         # logp = ln p1(first) + sum ln p(w|prev); ppl=exp(-logp/max(n,1))
         "lm_ppl_docs": """
@@ -2664,7 +2667,9 @@ def oracle_sql() -> dict[str, str]:
                                CAST(count(*) AS DOUBLE) AS n
                         FROM tr GROUP BY 1),
                  t1 AS (SELECT (SELECT coalesce(sum(n), 0) FROM c1) AS t),
-                 c2 AS (SELECT CAST(md5_number_lower(prev || ' ' || tok)
+                 c2 AS (SELECT CAST(((md5_number_lower(prev) % 1048576)
+                                     * 1048576
+                                     + md5_number_lower(tok) % 1048576)
                                     % 65536 AS BIGINT) AS b,
                                CAST(count(*) AS DOUBLE) AS n
                         FROM tr WHERE prev IS NOT NULL GROUP BY 1),
@@ -2684,9 +2689,11 @@ def oracle_sql() -> dict[str, str]:
                                             AS BIGINT)
                             LEFT JOIN c2 bg
                               ON tt.prev IS NOT NULL
-                             AND bg.b = CAST(md5_number_lower(
-                                     tt.prev || ' ' || tt.tok) % 65536
-                                     AS BIGINT)
+                             AND bg.b = CAST(
+                                     ((md5_number_lower(tt.prev) % 1048576)
+                                      * 1048576
+                                      + md5_number_lower(tt.tok) % 1048576)
+                                     % 65536 AS BIGINT)
                             LEFT JOIN cc ctx
                               ON tt.prev IS NOT NULL
                              AND ctx.b = CAST(md5_number_lower(tt.prev) % 4096

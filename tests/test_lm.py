@@ -26,12 +26,13 @@ def _ref_scores(corpus, train):
     c1 = np.zeros(B1, dtype=np.int64)
     c2 = np.zeros(B2, dtype=np.int64)
     cc = np.zeros(B1, dtype=np.int64)
+    M = 1 << 20
     for x in train:
         tt = _toks(x)
         for w in tt:
             c1[md5_hash64(w) % B1] += 1
         for v, w in zip(tt, tt[1:]):
-            c2[md5_hash64(f"{v} {w}") % B2] += 1
+            c2[((md5_hash64(v) % M) * M + md5_hash64(w) % M) % B2] += 1
             cc[md5_hash64(v) % B1] += 1
     t1 = int(c1.sum())
 
@@ -46,7 +47,8 @@ def _ref_scores(corpus, train):
             continue
         lp = math.log(p1(tt[0]))
         for v, w in zip(tt, tt[1:]):
-            num = c2[md5_hash64(f"{v} {w}") % B2] + ALPHA * p1(w)
+            g = ((md5_hash64(v) % M) * M + md5_hash64(w) % M) % B2
+            num = c2[g] + ALPHA * p1(w)
             den = cc[md5_hash64(v) % B1] + ALPHA
             lp += math.log(num / den)
         out.append((len(tt), lp, math.exp(-lp / len(tt))))
