@@ -233,6 +233,41 @@ def cmd_run_dsir(args) -> int:
     return 0
 
 
+def cmd_run_lm(args) -> int:
+    import os
+
+    import ray
+
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address=args.address, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data as rd
+
+    from .pipelines.context import configure_data_context
+    from .stages.lm import lm_filter
+    from .stages.sampling import sample_by_hash
+
+    configure_data_context()
+    corpus = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    if args.train:
+        train = rd.read_parquet(args.train, columns=[args.text_col])
+    else:
+        train = sample_by_hash(corpus, args.id_col,
+                               pct=args.train_pct, salt="lm")
+    kept = lm_filter(corpus, train, max_ppl=args.max_ppl,
+                     text_col=args.text_col, id_col=args.id_col)
+    kept.write_parquet(args.output)
+    n_in = corpus.count()
+    n_kept = rd.read_parquet(args.output).count()
+    print(json.dumps({"docs": n_in, "kept": n_kept,
+                      "dropped": n_in - n_kept, "output": args.output}))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="liblevenshtein_rust_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -333,6 +368,23 @@ def main(argv=None) -> int:
                     help="keep docs with logw >= threshold")
     dz.add_argument("--address", default="local")
     dz.set_defaults(fn=cmd_run_dsir)
+
+    lp = sub.add_parser(
+        "run-lm",
+        help="LM-perplexity quality filter (CCNet-style hashed bigram LM)")
+    lp.add_argument("--input", required=True,
+                    help="documents parquet path/dir")
+    lp.add_argument("--output", required=True)
+    lp.add_argument("--train", default=None,
+                    help="clean-reference parquet (small side); default: a "
+                         "deterministic md5 sample of the input itself")
+    lp.add_argument("--train-pct", type=int, default=2)
+    lp.add_argument("--id-col", default="doc_id")
+    lp.add_argument("--text-col", default="text")
+    lp.add_argument("--max-ppl", type=float, required=True,
+                    help="keep docs with perplexity <= this")
+    lp.add_argument("--address", default="local")
+    lp.set_defaults(fn=cmd_run_lm)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -98,3 +98,37 @@ def test_lm_filter_is_threshold(ray_session):
                      b1=B1, b2=B2).to_pandas()
     assert set(kept["doc_id"]) == set(scores[scores <= thr].index)
     assert list(kept.columns) == ["doc_id", "text", "extra"]
+
+
+def test_run_lm_cli(ray_session, tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from liblevenshtein_rust_ray.cli import main
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(CORPUS)), type=pa.int64()),
+        "text": CORPUS,
+    }), str(src / "d.parquet"))
+    tr = tmp_path / "train"
+    tr.mkdir()
+    pq.write_table(pa.table({"text": TRAIN}), str(tr / "t.parquet"))
+    out = tmp_path / "kept"
+    ref = _ref_scores(CORPUS, TRAIN)
+    thr = sorted(p for _, _, p in ref)[len(ref) // 2]
+    rc = main(["run-lm", "--input", str(src), "--train", str(tr),
+               "--output", str(out), "--max-ppl", str(thr)])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["docs"] == len(CORPUS)
+    # NB: CLI uses default b1/b2 buckets, so compare against the same
+    # model at defaults, not the tiny-bucket _ref model
+    w = lm_score(
+        rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(CORPUS)), type=pa.int64()),
+            "text": CORPUS})),
+        TRAIN).to_pandas()
+    assert payload["kept"] == int((w["ppl"] <= thr).sum())
