@@ -247,6 +247,12 @@ def dsir_top_frac_threshold(weights_ds, frac: float, id_col: str = "doc_id",
 
     from .sampling import sample_by_hash
 
+    # materialize once: count() + the sampled read below would otherwise
+    # EXECUTE the multi-pass weights pipeline twice.  The weights table
+    # is ~24 B/doc; for a corpus too large to hold even that in the
+    # object store, compute n upstream and pass a pre-sampled
+    # weights_ds instead of paying this materialization.
+    weights_ds = weights_ds.materialize()
     n = weights_ds.count()
     ds_w = weights_ds
     if n > max_driver_rows:

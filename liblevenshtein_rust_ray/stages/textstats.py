@@ -728,6 +728,10 @@ def pack_documents(ds, text_col: str = "text", id_col: str = "doc_id",
         df["pack_id"] = (cum // max_tokens).astype("int64")
         return df[[id_col, "grp", "pack_id", "n_tokens"]]
 
+    # exchange buckets scale WITH n_groups (a fixed 64 would put N/64
+    # rows in every reduce task no matter how many groups the caller
+    # sized for their cluster); cap bounds the tiny-input dispatch count
     return bucketed_apply(
         ds.map_batches(counts, batch_format="pyarrow"),
-        "grp", pack, empty_result=_empty)
+        "grp", pack, n_buckets=max(64, min(n_groups, 65536)),
+        empty_result=_empty)
