@@ -1592,6 +1592,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _rd(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
             max_tokens=256, n_groups=16)
 
+    def decontaminate_embeddings_q(sf_dir):
+        """Semantic decontamination (decontaminate's embedding twin —
+        catches paraphrase contamination that shingle overlap misses):
+        corpus vectors (vec_id % 20 != 0) surviving max-cosine < 0.42
+        against the broadcast benchmark side (vec_id % 20 == 0).  One
+        stateless matmul+row-max pass, exact list_cosine_similarity
+        NOT-EXISTS SQL mirror."""
+        import numpy as np
+        from liblevenshtein_rust_ray.stages.similarity import (
+            decontaminate_embeddings)
+
+        emb = _rd(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+        def part(t, want_bench):
+            keep = (t.column("vec_id").to_numpy(zero_copy_only=False)
+                    % 20 == 0) == want_bench
+            return t.filter(pa.array(keep, type=pa.bool_()))
+
+        corpus = emb.map_batches(lambda t: part(t, False),
+                                 batch_format="pyarrow")
+        bench = emb.map_batches(lambda t: part(t, True),
+                                batch_format="pyarrow")
+        return decontaminate_embeddings(
+            corpus, bench, "embedding", threshold=0.42,
+        ).select_columns(["vec_id"])
+
     def lm_ppl_docs(sf_dir):
         """CCNet-style LM quality scoring: hashed-bigram LM (md5 bucket
         family, add-1-smoothed unigram interpolation) trained on the
@@ -1674,6 +1700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_embeddings": semdedup_embeddings,
         "dsir_weights_docs": dsir_weights_docs,
         "lm_ppl_docs": lm_ppl_docs,
+        "decontaminate_embeddings": decontaminate_embeddings_q,
         # --- 31-40: oracle rows whose last driver check was r01 ---------
         "token_stats": token_stats,
         "quality_docs": quality_docs,
@@ -1693,15 +1720,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_selfjoin_part_transposition_d1": fuzzy_selfjoin_part_transposition_d1,
         "fuzzy_selfjoin_part_merge_split": fuzzy_selfjoin_part_merge_split,
         "fuzzy_selfjoin_part_ms_universal": fuzzy_selfjoin_part_ms_universal,
-        "fuzzy_selfjoin_part_universal": fuzzy_selfjoin_part_universal,
         "fuzzy_selfjoin_part_ocr_restricted": fuzzy_selfjoin_part_ocr_restricted,
         # ----------------- below the driver's 50-slot window ------------
         # (fuzzy_vocab_pairs_deletion, top_docs_by_tokens and the
-        # unrestricted _ocr twin demoted to make room for
-        # dsir_weights_docs, pack_docs and lm_ppl_docs — all three
-        # demotions already hold green driver rows from earlier rounds,
-        # and _ocr's generalized-automaton plan stays proven in-window
-        # by _ocr_restricted)
+        # _ocr / _universal twins demoted to make room for
+        # dsir_weights_docs, pack_docs, lm_ppl_docs and
+        # decontaminate_embeddings — every demotion already holds a
+        # green driver row from earlier rounds, and each demoted plan
+        # stays proven in-window by its sibling (_ocr_restricted,
+        # _ms_universal))
+        "fuzzy_selfjoin_part_universal": fuzzy_selfjoin_part_universal,
         "fuzzy_selfjoin_part_ocr": fuzzy_selfjoin_part_ocr,
         "top_docs_by_tokens": top_docs_by_tokens,
         "fuzzy_vocab_pairs_deletion": fuzzy_vocab_pairs_deletion,
@@ -2641,6 +2669,19 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS pack_id,
                    n_tokens
             FROM t
+        """,
+        # decontaminate_embeddings: corpus (vec_id % 20 != 0) minus rows
+        # with cosine >= 0.42 to any bench vector (vec_id % 20 == 0)
+        "decontaminate_embeddings": """
+            SELECT c.vec_id
+            FROM embeddings c
+            WHERE c.vec_id % 20 <> 0
+              AND NOT EXISTS (
+                  SELECT 1 FROM embeddings b
+                  WHERE b.vec_id % 20 = 0
+                    AND list_cosine_similarity(
+                            CAST(c.embedding AS DOUBLE[]),
+                            CAST(b.embedding AS DOUBLE[])) >= 0.42)
         """,
         # lm_ppl_docs: hashed-bigram LM (stages/lm.py semantics verbatim):
         # train = docs with doc_id % 20 == 0; u(w)=md5%4096,

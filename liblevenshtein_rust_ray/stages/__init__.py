@@ -17,7 +17,8 @@ from .urls import (
     url_snapshot_dedup,
 )
 from .sketch import kmv_distinct_shingles
-from .similarity import ann_brute_topk, ann_ivf_topk, ann_lsh_topk, semdedup
+from .similarity import (ann_brute_topk, ann_ivf_topk, ann_lsh_topk,
+                         decontaminate_embeddings, semdedup)
 from .modelscore import model_score
 from .sampling import rebalance_sources, sample_by_hash, split_by_hash
 from .selection import (HashSampleTarget, dsir_select,
@@ -54,6 +55,7 @@ __all__ = [
     "HashSampleTarget",
     "lm_score",
     "lm_filter",
+    "decontaminate_embeddings",
     "bpe_token_stats",
     "gopher_quality",
     "redact_pii",

@@ -399,3 +399,56 @@ def semdedup(
     import ray.data as rd
 
     return out.union(rd.from_arrow(empty))
+
+
+def decontaminate_embeddings(ds, bench, vec_col: str = "embedding",
+                             threshold: float = 0.9,
+                             max_bench_mb: int = 2048):
+    """Semantic decontamination — drop corpus rows whose embedding has
+    cosine ≥ ``threshold`` to ANY benchmark/eval-set embedding
+    (survivors pass through with their full schema).  The semantic twin
+    of ``dedup.decontaminate``'s shingle-hash overlap rule: catches
+    paraphrased eval contamination that exact n-gram overlap misses.
+
+    Scale shape: the benchmark is the SMALL side by definition — its
+    L2-normalized (m, dim) float64 matrix is built once and broadcast
+    via ``ray.put`` (buffer-backed, zero-copy per-task views); the
+    corpus streams through ONE stateless ``map_batches`` whose kernel
+    is a single (batch × bench) matmul + row-max — no shuffle, nothing
+    corpus-sized crosses the network.  ``max_bench_mb`` guards the
+    broadcast (an eval set past that belongs in an LSH/IVF pre-screen:
+    bucket the bench side with ``ann_lsh_topk``'s planes and verify
+    only co-bucketed candidates — same stage shape).
+
+    ``bench``: a Dataset with ``vec_col`` or an (m, dim) array-like."""
+    import ray
+
+    if hasattr(bench, "iter_batches"):
+        mats = [
+            _list_col_matrix(b.column(vec_col))
+            for b in bench.select_columns([vec_col]).iter_batches(
+                batch_size=65536, batch_format="pyarrow")
+        ]
+        bm = (np.vstack([m for m in mats if m.size])
+              if any(m.size for m in mats)
+              else np.empty((0, 0), dtype=np.float64))
+    else:
+        bm = np.asarray(bench, dtype=np.float64)
+    if bm.size and bm.nbytes > max_bench_mb * (1 << 20):
+        raise ValueError(
+            f"decontaminate_embeddings: benchmark matrix is "
+            f"{bm.nbytes >> 20} MiB > max_bench_mb={max_bench_mb}; "
+            f"pre-screen the bench side with an LSH/IVF bucketing "
+            f"instead of one dense broadcast")
+    bref = ray.put(np.ascontiguousarray(_normalize(bm).T)
+                   if bm.size else bm)
+
+    def keep(t: pa.Table) -> pa.Table:
+        bt = ray.get(bref)  # (dim, m) zero-copy view
+        if bt.size == 0:
+            return t
+        cm = _normalize(_list_col_matrix(t.column(vec_col)))
+        max_sim = (cm @ bt).max(axis=1) if cm.size else np.zeros(0)
+        return t.filter(pa.array(max_sim < threshold, type=pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

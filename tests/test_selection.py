@@ -269,3 +269,53 @@ def test_dsir_fused_self_sample_target(ray_session):
                           n_buckets=B, ngram=ng)
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------
+# decontaminate_embeddings (similarity.py — semantic decontamination)
+
+def test_decontaminate_embeddings(ray_session):
+    from liblevenshtein_rust_ray.stages.similarity import (
+        decontaminate_embeddings)
+
+    def v(*xs):
+        return list(map(float, xs))
+
+    corpus = pa.table({
+        "vec_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "embedding": pa.array(
+            [v(1, 0), v(0.9, 0.1), v(0, 1), v(-1, 0)],
+            type=pa.list_(pa.float32())),
+        "extra": ["a", "b", "c", "d"],
+    })
+    bench = pa.table({
+        "embedding": pa.array([v(2, 0)], type=pa.list_(pa.float32())),
+    })
+    kept = decontaminate_embeddings(
+        rd.from_arrow(corpus), rd.from_arrow(bench),
+        threshold=0.95).to_pandas()
+    # cos to (1,0): id1=1.0 dropped, id2=0.994 dropped, id3=0, id4=-1
+    assert sorted(kept["vec_id"]) == [3, 4]
+    assert list(kept.columns) == ["vec_id", "embedding", "extra"]
+    # array-like bench side and empty bench behave
+    kept2 = decontaminate_embeddings(
+        rd.from_arrow(corpus), [[2.0, 0.0]], threshold=0.95).to_pandas()
+    assert sorted(kept2["vec_id"]) == [3, 4]
+    all_kept = decontaminate_embeddings(
+        rd.from_arrow(corpus), np.empty((0, 0)), threshold=0.95
+    ).to_pandas()
+    assert len(all_kept) == 4
+
+
+def test_decontaminate_embeddings_bench_guard(ray_session):
+    from liblevenshtein_rust_ray.stages.similarity import (
+        decontaminate_embeddings)
+
+    corpus = pa.table({
+        "vec_id": pa.array([1], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0]], type=pa.list_(pa.float32())),
+    })
+    big = np.ones((1024, 256))
+    with pytest.raises(ValueError, match="max_bench_mb"):
+        decontaminate_embeddings(rd.from_arrow(corpus), big,
+                                 max_bench_mb=1)
