@@ -132,3 +132,25 @@ def test_run_lm_cli(ray_session, tmp_path, capsys):
             "text": CORPUS})),
         TRAIN).to_pandas()
     assert payload["kept"] == int((w["ppl"] <= thr).sum())
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(alphabet="ab c1.!", min_size=0, max_size=30),
+                min_size=1, max_size=10))
+def test_lm_score_property(ray_session, texts):
+    """lm_score == the pure-Python reference on random corpora
+    (train = first half, never empty)."""
+    train = texts[: max(1, len(texts) // 2)]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": texts,
+    })
+    out = (lm_score(rd.from_arrow(docs), train, b1=B1, b2=B2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, (n, lp, ppl) in enumerate(_ref_scores(texts, train)):
+        assert out.loc[i, "n_tokens"] == n
+        assert out.loc[i, "logp"] == pytest.approx(lp, abs=1e-9)
+        assert out.loc[i, "ppl"] == pytest.approx(ppl, abs=1e-9)

@@ -319,3 +319,60 @@ def test_decontaminate_embeddings_bench_guard(ray_session):
     with pytest.raises(ValueError, match="max_bench_mb"):
         decontaminate_embeddings(rd.from_arrow(corpus), big,
                                  max_bench_mb=1)
+
+
+# ---------------------------------------------------------------------
+# randomized property sweeps (the repo's Hypothesis discipline)
+
+from hypothesis import given, settings, strategies as st
+
+_texts = st.lists(
+    st.text(alphabet="ab c1.!", min_size=0, max_size=30),
+    min_size=1, max_size=10)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_texts)
+def test_dsir_weights_property(ray_session, texts):
+    """dsir_weights == the pure-Python reference on random corpora
+    (target = first half, never empty)."""
+    target = texts[: max(1, len(texts) // 2)]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": texts,
+    })
+    out = (dsir_weights(rd.from_arrow(docs), target, n_buckets=B)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    ref = _ref_weights(texts, target)
+    assert list(out["n_feats"]) == [n for n, _ in ref]
+    for got, (_, want) in zip(out["logw"], ref):
+        assert got == pytest.approx(want, abs=1e-9)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_texts, st.integers(min_value=1, max_value=7),
+       st.integers(min_value=1, max_value=5))
+def test_pack_documents_property(ray_session, texts, max_tokens, n_groups):
+    """Every doc packed exactly once; the rule reproduces the pure-Python
+    cumsum reference for random inputs and knob settings."""
+    import re
+
+    from liblevenshtein_rust_ray.functions.simhash import md5_hash64
+    from liblevenshtein_rust_ray.stages.textstats import pack_documents
+
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": texts,
+    })
+    out = (pack_documents(rd.from_arrow(docs), max_tokens=max_tokens,
+                          n_groups=n_groups)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == len(texts)
+    cum: dict[int, int] = {}
+    for i, x in enumerate(texts):
+        n = len([t for t in re.split(r"[^a-z0-9]+", x.lower()) if t])
+        g = md5_hash64(str(i)) % n_groups
+        before = cum.get(g, 0)
+        cum[g] = before + n
+        assert (out.loc[i, "grp"], out.loc[i, "pack_id"],
+                out.loc[i, "n_tokens"]) == (g, before // max_tokens, n)
