@@ -1712,23 +1712,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": lang_counts,
         "ann_cosine_topk": ann_cosine_topk,
         "q1": q1,
-        "revenue_by_segment": revenue_by_segment,
-        "events_hourly": events_hourly,
-        # --- 40-50: kernel-variant fuzzy queries (r02-green refresh) ----
+        # --- 41-50: kernel-variant fuzzy queries — one slot per ALGORITHM
+        # FAMILY (standard, transposition d2+d1, merge-split, restricted
+        # weighted ops) ---
         "fuzzy_selfjoin_part": fuzzy_selfjoin_part,
         "fuzzy_selfjoin_part_transposition": fuzzy_selfjoin_part_transposition,
         "fuzzy_selfjoin_part_transposition_d1": fuzzy_selfjoin_part_transposition_d1,
         "fuzzy_selfjoin_part_merge_split": fuzzy_selfjoin_part_merge_split,
-        "fuzzy_selfjoin_part_ms_universal": fuzzy_selfjoin_part_ms_universal,
         "fuzzy_selfjoin_part_ocr_restricted": fuzzy_selfjoin_part_ocr_restricted,
         # ----------------- below the driver's 50-slot window ------------
-        # (fuzzy_vocab_pairs_deletion, top_docs_by_tokens and the
-        # _ocr / _universal twins demoted to make room for
-        # dsir_weights_docs, pack_docs, lm_ppl_docs and
-        # decontaminate_embeddings — every demotion already holds a
-        # green driver row from earlier rounds, and each demoted plan
-        # stays proven in-window by its sibling (_ocr_restricted,
-        # _ms_universal))
+        # (demoted to make room for dsir_weights_docs, pack_docs,
+        # lm_ppl_docs and decontaminate_embeddings: the relational pair
+        # revenue_by_segment/events_hourly, fuzzy_vocab_pairs_deletion,
+        # top_docs_by_tokens, and the _ocr/_universal/_ms_universal
+        # twins — every demotion already holds a green driver row from
+        # earlier rounds, and each demoted kernel plan stays proven
+        # in-window by its sibling (_ocr_restricted, _merge_split))
+        "revenue_by_segment": revenue_by_segment,
+        "events_hourly": events_hourly,
+        "fuzzy_selfjoin_part_ms_universal": fuzzy_selfjoin_part_ms_universal,
         "fuzzy_selfjoin_part_universal": fuzzy_selfjoin_part_universal,
         "fuzzy_selfjoin_part_ocr": fuzzy_selfjoin_part_ocr,
         "top_docs_by_tokens": top_docs_by_tokens,
@@ -2904,16 +2906,28 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id) <= 5
         """,
+        # exact integer-cents accumulation, mirroring pipelines/
+        # relational.py::q1_lineitem — float money sums are
+        # associativity-dependent and flipped a round(·,2) boundary by
+        # one cent between Ray's partial order and DuckDB's scan order
         "q1": """
+            WITH l AS (SELECT l_returnflag, l_linestatus,
+                              CAST(round(l_quantity) AS BIGINT) AS qty,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                  AS epc,
+                              CAST(round(l_discount * 100) AS BIGINT) AS d100,
+                              CAST(round(l_tax * 100) AS BIGINT) AS t100
+                       FROM lineitem
+                       WHERE l_shipdate <= TIMESTAMP '1998-09-02')
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   round(sum(l_discount) / count(*), 6) AS avg_disc,
+                   CAST(sum(qty) AS DOUBLE) AS sum_qty,
+                   sum(epc) / 100.0 AS sum_base_price,
+                   sum(epc * (100 - d100)) / 10000.0 AS sum_disc_price,
+                   sum(epc * (100 - d100) * (100 + t100)) / 1000000.0
+                       AS sum_charge,
+                   sum(d100) / (100.0 * count(*)) AS avg_disc,
                    CAST(count(*) AS BIGINT) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            FROM l
             GROUP BY l_returnflag, l_linestatus
         """,
         "revenue_by_segment": """

@@ -41,6 +41,14 @@ def q1_lineitem(sf_dir: str):
 
     cutoff = pd.Timestamp("1998-09-02")
 
+    # Money sums accumulate in EXACT integer cents (prices/discounts/
+    # taxes are 2-decimal): float sums are associativity-dependent, and
+    # a distributed partial-sum order differing from DuckDB's scan order
+    # flipped sum_disc_price by 1 cent at a round(·, 2) boundary at
+    # sf0.001.  Identical int64 totals convert to identical doubles on
+    # both engines regardless of magnitude; the int64 headroom
+    # (epc·(100-d)·(100+t) ≈ 1e11/row) holds to ~1e7 rows/group-batch
+    # and ~1e18 per group total — far past the testdata range.
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_shipdate"] <= cutoff]
         if df.empty:
@@ -50,31 +58,41 @@ def q1_lineitem(sf_dir: str):
                     "sum_disc_price", "sum_charge", "sum_disc", "count_order",
                 ]
             )
-        disc_price = df["l_extendedprice"] * (1 - df["l_discount"])
-        charge = disc_price * (1 + df["l_tax"])
-        g = df.assign(disc_price=disc_price, charge=charge).groupby(
-            ["l_returnflag", "l_linestatus"], as_index=False
+        epc = (df["l_extendedprice"] * 100).round().astype("int64")
+        d100 = (df["l_discount"] * 100).round().astype("int64")
+        t100 = (df["l_tax"] * 100).round().astype("int64")
+        g = df.assign(
+            qty=df["l_quantity"].round().astype("int64"),
+            epc=epc,
+            dpc=epc * (100 - d100),
+            chg=epc * (100 - d100) * (100 + t100),
+            d100=d100,
+        ).groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        return g.agg(
+            sum_qty=("qty", "sum"),
+            sum_base_price=("epc", "sum"),
+            sum_disc_price=("dpc", "sum"),
+            sum_charge=("chg", "sum"),
+            sum_disc=("d100", "sum"),
+            count_order=("qty", "size"),
         )
-        out = g.agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            sum_charge=("charge", "sum"),
-            sum_disc=("l_discount", "sum"),
-            count_order=("l_quantity", "size"),
-        )
-        return out
 
+    # no engine-side round(): DuckDB rounds doubles as round(x*100)/100
+    # while Python rounds to nearest decimal — a total landing on a
+    # .xx5 boundary (observed: 30158055.965) diverges by one cent.
+    # Identical int64 totals divide to BIT-IDENTICAL doubles, so any
+    # downstream rounding (the oracle harness rounds at 6dp) agrees.
     def final(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["count_order"].sum())
         row = {
             "l_returnflag": g["l_returnflag"].iloc[0],
             "l_linestatus": g["l_linestatus"].iloc[0],
-            "sum_qty": round(g["sum_qty"].sum(), 2),
-            "sum_base_price": round(g["sum_base_price"].sum(), 2),
-            "sum_disc_price": round(g["sum_disc_price"].sum(), 2),
-            "sum_charge": round(g["sum_charge"].sum(), 2),
-            "avg_disc": round(g["sum_disc"].sum() / g["count_order"].sum(), 6),
-            "count_order": int(g["count_order"].sum()),
+            "sum_qty": float(g["sum_qty"].sum()),
+            "sum_base_price": g["sum_base_price"].sum() / 100.0,
+            "sum_disc_price": g["sum_disc_price"].sum() / 1e4,
+            "sum_charge": g["sum_charge"].sum() / 1e6,
+            "avg_disc": g["sum_disc"].sum() / (100.0 * n),
+            "count_order": n,
         }
         return pd.DataFrame([row])
 
