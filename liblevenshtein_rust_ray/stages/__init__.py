@@ -21,7 +21,7 @@ from .similarity import (ann_brute_topk, ann_ivf_topk, ann_lsh_topk,
                          decontaminate_embeddings, semdedup)
 from .modelscore import model_score
 from .sampling import rebalance_sources, sample_by_hash, split_by_hash
-from .selection import (HashSampleTarget, dsir_select,
+from .selection import (HashSampleTarget, PredicateTarget, dsir_select,
                         dsir_top_frac_threshold, dsir_weights)
 from .textstats import bpe_token_stats, gopher_quality, pack_documents, redact_pii
 from .lm import lm_filter, lm_score
@@ -53,6 +53,7 @@ __all__ = [
     "pack_documents",
     "dsir_top_frac_threshold",
     "HashSampleTarget",
+    "PredicateTarget",
     "lm_score",
     "lm_filter",
     "decontaminate_embeddings",

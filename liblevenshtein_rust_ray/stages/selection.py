@@ -38,7 +38,18 @@ to per-document distribution scoring.
 import pyarrow as pa
 
 __all__ = ["dsir_weights", "dsir_select", "dsir_top_frac_threshold",
-           "HashSampleTarget"]
+           "HashSampleTarget", "PredicateTarget"]
+
+
+class PredicateTarget:
+    """Target spec: corpus rows satisfying ``fn(batch) -> bool ndarray``.
+    Like :class:`HashSampleTarget`, both histograms come out of ONE
+    fused corpus pass — use when the target is a row-predicate subset
+    of the corpus (a lang/domain/quality flag) rather than a hash
+    sample."""
+
+    def __init__(self, fn):
+        self.fn = fn
 
 
 class HashSampleTarget:
@@ -132,22 +143,30 @@ def _histogram(ds_or_texts, text_col: str, n_buckets: int,
     return np.bincount(b, minlength=n_buckets).astype(np.int64)
 
 
-def _fused_histograms(ds, spec: HashSampleTarget, text_col: str,
+def _fused_histograms(ds, spec, text_col: str,
                       id_col: str, n_buckets: int, ngram: int):
     """(target_hist, raw_hist) in ONE corpus pass: each batch tokenizes
-    once, bincounts all features AND the md5-sampled subset's features,
-    and emits nonzero (b, c, ct) 24-byte rows."""
+    once, bincounts all features AND the target subset's features
+    (md5-sampled or predicate-selected), and emits nonzero (b, c, ct)
+    24-byte rows."""
     import numpy as np
 
     from .sampling import _md5_hash64_batch
 
-    key = spec.key_col or id_col
-    pct, salt = spec.pct, spec.salt
+    if isinstance(spec, HashSampleTarget):
+        key = spec.key_col or id_col
+        pct, salt = spec.pct, spec.salt
+
+        def tgt_mask(t: pa.Table):
+            return (_md5_hash64_batch(t.column(key), salt)
+                    % np.uint64(100) < pct)
+    else:
+        def tgt_mask(t: pa.Table):
+            return np.asarray(spec.fn(t), dtype=bool)
 
     def partial(t: pa.Table) -> pa.Table:
         parent, b = _doc_token_buckets(t, text_col, n_buckets, ngram)
-        in_tgt = (_md5_hash64_batch(t.column(key), salt)
-                  % np.uint64(100) < pct)
+        in_tgt = tgt_mask(t)
         c = np.bincount(b, minlength=n_buckets).astype(np.int64)
         ct = np.bincount(b[in_tgt[parent]],
                          minlength=n_buckets).astype(np.int64)
@@ -175,7 +194,7 @@ def _log_ratio_ref(ds, target, text_col, id_col, n_buckets, alpha, ngram):
     import numpy as np
     import ray
 
-    if isinstance(target, HashSampleTarget):
+    if isinstance(target, (HashSampleTarget, PredicateTarget)):
         t_hist, r_hist = _fused_histograms(
             ds, target, text_col, id_col, n_buckets, ngram)
     else:

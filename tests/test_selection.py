@@ -376,3 +376,31 @@ def test_pack_documents_property(ray_session, texts, max_tokens, n_groups):
         cum[g] = before + n
         assert (out.loc[i, "grp"], out.loc[i, "pack_id"],
                 out.loc[i, "n_tokens"]) == (g, before // max_tokens, n)
+
+
+def test_dsir_predicate_target_fused(ray_session):
+    """PredicateTarget (fused) == an explicit filtered-Dataset target."""
+    import pandas as pd
+
+    from liblevenshtein_rust_ray.stages.selection import PredicateTarget
+
+    docs = pa.table({
+        "doc_id": pa.array(range(len(CORPUS)), type=pa.int64()),
+        "text": CORPUS,
+    })
+    ds = rd.from_arrow(docs)
+
+    def flt(t):
+        keep = t.column("doc_id").to_numpy(zero_copy_only=False) % 2 == 0
+        return t.filter(pa.array(keep, type=pa.bool_()))
+
+    explicit = ds.map_batches(flt, batch_format="pyarrow")
+    a = (dsir_weights(ds, explicit, n_buckets=B)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (dsir_weights(
+            ds, PredicateTarget(
+                lambda t: t.column("doc_id").to_numpy(
+                    zero_copy_only=False) % 2 == 0),
+            n_buckets=B)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
