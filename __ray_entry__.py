@@ -1623,6 +1623,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             corpus, bench, "embedding", threshold=0.42,
         ).select_columns(["vec_id"])
 
+    def token_quantiles_docs(sf_dir):
+        """Exact distributed p50/p90/p99 of per-doc token counts — the
+        corpus-stats primitive a curation job reads before picking its
+        length/quality thresholds.  Per-batch (value, count) partials →
+        one tiny histogram exchange → driver cumsum; exact at any
+        corpus size (stages/sketch.py::exact_quantiles), window-cumsum
+        SQL mirror."""
+        import numpy as np
+        import pyarrow.compute as pc
+        from liblevenshtein_rust_ray.stages.sketch import exact_quantiles
+
+        docs = _rd(sf_dir, "documents", ["text"])
+
+        def count_tokens(t: pa.Table) -> pa.Table:
+            text = pc.coalesce(t.column("text"),
+                               pa.scalar("", type=pa.string()))
+            n = pc.count_substring_regex(
+                pc.utf8_lower(text), pattern=r"[a-z0-9]+")
+            return pa.table({"n_tokens": pc.cast(n, pa.int64())})
+
+        return exact_quantiles(
+            docs.map_batches(count_tokens, batch_format="pyarrow"),
+            "n_tokens", qs=(0.5, 0.9, 0.99))
+
     def lm_ppl_docs(sf_dir):
         """CCNet-style LM quality scoring: hashed-bigram LM (md5 bucket
         family, add-1-smoothed unigram interpolation) trained on the
@@ -1778,6 +1802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions_user": sessions_user,
         "sliding_events": sliding_events,
         "asof_click_error": asof_click_error,
+        "token_quantiles_docs": token_quantiles_docs,
         # no_oracle by nature (RNG hash family / binary media) — plus
         # lang_counts, demoted for the er_f1 promotion (driver-green many
         # times; er_f1 now carries the full flagship-chain SQL oracle)
@@ -2659,6 +2684,23 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY tfidf DESC, token) AS BIGINT) AS rank
             FROM scored
             QUALIFY rank <= 5
+        """,
+        # token_quantiles_docs: discrete/lower quantile — smallest v with
+        # running count >= ceil(q*n); same tokenization as token_stats
+        "token_quantiles_docs": """
+            WITH t AS (SELECT CAST(len(regexp_extract_all(lower(text),
+                                                          '[a-z0-9]+'))
+                              AS BIGINT) AS v
+                       FROM documents),
+                 h AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+                       FROM t GROUP BY v),
+                 n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+                 r AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+                 qs(q) AS (VALUES (0.5), (0.9), (0.99))
+            SELECT qs.q AS q,
+                   CAST((SELECT min(r.v) FROM r, n
+                         WHERE r.cum >= ceil(qs.q * n.n)) AS BIGINT) AS value
+            FROM qs
         """,
         # pack_docs: token count = same tokenization as token_stats;
         # grp = md5_number_lower(CAST(doc_id AS VARCHAR)) % 16

@@ -16,7 +16,7 @@ from .urls import (
     messy_crawl_variants,
     url_snapshot_dedup,
 )
-from .sketch import kmv_distinct_shingles
+from .sketch import exact_quantiles, kmv_distinct_shingles
 from .similarity import (ann_brute_topk, ann_ivf_topk, ann_lsh_topk,
                          decontaminate_embeddings, semdedup)
 from .modelscore import model_score
@@ -54,6 +54,7 @@ __all__ = [
     "dsir_top_frac_threshold",
     "HashSampleTarget",
     "PredicateTarget",
+    "exact_quantiles",
     "lm_score",
     "lm_filter",
     "decontaminate_embeddings",

@@ -23,6 +23,8 @@ smallest hash normalized to (0,1] — computed here as
 operation-for-operation.
 """
 
+import math
+
 import pandas as pd
 import pyarrow as pa
 
@@ -75,3 +77,43 @@ def kmv_distinct_shingles(ds, text_col: str = "text", k: int = 256,
     )
     merged = parts.to_pandas()  # <= k rows per input block, tiny by design
     return kmv_estimate(merged["h"].tolist(), k)
+
+
+def exact_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99)):
+    """EXACT distributed quantiles of an integer-valued column:
+    one-row-per-q DataFrame ``(q, value)`` where ``value`` is the
+    smallest v whose running count reaches ``ceil(q * n)`` (the
+    discrete/lower quantile — SQL-mirrorable with a window cumsum).
+
+    Scale shape: per-batch ``(value, count)`` partials (bounded by the
+    batch's DISTINCT values, not its rows) → one tiny value-keyed
+    ``groupby().sum()`` → a driver cumsum over the distinct-value
+    histogram.  For doc-length/token-count/score-bucket columns the
+    histogram is thousands of rows at ANY corpus size, so this gives
+    exact p50/p90/p99 with no sort and no sampling error — the
+    corpus-stats primitive (length-filter thresholds, contamination
+    cutoffs) a curation job reads before picking its knobs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({
+            "v": pa.array(u, type=pa.int64()),
+            "c": pa.array(c.astype(np.int64), type=pa.int64()),
+        })
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("v").sum("c").to_pandas()
+            .sort_values("v").reset_index(drop=True))
+    n = int(hist["sum(c)"].sum())
+    cum = hist["sum(c)"].cumsum().to_numpy()
+    vals = hist["v"].to_numpy()
+    out = []
+    for q in qs:
+        target = math.ceil(q * n)
+        idx = int(np.searchsorted(cum, target, side="left"))
+        out.append({"q": float(q), "value": int(vals[min(idx, len(vals) - 1)])})
+    return pd.DataFrame(out)

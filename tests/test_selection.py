@@ -404,3 +404,37 @@ def test_dsir_predicate_target_fused(ray_session):
             n_buckets=B)
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------
+# exact_quantiles (sketch.py — exact distributed percentiles)
+
+def test_exact_quantiles(ray_session):
+    from liblevenshtein_rust_ray.stages.sketch import exact_quantiles
+
+    vals = [1, 1, 2, 3, 3, 3, 7, 10, 100, 100]
+    t = pa.table({"v": pa.array(vals, type=pa.int64())})
+    out = exact_quantiles(rd.from_arrow(t), "v", qs=(0.1, 0.5, 0.9, 1.0))
+    got = dict(zip(out["q"], out["value"]))
+    # smallest v with running count >= ceil(q*10)
+    assert got == {0.1: 1, 0.5: 3, 0.9: 100, 1.0: 100}
+    srt = sorted(vals)
+    for q, v in got.items():
+        import math as m
+        assert v == srt[m.ceil(q * len(vals)) - 1]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=-50, max_value=50),
+                min_size=1, max_size=60),
+       st.floats(min_value=0.01, max_value=1.0))
+def test_exact_quantiles_property(ray_session, vals, q):
+    """Matches the sorted-list discrete quantile for random ints."""
+    import math as m
+
+    from liblevenshtein_rust_ray.stages.sketch import exact_quantiles
+
+    t = pa.table({"v": pa.array(vals, type=pa.int64())})
+    out = exact_quantiles(rd.from_arrow(t), "v", qs=(q,))
+    want = sorted(vals)[max(0, m.ceil(q * len(vals)) - 1)]
+    assert out["value"].iloc[0] == want
