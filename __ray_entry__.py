@@ -1285,7 +1285,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # -------------------------- flagship ER (rows-only) ---------------
     def er_clusters_q(sf_dir):
-        return er_clusters(_pages_path(sf_dir))
+        """Flagship clusters over the real corpus at PRODUCTION settings
+        (rep edges, auto buckets).  Pinned to the sf0.001 corpus like
+        er_pairs_corpus/er_f1 so the recursive-CTE cluster oracle (a
+        static SQL string) applies: per-block rep edges span exactly the
+        same components as the all-pairs graph, so the cluster relation
+        — (url, min-url-of-component) — is identical by construction."""
+        return er_clusters(os.path.join(_corpus_dir(0.001), "pages"))
 
     def er_pairs_q(sf_dir):
         return er_pairs(_pages_path(sf_dir))
@@ -1803,9 +1809,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_events": sliding_events,
         "asof_click_error": asof_click_error,
         "token_quantiles_docs": token_quantiles_docs,
-        # no_oracle by nature (RNG hash family / binary media) — plus
-        # lang_counts, demoted for the er_f1 promotion (driver-green many
-        # times; er_f1 now carries the full flagship-chain SQL oracle)
+        # mostly no_oracle by nature (RNG hash family / binary media) —
+        # plus lang_counts (demoted for the er_f1 promotion, oracle still
+        # attached) and er_clusters (production run pinned to the corpus,
+        # transitive-closure oracle attached); er_pairs stays rows-only
+        # (production rep-edge CHOICE is engine-specific; its relation is
+        # oracle-proven by er_pairs_reps + er_pairs_corpus instead)
         "minhash_neardup_docs": minhash_neardup_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "ann_ivf_topk": ann_ivf_topk_q,
@@ -3298,6 +3307,24 @@ def oracle_sql() -> dict[str, str]:
     # exact clean corpus (canonical urls == clean urls, recrawls are true
     # duplicates), so its oracle IS the er_pairs_corpus oracle.
     sql["er_pairs_canonical"] = sql["er_pairs_corpus"]
+    # er_clusters: the production run emits per-block rep edges, which
+    # span exactly the all-pairs components — the cluster relation is
+    # the er_pairs_corpus pair SQL closed transitively
+    sql["er_clusters"] = f"""
+        WITH RECURSIVE
+             pairs AS (SELECT url_a, url_b
+                       FROM ({sql["er_pairs_corpus"]}) q),
+             edges AS (SELECT url_a AS src, url_b AS dst FROM pairs
+                       UNION SELECT url_b, url_a FROM pairs),
+             walk(node, lbl) AS (
+                 SELECT src, src FROM edges
+                 UNION
+                 SELECT ed.dst, w.lbl
+                 FROM walk w JOIN edges ed ON ed.src = w.node
+             )
+        SELECT node AS url, min(lbl) AS cluster_id
+        FROM walk GROUP BY node
+    """
     # er_f1: the ENTIRE flagship chain in one oracle — the er_pairs_corpus
     # pair SQL -> recursive-CTE transitive clusters -> pairwise
     # precision/recall/F1 vs the generator's labeled within-entity pairs.
