@@ -268,6 +268,35 @@ def cmd_run_lm(args) -> int:
     return 0
 
 
+def cmd_run_pack(args) -> int:
+    import os
+
+    import ray
+
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address=args.address, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data as rd
+
+    from .pipelines.context import configure_data_context
+    from .stages.textstats import pack_documents
+
+    configure_data_context()
+    corpus = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    out = pack_documents(corpus, text_col=args.text_col, id_col=args.id_col,
+                         max_tokens=args.max_tokens, n_groups=args.n_groups)
+    out.write_parquet(args.output)
+    res = rd.read_parquet(args.output)
+    n = res.count()
+    n_bins = res.groupby(["grp", "pack_id"]).count().count()
+    print(json.dumps({"docs": n, "bins": n_bins, "output": args.output}))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="liblevenshtein_rust_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -385,6 +414,18 @@ def main(argv=None) -> int:
                     help="keep docs with perplexity <= this")
     lp.add_argument("--address", default="local")
     lp.set_defaults(fn=cmd_run_lm)
+
+    pk = sub.add_parser(
+        "run-pack",
+        help="sequence packing: whole docs into fixed-token-budget bins")
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--output", required=True)
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--text-col", default="text")
+    pk.add_argument("--max-tokens", type=int, default=1024)
+    pk.add_argument("--n-groups", type=int, default=64)
+    pk.add_argument("--address", default="local")
+    pk.set_defaults(fn=cmd_run_pack)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -438,3 +438,34 @@ def test_exact_quantiles_property(ray_session, vals, q):
     out = exact_quantiles(rd.from_arrow(t), "v", qs=(q,))
     want = sorted(vals)[max(0, m.ceil(q * len(vals)) - 1)]
     assert out["value"].iloc[0] == want
+
+
+def test_run_pack_cli(ray_session, tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from liblevenshtein_rust_ray.cli import main
+    from liblevenshtein_rust_ray.stages.textstats import pack_documents
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    texts = [("w " * (i % 9 + 1)).strip() for i in range(40)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(40), type=pa.int64()),
+        "text": texts,
+    })
+    pq.write_table(tbl, str(src / "d.parquet"))
+    out = tmp_path / "packed"
+    rc = main(["run-pack", "--input", str(src), "--output", str(out),
+               "--max-tokens", "8", "--n-groups", "4"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    lib = pack_documents(rd.from_arrow(tbl), max_tokens=8,
+                         n_groups=4).to_pandas()
+    assert payload["docs"] == 40
+    assert payload["bins"] == len(lib.groupby(["grp", "pack_id"]))
+    got = pq.read_table(str(out)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    lib = lib.sort_values("doc_id").reset_index(drop=True)
+    assert list(got["pack_id"]) == list(lib["pack_id"])
