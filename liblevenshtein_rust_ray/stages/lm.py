@@ -8,7 +8,7 @@ Model (all hashing = md5 family == DuckDB ``md5_number_lower``):
 - bigram buckets   g(v,w) = ((md5(v) % 2^20) * 2^20 + md5(w) % 2^20) % B2
   (dense int64[B2]; derived ARITHMETICALLY from the two token hashes so
   md5 runs once per DISTINCT token, never per bigram — the direct
-  md5(v||' '||w) form cost 136 s at sf1.0 vs ~30 s for this one, and
+  md5(v||' '||w) form cost 136 s at sf1.0 vs 13.1 s for this one, and
   the products stay < 2^40 so DuckDB's non-wrapping UBIGINT arithmetic
   reproduces it exactly)
 - context counts   C_ctx[u(v)] = #train bigram occurrences with
