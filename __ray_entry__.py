@@ -670,9 +670,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def tfidf_docs(sf_dir):
         """Top-5 TF-IDF terms per document (frequency-aggregation family,
         ref `src/corpus/parser.rs:58-127` words_by_frequency ranking
-        generalized to per-doc relevance): two thin-row exchanges —
-        token-keyed df+idf attach, doc-keyed top-k — exactly mirrored by
-        the QUALIFY row_number SQL oracle."""
+        generalized to per-doc relevance), mode="auto" (the default):
+        broadcast_df when the measured vocab fits the driver (16-byte
+        distinct-token partials + one ray.put lookup table, zero
+        doc-keyed exchange), exchange otherwise — both bit-identical and
+        exactly mirrored by the QUALIFY row_number SQL oracle."""
         from liblevenshtein_rust_ray.stages.textstats import tfidf_top_terms
 
         return tfidf_top_terms(
@@ -2733,7 +2735,10 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         # decontaminate_embeddings: corpus (vec_id % 20 != 0) minus rows
-        # with cosine >= 0.42 to any bench vector (vec_id % 20 == 0)
+        # with cosine >= 0.42 to any bench vector (vec_id % 20 == 0).
+        # isnan guard: a zero-norm vector's cosine is NaN in DuckDB
+        # (dropped, NaN > any number) but 0 in the engine (kept) — map
+        # NaN -> 0 so both sides agree on the keep rule.
         "decontaminate_embeddings": """
             SELECT c.vec_id
             FROM embeddings c
@@ -2741,9 +2746,13 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (
                   SELECT 1 FROM embeddings b
                   WHERE b.vec_id % 20 = 0
-                    AND list_cosine_similarity(
-                            CAST(c.embedding AS DOUBLE[]),
-                            CAST(b.embedding AS DOUBLE[])) >= 0.42)
+                    AND (CASE WHEN isnan(list_cosine_similarity(
+                                  CAST(c.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])))
+                              THEN 0.0
+                              ELSE list_cosine_similarity(
+                                  CAST(c.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) END) >= 0.42)
         """,
         # lm_ppl_docs: hashed-bigram LM (stages/lm.py semantics verbatim):
         # train = docs with doc_id % 20 == 0; u(w)=md5%4096,

@@ -61,12 +61,14 @@ def _patch_empty_bundle_schema_warning() -> None:
     as a divergence, so a later REAL schema drift still warns once.
     Idempotent; dataset-level schemas are unaffected (the typed union
     sentinels in stages/grouped.py pin those).
+
+    PRIVATE-API COUPLING, version-guarded: the hook targets
+    ``ray.data._internal....streaming_executor_state.dedupe_schemas_with_validation``
+    as shipped in the Ray 2.x series this repo is pinned against.  On any
+    Ray where the module/attribute moved or the signature changed, the
+    guard degrades to Ray's stock behavior (the warning line comes back —
+    log hygiene only, never a crash).
     """
-    import ray.data._internal.execution.streaming_executor_state as ses
-
-    if getattr(ses, "_llr_empty_bundle_patch", False):
-        return
-
     # Companion noise source: input parquet written by pandas carries
     # b'pandas' schema metadata whose dict makes pa.Schema UNHASHABLE, so
     # Ray's unify_schemas logs "Failed to hash the schemas (for
@@ -75,8 +77,29 @@ def _patch_empty_bundle_schema_warning() -> None:
     # own parquet metadata-free (stages/grouped.py strips it); for
     # read-only third-party inputs, drop just that log line (driver side
     # here; quiet_worker_logging installs the same filter in workers).
+    # Public logging API — safe regardless of the executor patch below.
     quiet_worker_logging()
-    orig = ses.dedupe_schemas_with_validation
+
+    try:
+        import inspect
+
+        import ray.data._internal.execution.streaming_executor_state as ses
+
+        if getattr(ses, "_llr_empty_bundle_patch", False):
+            return
+        orig = ses.dedupe_schemas_with_validation
+        # signature drift check: the wrapper forwards these exact params
+        params = inspect.signature(orig).parameters
+        if not {"warn", "enforce_schemas"} <= set(params):
+            raise AttributeError(
+                "dedupe_schemas_with_validation signature changed")
+    except (ImportError, AttributeError, ValueError, TypeError) as e:
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "empty-bundle schema patch skipped (Ray internals moved: %s); "
+            "spurious empty-bundle schema warnings may appear", e)
+        return
 
     def dedupe_ignoring_empty_bundles(old_schema, bundle, warn=True,
                                       enforce_schemas=False):

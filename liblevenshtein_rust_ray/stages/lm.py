@@ -147,7 +147,15 @@ def lm_score(ds, train, text_col: str = "text", id_col: str = "doc_id",
     """Dataset[(id_col, n_tokens, logp, ppl)] — hashed-bigram LM score
     of every document under a model counted from ``train`` (the small
     clean-reference side).  Low ``ppl`` ⇒ the document reads like the
-    reference corpus; filter with :func:`lm_filter` or any threshold."""
+    reference corpus; filter with :func:`lm_filter` or any threshold.
+
+    Known residual oracle risk (accepted): per-doc ``logp`` is a float
+    sum whose accumulation order (np.bincount, doc order) differs from a
+    SQL engine's aggregate order, so the two can diverge in the last
+    ulp; a 6-decimal value hash only flips if a logp value sits exactly
+    on a rounding boundary — far less likely than for money sums since
+    log values are irrational-dense.  Forcing identical order would
+    serialize the reduction; not worth it."""
     import numpy as np
     import ray
 

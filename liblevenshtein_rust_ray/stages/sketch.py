@@ -109,6 +109,12 @@ def exact_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99)):
             .groupby("v").sum("c").to_pandas()
             .sort_values("v").reset_index(drop=True))
     n = int(hist["sum(c)"].sum())
+    if n == 0:
+        # empty input: one NaN row per q (the SQL mirror returns NULLs;
+        # value is float64 here instead of int64 — documented divergence,
+        # an empty corpus has no integer quantile to report)
+        return pd.DataFrame({"q": [float(q) for q in qs],
+                             "value": [float("nan")] * len(qs)})
     cum = hist["sum(c)"].cumsum().to_numpy()
     vals = hist["v"].to_numpy()
     out = []

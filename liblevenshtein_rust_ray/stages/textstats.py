@@ -451,12 +451,21 @@ def redact_pii(ds, text_col: str = "text", out_col: str = "redacted"):
 
 
 def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
-                    k: int = 5, mode: str = "exchange",
+                    k: int = 5, mode: str = "auto",
                     max_vocab_driver: int = 50_000_000):
     """Top-``k`` TF-IDF terms per document: (doc_id, token, tf, df, tfidf,
     rank), rank 1..k by (tfidf desc, token asc) — fully SQL-mirrorable.
 
-    ``mode="exchange"`` (default, the oracle path — two exchanges, both
+    ``mode="auto"`` (default — round-3 VERDICT task 4): run the
+    broadcast_df plan when the measured distinct-token count fits under
+    ``max_vocab_driver`` (the df aggregation that produces that count is
+    pass A of broadcast_df itself, so the decision costs nothing extra),
+    else fall back to the exchange plan whose volume is bounded without
+    any driver materialization.  Both modes are bit-identical (pinned by
+    the parity test); the decision is logged and recorded on
+    ``tfidf_top_terms.last_mode``.
+
+    ``mode="exchange"`` (the oracle path — two exchanges, both
     on thin rows):
     1. stateless map: exact (doc, token, tf) rows per batch — Arrow
        lower+split (the token_stats kernel) + one C-path pandas groupby;
@@ -541,7 +550,24 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
                       ).astype("int64")
         return df
 
-    if mode == "broadcast_df":
+    if mode not in ("auto", "broadcast_df", "exchange"):
+        raise ValueError(f"tfidf_top_terms: unknown mode {mode!r}")
+
+    def _tfidf_exchange():
+        def attach_idf(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["df"] = df.groupby("token", sort=False)[id_col].transform(
+                "size").astype("int64")
+            out["tfidf"] = out["tf"] * np.log(float(n_docs) / out["df"])
+            return out
+
+        scored = bucketed_apply(
+            ds.map_batches(term_counts, batch_format="pyarrow"),
+            "token", attach_idf, empty_result=_scored_empty)
+
+        return bucketed_apply(scored, id_col, topk, empty_result=_empty)
+
+    if mode in ("auto", "broadcast_df"):
         import ray
 
         from .grouped import _empty_arrow
@@ -565,12 +591,29 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
         agg = (ds.map_batches(partial_df, batch_format="pyarrow")
                .groupby("h").sum("dfp").materialize())
         n_vocab = agg.count()
+        if n_vocab == 0:
+            # no tokens anywhere: the aggregate is schema-less; the
+            # exchange plan's typed sentinels produce the empty output
+            tfidf_top_terms.last_mode = "exchange"
+            return _tfidf_exchange()
         if n_vocab > max_vocab_driver:
-            raise ValueError(
-                f"tfidf_top_terms(mode='broadcast_df'): vocabulary "
-                f"({n_vocab} tokens) exceeds max_vocab_driver="
-                f"{max_vocab_driver}; use mode='exchange' (bounded "
-                f"exchange volume, no driver materialization)")
+            if mode == "broadcast_df":
+                raise ValueError(
+                    f"tfidf_top_terms(mode='broadcast_df'): vocabulary "
+                    f"({n_vocab} tokens) exceeds max_vocab_driver="
+                    f"{max_vocab_driver}; use mode='exchange' (bounded "
+                    f"exchange volume, no driver materialization)")
+            # auto: vocab too big to broadcast — fall through to the
+            # exchange plan below (its volume is bounded by the distinct
+            # (doc, token) pairs, nothing driver-materialized)
+            import logging
+
+            logging.getLogger(__name__).info(
+                "tfidf_top_terms: auto -> exchange (vocab %d > %d)",
+                n_vocab, max_vocab_driver)
+            tfidf_top_terms.last_mode = "exchange"
+            return _tfidf_exchange()
+        tfidf_top_terms.last_mode = "broadcast_df"
         vocab = agg.to_pandas()
         order = np.argsort(vocab["h"].to_numpy(), kind="stable")
         href = ray.put(np.ascontiguousarray(vocab["h"].to_numpy()[order]))
@@ -594,18 +637,8 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
 
         return ds.map_batches(topk_local, batch_format="pyarrow")
 
-    def attach_idf(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out["df"] = df.groupby("token", sort=False)[id_col].transform(
-            "size").astype("int64")
-        out["tfidf"] = out["tf"] * np.log(float(n_docs) / out["df"])
-        return out
-
-    scored = bucketed_apply(
-        ds.map_batches(term_counts, batch_format="pyarrow"),
-        "token", attach_idf, empty_result=_scored_empty)
-
-    return bucketed_apply(scored, id_col, topk, empty_result=_empty)
+    tfidf_top_terms.last_mode = "exchange"
+    return _tfidf_exchange()
 
 
 def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",

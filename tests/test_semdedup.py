@@ -179,13 +179,36 @@ def test_tfidf_broadcast_df_parity(ray_session):
             "doc_id": pa.array(ids, type=typ),
             "text": ["cat dog cat", "dog mouse", "", "the cat the mouse x"],
         })
-        a = tfidf_top_terms(rd.from_arrow(docs), k=3).to_pandas()
+        a = tfidf_top_terms(rd.from_arrow(docs), k=3,
+                            mode="exchange").to_pandas()
         b = tfidf_top_terms(rd.from_arrow(docs), k=3,
                             mode="broadcast_df").to_pandas()
         key = ["doc_id", "token"]
         a = a.sort_values(key).reset_index(drop=True)[sorted(a.columns)]
         b = b.sort_values(key).reset_index(drop=True)[sorted(b.columns)]
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_tfidf_auto_mode(ray_session):
+    """mode='auto' (the default) picks broadcast_df when the vocab fits,
+    falls back to the exchange plan when it doesn't — same rows both ways."""
+    import pandas as pd
+
+    from liblevenshtein_rust_ray.stages.textstats import tfidf_top_terms
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": ["cat dog cat", "dog mouse x"],
+    })
+    a = tfidf_top_terms(rd.from_arrow(docs), k=3).to_pandas()
+    assert tfidf_top_terms.last_mode == "broadcast_df"
+    b = tfidf_top_terms(rd.from_arrow(docs), k=3,
+                        max_vocab_driver=2).to_pandas()
+    assert tfidf_top_terms.last_mode == "exchange"
+    key = ["doc_id", "token"]
+    a = a.sort_values(key).reset_index(drop=True)[sorted(a.columns)]
+    b = b.sort_values(key).reset_index(drop=True)[sorted(b.columns)]
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_tfidf_broadcast_df_vocab_guard(ray_session):
