@@ -840,6 +840,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(fin, batch_format="pandas")
 
+    def fuzzy_selfjoin_part_phonetic_ops(sf_dir):
+        """The reference's ``phonetic_english_basic`` OperationSet preset
+        (src/transducer/phonetic.rs:56-310 — consonant digraphs 0.15,
+        initial clusters 0.20, c/k-c/s-s/z-g/j confusions 0.25, double
+        consonants 0.10) as a weighted fuzzy self-join, pairs within
+        total phonetic weight 0.45.  The part names alone contain no
+        phonetically-adjacent pairs, so (er_pairs_canonical pattern) the
+        input is the names PLUS one deterministic phonetic respelling
+        each — first-occurrence ll->l then g->j, identical Python
+        ``re.sub(count=1)`` / SQL ``regexp_replace`` semantics — giving
+        matches at weights 0.10 (double consonant), 0.25 (g/j
+        confusion) and 0.35 (both).  Budget 0.45 with min rule weight
+        0.10 bounds rule applications at 4; each rule covers at most 2
+        unit edits and shifts length by at most 1, so levenshtein <= 8
+        and len_diff <= 4 — the same sound prefilter as the
+        ocr_restricted twin, replayed by the recursive-CTE weighted DP
+        generated from the SAME OperationSet."""
+        import re
+
+        import pandas as pd
+        from liblevenshtein_rust_ray.kernel.operations import (
+            OperationSet,
+            batch_weighted_distances,
+        )
+        from liblevenshtein_rust_ray.stages.grouped import bucketed_apply
+
+        def variants(t: pa.Table) -> pa.Table:
+            names = t.column("p_name").to_pylist()
+            vals = set(names)
+            for x in names:
+                vals.add(re.sub("g", "j", re.sub("ll", "l", x, count=1),
+                                count=1))
+            return pa.table({"val": pa.array(sorted(vals),
+                                             type=pa.string())})
+
+        vals = bucketed_apply(
+            _rd(sf_dir, "part", ["p_name"]).map_batches(
+                variants, batch_format="pyarrow"),
+            "val",
+            lambda df: df.drop_duplicates("val"),
+        )
+
+        ops = OperationSet.phonetic_english_basic()
+        out = F.fuzzy_self_join(
+            vals, "val", n=2,
+            pair_scorer=lambda a, b: batch_weighted_distances(a, b, ops),
+            max_score=0.45, len_diff=4, score_dtype="float64",
+        )
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns={"distance": "weight"})
+
+        return out.map_batches(fin, batch_format="pandas")
+
     def er_pairs_transposition(sf_dir):
         """The flagship over the REAL synthetic page corpus (html-extraction
         path included) under the transposition algorithm at the PRODUCTION
@@ -1295,6 +1349,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         — (url, min-url-of-component) — is identical by construction."""
         return er_clusters(os.path.join(_corpus_dir(0.001), "pages"))
 
+    def er_clusters_scaled(sf_dir):
+        """The production flagship cluster path HONORING sf_dir (rows-only:
+        the corpus path varies with scale, so no static SQL string can
+        oracle it) — round-3 ADVICE: er_clusters/er_f1 pin the sf0.001
+        corpus for their static oracles, so this row keeps the larger
+        driver scale factors exercising (and timing) the real pipeline."""
+        return er_clusters(_pages_path(sf_dir))
+
     def er_pairs_q(sf_dir):
         return er_pairs(_pages_path(sf_dir))
 
@@ -1712,69 +1774,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_pairs_transposition": er_pairs_transposition,
         "er_pairs_incremental": er_pairs_incremental_q,
         "er_pairs_decremental": er_pairs_decremental_q,
-        # --- 11-29: oracle-bearing pipelines never driver-checked in r01/r02
+        # --- 11-30: r03-green oracle pipelines kept in-window (each
+        # remaining LLM-data operator family keeps one representative) --
         "curate_docs": curate_docs,
         "url_canonical_dedup": url_canonical_dedup,
-        "url_dedup_incremental": url_dedup_incremental,
         "line_dedup_pages": line_dedup_pages,
         "gopher_quality_docs": gopher_quality_docs,
         "substring_dedup_docs": substring_dedup_docs,
         "dup_span_fraction_docs": dup_span_fraction_docs,
-        "spell_correct_vocab": spell_correct_vocab,
         "spell_correct_realdict": spell_correct_realdict,
         "corpus_recall_real": corpus_recall_real,
-        "spelling_recall": spelling_recall_q,
         "band_join_click_error": band_join_click_error,
         "model_score_docs": model_score_docs,
         "bpe_token_stats_docs": bpe_token_stats_docs,
-        "host_stats_corpus": host_stats_corpus,
         "doc_fingerprints_md5": doc_fingerprints_md5,
-        "vocab_membership": vocab_membership,
         "ann_lsh_topk": ann_lsh_topk_q,
         "ann_ivf_topk_full": ann_ivf_topk_full,
         "phonetic_part": phonetic_part,
-        "kmv_distinct_docs": kmv_distinct_docs,
         "semdedup_embeddings": semdedup_embeddings,
         "dsir_weights_docs": dsir_weights_docs,
         "lm_ppl_docs": lm_ppl_docs,
         "decontaminate_embeddings": decontaminate_embeddings_q,
-        # --- 31-40: oracle rows whose last driver check was r01 ---------
+        "token_quantiles_docs": token_quantiles_docs,
+        # --- 31-40: round-3 VERDICT task 2 rotation — never-checked or
+        # stale-r01 oracle rows promoted into the driver window
+        # (token_quantiles_docs above is the 6th): er_clusters' new
+        # transitive-closure oracle, and the four r01-only green rows --
+        "er_clusters": er_clusters_q,
+        "lang_counts": lang_counts,
+        "events_hourly": events_hourly,
+        "revenue_by_segment": revenue_by_segment,
+        "top_docs_by_tokens": top_docs_by_tokens,
         "token_stats": token_stats,
         "quality_docs": quality_docs,
         "langid_docs": langid_docs,
         "word_freq": word_freq,
         "tfidf_docs": tfidf_docs,
+        # --- 41-50: composition + kernel-variant slots — one per
+        # ALGORITHM FAMILY (standard, transposition, merge-split,
+        # restricted weighted ops, NEW phonetic preset) ---
         "chunk_docs": chunk_docs,
         "pack_docs": pack_docs,
         "er_f1": er_f1,
         "ann_cosine_topk": ann_cosine_topk,
         "q1": q1,
-        # --- 41-50: kernel-variant fuzzy queries — one slot per ALGORITHM
-        # FAMILY (standard, transposition d2+d1, merge-split, restricted
-        # weighted ops) ---
         "fuzzy_selfjoin_part": fuzzy_selfjoin_part,
         "fuzzy_selfjoin_part_transposition": fuzzy_selfjoin_part_transposition,
-        "fuzzy_selfjoin_part_transposition_d1": fuzzy_selfjoin_part_transposition_d1,
         "fuzzy_selfjoin_part_merge_split": fuzzy_selfjoin_part_merge_split,
         "fuzzy_selfjoin_part_ocr_restricted": fuzzy_selfjoin_part_ocr_restricted,
+        "fuzzy_selfjoin_part_phonetic_ops": fuzzy_selfjoin_part_phonetic_ops,
         # ----------------- below the driver's 50-slot window ------------
-        # (demoted to make room for dsir_weights_docs, pack_docs,
-        # lm_ppl_docs and decontaminate_embeddings: the relational pair
-        # revenue_by_segment/events_hourly, fuzzy_vocab_pairs_deletion,
-        # top_docs_by_tokens, and the _ocr/_universal/_ms_universal
-        # twins — every demotion already holds a green driver row from
-        # earlier rounds, and each demoted kernel plan stays proven
-        # in-window by its sibling (_ocr_restricted, _merge_split))
-        "revenue_by_segment": revenue_by_segment,
-        "events_hourly": events_hourly,
+        # (r04 demotions, making room for the 7 promotions above — every
+        # one holds a FRESH r03-green driver row, and each demoted plan
+        # stays proven in-window by a sibling: _transposition_d1 by
+        # _transposition + the ER transposition_d1 twins,
+        # spell_correct_vocab/spelling_recall by spell_correct_realdict +
+        # corpus_recall_real, url_dedup_incremental by url_canonical_dedup
+        # + er_pairs_incremental, kmv/host_stats/vocab_membership by the
+        # token-stats and relational families)
+        "fuzzy_selfjoin_part_transposition_d1": fuzzy_selfjoin_part_transposition_d1,
+        "spell_correct_vocab": spell_correct_vocab,
+        "spelling_recall": spelling_recall_q,
+        "url_dedup_incremental": url_dedup_incremental,
+        "kmv_distinct_docs": kmv_distinct_docs,
+        "host_stats_corpus": host_stats_corpus,
+        "vocab_membership": vocab_membership,
+        # (earlier-round demotions — all hold green driver rows from
+        # r01/r02, kernel plans proven in-window by siblings)
         "fuzzy_selfjoin_part_ms_universal": fuzzy_selfjoin_part_ms_universal,
         "fuzzy_selfjoin_part_universal": fuzzy_selfjoin_part_universal,
         "fuzzy_selfjoin_part_ocr": fuzzy_selfjoin_part_ocr,
-        "top_docs_by_tokens": top_docs_by_tokens,
         "fuzzy_vocab_pairs_deletion": fuzzy_vocab_pairs_deletion,
-        # (all r02-green with driver rows, or no_oracle by nature;
-        # _merge_split_d1 and _arraytrie are per-variant twins of in-window
-        # queries, demoted to make room for the span-dedup pair)
         "fuzzy_selfjoin_part_merge_split_d1": fuzzy_selfjoin_part_merge_split_d1,
         "fuzzy_selfjoin_part_arraytrie": fuzzy_selfjoin_part_arraytrie,
         "fuzzy_selfjoin_customer": fuzzy_selfjoin_customer,
@@ -1810,20 +1880,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions_user": sessions_user,
         "sliding_events": sliding_events,
         "asof_click_error": asof_click_error,
-        "token_quantiles_docs": token_quantiles_docs,
-        # mostly no_oracle by nature (RNG hash family / binary media) —
-        # plus lang_counts (demoted for the er_f1 promotion, oracle still
-        # attached) and er_clusters (production run pinned to the corpus,
-        # transitive-closure oracle attached); er_pairs stays rows-only
-        # (production rep-edge CHOICE is engine-specific; its relation is
-        # oracle-proven by er_pairs_reps + er_pairs_corpus instead)
+        # no_oracle by nature (RNG hash family / binary media / sf-varying
+        # corpus paths); er_pairs stays rows-only (production rep-edge
+        # CHOICE is engine-specific; its relation is oracle-proven by
+        # er_pairs_reps + er_pairs_corpus instead); er_clusters_scaled is
+        # the sf_dir-honoring production-cluster row (r03 ADVICE)
+        "er_clusters_scaled": er_clusters_scaled,
         "minhash_neardup_docs": minhash_neardup_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "ann_ivf_topk": ann_ivf_topk_q,
         "doc_fingerprints": doc_fingerprints,
-        "er_clusters": er_clusters_q,
         "er_pairs": er_pairs_q,
-        "lang_counts": lang_counts,
         "multimodal_stub": multimodal_stub,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_features": multimodal_audio_features,
@@ -3735,6 +3802,29 @@ def oracle_sql() -> dict[str, str]:
          {_weighted_dp_cte(1.0, rules=_Ops.ocr_restricted().rules)}
         SELECT a AS val_a, b AS val_b, d AS weight
         FROM dpres WHERE d <= 1.0
+    """
+    # phonetic_english_basic preset (phonetic.rs:56-310), budget 0.45,
+    # over part names + one deterministic phonetic respelling each
+    # (first-occurrence ll->l then g->j; regexp_replace without the 'g'
+    # flag = Python re.sub(count=1)): min rule weight 0.10 -> at most 4
+    # applications, each covering <= 2 unit edits and shifting length by
+    # <= 1 -> levenshtein <= 8, |len diff| <= 4 (same prefilter as
+    # ocr_restricted).
+    sql["fuzzy_selfjoin_part_phonetic_ops"] = f"""
+        WITH RECURSIVE
+         d0 AS (SELECT DISTINCT p_name FROM part),
+         v AS (SELECT DISTINCT val FROM (
+             SELECT p_name AS val FROM d0
+             UNION
+             SELECT regexp_replace(regexp_replace(p_name, 'll', 'l'),
+                                   'g', 'j') FROM d0)),
+         hard AS (SELECT a.val AS a, b.val AS b
+                  FROM v a JOIN v b ON a.val < b.val
+                  WHERE abs(length(a.val) - length(b.val)) <= 4
+                    AND levenshtein(a.val, b.val) <= 8),
+         {_weighted_dp_cte(1.0, rules=_Ops.phonetic_english_basic().rules)}
+        SELECT a AS val_a, b AS val_b, d AS weight
+        FROM dpres WHERE d <= 0.45
     """
     # restricted substitutions (phonetic_basic): subst-distance >= plain
     # levenshtein over class-canonicalized strings (transitive closure

@@ -74,15 +74,25 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # headline: full ER pipeline, best of 3 (the host's residual noise is
-    # BIMODAL — quiet runs vs page-cache-reclaim/fault-storm runs, measured
-    # 25s vs 75-110s for identical code at sf0.5 — so the minimum is the
-    # steady-state number a quiet cluster delivers and best-of-3 finds a
-    # quiet window with ~88% probability vs 75% for best-of-2)
+    # headline: full ER pipeline.  The host's residual noise is BIMODAL —
+    # quiet runs vs page-cache-reclaim/fault-storm runs, measured 25s vs
+    # 75-110s for identical code at sf0.5 — AND a long-lived session can
+    # land entirely in a slow window (r03's artifact read 8.8s for code
+    # whose fresh-process twin read 4.8s in the same artifact).  So the
+    # headline is measured the way the scaling block always has been:
+    # min over N FRESH child processes (LLRR_HEADLINE_ONLY), each with
+    # its own ray session — the steady-state number a quiet cluster
+    # delivers, robust to any one session's window (r03 VERDICT task 1).
     from liblevenshtein_rust_ray.stages.cluster import connected_components
 
+    reps = int(os.environ.get("LLRR_HEADLINE_REPS", "3"))
+    if not os.environ.get("LLRR_HEADLINE_ONLY"):
+        # parent session: one in-session pass only (window evidence for
+        # er_runs + the pairs dataset for --stats); the headline itself
+        # comes from the fresh children below
+        reps = 1
     runs = []
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.perf_counter()
         pairs = er_pairs(pages_path).materialize()
         n_pairs = pairs.count()
@@ -98,7 +108,7 @@ def main() -> None:
     headline = timings["er_pairs"] + timings["er_cluster"]
 
     if os.environ.get("LLRR_HEADLINE_ONLY"):
-        # --scaling children: the efficiency ratio only needs the headline
+        # headline/scaling children: one fresh-session measurement
         result = {
             "metric": "er_pipeline_sec", "value": round(headline, 3),
             "unit": "sec", "queries": timings, "sf": sf,
@@ -109,6 +119,21 @@ def main() -> None:
         ray.shutdown()
         print(json.dumps(result))
         return
+
+    # fresh-process headline: 3 children x 1 in-session rep each; min.
+    # The in-session numbers above stay in er_runs (session-window
+    # evidence); the fresh-child spread is recorded alongside.
+    try:
+        kids = [_headline_child(NUM_CPUS) for _ in range(3)]
+        bestk = min(kids, key=lambda r: r["value"])
+        timings["er_pairs"] = bestk["queries"]["er_pairs"]
+        timings["er_cluster"] = bestk["queries"]["er_cluster"]
+        timings["er_runs_fresh"] = [round(k["value"], 2) for k in kids]
+        headline = bestk["value"]
+        n_pairs = bestk["candidate_pairs"]
+        n_clustered = bestk["clustered_urls"]
+    except Exception as e:  # noqa: BLE001 — fall back to in-session number
+        timings["headline_child_error"] = f"{type(e).__name__}: {e}"
 
     # operator pipelines over the provided tables — best of 2 for the same
     # host-noise reason as the headline
@@ -190,15 +215,20 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _headline_child(ncpu: int, reps: int = 1) -> dict:
+    """One fresh-process headline measurement (own ray session)."""
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), LLRR_HEADLINE_ONLY="1",
+               LLRR_SKIP_SCALING="1", LLRR_HEADLINE_REPS=str(reps))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
 def _scaling_block() -> dict:
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), LLRR_HEADLINE_ONLY="1",
-                   LLRR_SKIP_SCALING="1")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        return _headline_child(ncpu, reps=3)
 
     def run(ncpu: int) -> dict:
         # two fresh processes per size, min headline: the residual host

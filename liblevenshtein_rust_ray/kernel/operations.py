@@ -65,6 +65,41 @@ class OperationSet:
         return OperationSet(substitute=0.5, merge=0.5, split=0.5)
 
     @staticmethod
+    def phonetic_english_basic() -> "OperationSet":
+        """English phonetic correction preset — the reference's
+        ``phonetic_english_basic()`` (src/transducer/phonetic.rs:56-310)
+        re-expressed as restricted segment rules on this cost model:
+
+        * consonant digraphs at 0.15 (phonetic.rs:55-93): ch→k sh→s
+          ph→f th→t both directions, qu↔kw (2→2);
+        * initial clusters at 0.20 (phonetic.rs:112-145): wr→r wh→w
+          kn→n ps→s pn→n gn→n rh→r both directions (context-free
+          approximation of the word-initial rule, as upstream);
+        * phonetic confusions at 0.25 (phonetic.rs:164-221): c↔k c↔s
+          s↔z g↔j f↔v plus the vowel reductions a↔e i↔e;
+        * double consonants at 0.10 (phonetic.rs:214-240): cc↔c for
+          b c d f g k l m n p r s t z.
+
+        The reference builds the PURE phonetic set and documents
+        combining it with standard ops (phonetic.rs:20-28); here the
+        unit-cost base ops are kept — at any budget < 1.0 they are
+        inert, so the matched relation under such budgets equals the
+        pure set's."""
+        ops = OperationSet()
+        for a, b in (("ch", "k"), ("sh", "s"), ("ph", "f"), ("th", "t")):
+            ops = ops.with_rule(a, b, 0.15).with_rule(b, a, 0.15)
+        ops = ops.with_rule("qu", "kw", 0.15).with_rule("kw", "qu", 0.15)
+        for a, b in (("wr", "r"), ("wh", "w"), ("kn", "n"), ("ps", "s"),
+                     ("pn", "n"), ("gn", "n"), ("rh", "r")):
+            ops = ops.with_rule(a, b, 0.20).with_rule(b, a, 0.20)
+        for a, b in (("c", "k"), ("c", "s"), ("s", "z"), ("g", "j"),
+                     ("f", "v"), ("a", "e"), ("i", "e")):
+            ops = ops.with_rule(a, b, 0.25).with_rule(b, a, 0.25)
+        for c in "bcdfgklmnprstz":
+            ops = ops.with_rule(c + c, c, 0.10).with_rule(c, c + c, 0.10)
+        return ops
+
+    @staticmethod
     def ocr_restricted() -> "OperationSet":
         """Restricted glyph-confusion model: unit costs globally, with the
         classic OCR confusions priced cheaply ONLY for their character

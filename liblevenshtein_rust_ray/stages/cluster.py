@@ -238,7 +238,7 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
     import numpy as np
     import pyarrow.compute as pc
 
-    from .grouped import bucketed_apply
+    from .grouped import bucketed_apply_arrow
 
     # ---- 0a. distinct nodes (per-batch pre-distinct = combiner) ---------
     def to_nodes(t: pa.Table) -> pa.Table:
@@ -283,85 +283,123 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
     else:
         bnd = np.array([], dtype=object)
 
-    def add_range_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__bucket"] = np.searchsorted(
-            bnd, df["url"].to_numpy(dtype=object), side="right"
-        ).astype("int32")
-        return df
+    # Arrow end-to-end (round-3 VERDICT task 5): the id-assignment
+    # exchange ships (url, __bucket) Arrow buffers and the per-range rank
+    # is numpy over a zero-copy view — no pandas block conversion.
+    def add_range_bucket(t: pa.Table) -> pa.Table:
+        urls = t.column("url").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        b = np.searchsorted(bnd, urls, side="right").astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
 
-    def assign_ranked_ids(g: pd.DataFrame) -> pd.DataFrame:
-        urls = np.unique(g["url"].to_numpy(dtype=object))  # sorted distinct
-        b = np.int64(g["__bucket"].iloc[0])
+    def assign_ranked_ids(t: pa.Table) -> pa.Table:
+        urls = np.unique(t.column("url").combine_chunks().to_numpy(
+            zero_copy_only=False))  # sorted distinct
+        b = np.int64(t.column("__bucket")[0].as_py())
         ids = (b << np.int64(40)) + np.arange(len(urls), dtype=np.int64)
-        return pd.DataFrame({"url": urls, "id": ids})
+        return pa.table({"url": pa.array(urls, type=pa.string()),
+                         "id": pa.array(ids, type=pa.int64())})
 
     ids = (
-        nodes.map_batches(add_range_bucket, batch_format="pandas")
+        nodes.map_batches(add_range_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(assign_ranked_ids, batch_format="pandas")
+        .map_groups(assign_ranked_ids, batch_format="pyarrow")
         .materialize()
     )
 
-    # ---- 0c. edges -> (id_a, id_b): two co-partitioned merge exchanges --
-    def half_a(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"key": df["url_a"].astype(str), "other": df["url_b"].astype(str),
-             "id": np.int64(-1)}
-        )
+    # ---- 0c. edges -> (id_a, id_b): two co-partitioned merge exchanges,
+    # Arrow end-to-end — each bucket does a sort+searchsorted numpy join
+    # over zero-copy views instead of a pandas merge over pickled frames.
+    def _scol(t: pa.Table, name: str) -> np.ndarray:
+        return t.column(name).combine_chunks().to_numpy(zero_copy_only=False)
 
-    def tag_ids(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"key": df["url"], "other": "", "id": df["id"]}
-        )
+    def _lookup(keys_sorted, vals_sorted, probe):
+        """Inner-join probe -> vals via binary search; returns (ok, vals)."""
+        pos = np.searchsorted(keys_sorted, probe)
+        ok = pos < len(keys_sorted)
+        pos = np.minimum(pos, max(len(keys_sorted) - 1, 0))
+        if len(keys_sorted):
+            ok &= keys_sorted[pos] == probe
+        else:
+            ok &= False
+        return ok, vals_sorted[pos]
 
-    def join_key_id(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g[g["id"] >= 0][["key", "id"]]
-        edg = g[g["id"] < 0][["key", "other"]]
-        m = edg.merge(lab, on="key", how="inner")
-        return pd.DataFrame({"key": m["other"], "ida": m["id"]})
+    def half_a(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t.column("url_a").combine_chunks().cast(pa.string()),
+            "other": t.column("url_b").combine_chunks().cast(pa.string()),
+            "id": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+        })
 
-    half = bucketed_apply(
-        pairs.map_batches(half_a, batch_format="pandas").union(
-            ids.map_batches(tag_ids, batch_format="pandas")
+    def tag_ids(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t.column("url").combine_chunks(),
+            "other": pa.nulls(t.num_rows, type=pa.string()).fill_null(""),
+            "id": t.column("id").combine_chunks(),
+        })
+
+    def join_key_id(t: pa.Table) -> pa.Table:
+        idv = _scol(t, "id")
+        keys = _scol(t, "key")
+        is_lab = idv >= 0
+        lk, lid = keys[is_lab], idv[is_lab]
+        order = np.argsort(lk, kind="stable")
+        ok, hit = _lookup(lk[order], lid[order], keys[~is_lab])
+        other = _scol(t, "other")[~is_lab]
+        return pa.table({
+            "key": pa.array(other[ok], type=pa.string()),
+            "ida": pa.array(hit[ok], type=pa.int64()),
+        })
+
+    _HALF_EMPTY = pa.table({"key": pa.array([], type=pa.string()),
+                            "ida": pa.array([], type=pa.int64())})
+
+    half = bucketed_apply_arrow(
+        pairs.map_batches(half_a, batch_format="pyarrow").union(
+            ids.map_batches(tag_ids, batch_format="pyarrow")
         ),
         "key",
         join_key_id,
         n_buckets,
-        empty_result=pd.DataFrame({"key": pd.Series(dtype=str),
-                                   "ida": pd.Series(dtype="int64")}),
+        empty_result=_HALF_EMPTY,
     )
 
-    def tag_half(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"key": df["key"], "ida": df["ida"]})
+    def tag_half(t: pa.Table) -> pa.Table:
+        return t.select(["key", "ida"])
 
-    def tag_ids2(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"key": df["url"], "ida": -1 - df["id"]})
+    def tag_ids2(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t.column("url").combine_chunks(),
+            "ida": pa.array(-1 - _scol(t, "id"), type=pa.int64()),
+        })
 
-    def join_to_int_edges(g: pd.DataFrame) -> pd.DataFrame:
+    def join_to_int_edges(t: pa.Table) -> pa.Table:
         # rows with ida < 0 carry this key's id as -(id)-1
-        own = g[g["ida"] < 0]
-        edg = g[g["ida"] >= 0]
-        m = edg.merge(
-            pd.DataFrame({"key": own["key"], "idb": -own["ida"] - 1}),
-            on="key", how="inner",
-        )
-        a = m["ida"].to_numpy(dtype=np.int64)
-        b = m["idb"].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
-            {"node": np.concatenate([a, b]), "neighbor": np.concatenate([b, a])}
-        )
+        ida = _scol(t, "ida")
+        keys = _scol(t, "key")
+        own = ida < 0
+        okeys, oids = keys[own], -ida[own] - 1
+        order = np.argsort(okeys, kind="stable")
+        ok, idb = _lookup(okeys[order], oids[order], keys[~own])
+        a = ida[~own][ok]
+        b = idb[ok]
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "neighbor": pa.array(np.concatenate([b, a]), type=pa.int64()),
+        })
+
+    _EDGES_EMPTY = pa.table({"node": pa.array([], type=pa.int64()),
+                             "neighbor": pa.array([], type=pa.int64())})
 
     # Edge list both directions, int64; small vs corpus → safe to pin.
-    edges = bucketed_apply(
-        half.map_batches(tag_half, batch_format="pandas").union(
-            ids.map_batches(tag_ids2, batch_format="pandas")
+    edges = bucketed_apply_arrow(
+        half.map_batches(tag_half, batch_format="pyarrow").union(
+            ids.map_batches(tag_ids2, batch_format="pyarrow")
         ),
         "key",
         join_to_int_edges,
         n_buckets,
-        empty_result=pd.DataFrame({"node": pd.Series(dtype="int64"),
-                                   "neighbor": pd.Series(dtype="int64")}),
+        empty_result=_EDGES_EMPTY,
     ).repartition(n_buckets).materialize()
 
     # ---- 1. label rounds (all int64, ALL-ARROW — round-2 VERDICT task 4:
@@ -562,51 +600,78 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
             stats["rounds"] = max_rounds
 
     # ---- 2. ids back to urls + exact min-url labels ---------------------
-    # exchange on id: (node_id -> url) onto (node_id -> comp_id)
-    def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"key": df["node"], "comp": df["label"], "url": ""})
+    # Arrow end-to-end: both relabel exchanges key on INT64 (node id /
+    # comp id), so they ride _int_bucketed's cheap uint32-mod bucketing;
+    # per-bucket joins are numpy searchsorted over zero-copy views and
+    # the min-url reduce is pyarrow's hash_min — no pandas frames cross
+    # any exchange.
+    def tag_labels(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": t.column("node").combine_chunks(),
+            "comp": t.column("label").combine_chunks(),
+            "url": pa.nulls(n, type=pa.string()).fill_null(""),
+        })
 
-    def tag_ids3(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"key": df["id"], "comp": np.int64(-1),
-                             "url": df["url"]})
+    def tag_ids3(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t.column("id").combine_chunks(),
+            "comp": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            "url": t.column("url").combine_chunks(),
+        })
 
-    def join_url_comp(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g[g["comp"] >= 0][["key", "comp"]]
-        own = g[g["comp"] < 0][["key", "url"]]
-        m = lab.merge(own, on="key", how="inner")
-        return pd.DataFrame({"comp": m["comp"], "url": m["url"]})
+    def join_url_comp(t: pa.Table) -> pa.Table:
+        key = _col(t, "key")
+        comp = _col(t, "comp")
+        is_lab = comp >= 0
+        lk, lc = key[is_lab], comp[is_lab]
+        order = np.argsort(lk, kind="stable")
+        lk, lc = lk[order], lc[order]
+        ok_keys = key[~is_lab]
+        pos = np.searchsorted(lk, ok_keys)
+        ok = pos < len(lk)
+        pos = np.minimum(pos, max(len(lk) - 1, 0))
+        ok &= (lk[pos] == ok_keys) if len(lk) else False
+        urls = t.column("url").combine_chunks().filter(
+            pa.array(~is_lab)).filter(pa.array(ok))
+        return pa.table({
+            "comp": pa.array(lc[pos[ok]], type=pa.int64()),
+            "url": urls,
+        })
 
-    with_urls = bucketed_apply(
-        labels.map_batches(tag_labels, batch_format="pandas").union(
-            ids.map_batches(tag_ids3, batch_format="pandas")
+    _WUC = pa.table({"comp": pa.array([], type=pa.int64()),
+                     "url": pa.array([], type=pa.string())})
+
+    with_urls = _int_bucketed(
+        labels.map_batches(tag_labels, batch_format="pyarrow").union(
+            ids.map_batches(tag_ids3, batch_format="pyarrow")
         ),
         "key",
         join_url_comp,
-        n_buckets,
-        empty_result=pd.DataFrame({"comp": pd.Series(dtype="int64"),
-                                   "url": pd.Series(dtype=str)}),
+        _WUC,
     )
 
     # exchange on comp: every member of a component lands in one group, so
     # the lexicographically smallest member url labels them all — exact
     # driver-path parity, independent of the arbitrary id order.
-    def min_url_label(df: pd.DataFrame) -> pd.DataFrame:
-        rep = df.groupby("comp")["url"].transform("min")
-        return pd.DataFrame({"url": df["url"], "cluster_id": rep})
+    def min_url_label(t: pa.Table) -> pa.Table:
+        agg = t.group_by("comp").aggregate([("url", "min")])
+        comp = _col(t, "comp")
+        ac = agg.column("comp").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.argsort(ac, kind="stable")
+        pos = order[np.searchsorted(ac[order], comp)]
+        rep = agg.column("url_min").combine_chunks().take(
+            pa.array(pos, type=pa.int64()))
+        return pa.table({
+            "url": t.column("url").combine_chunks().cast(pa.string()),
+            "cluster_id": rep.cast(pa.string()),
+        })
 
-    out = bucketed_apply(
-        with_urls,
-        "comp",
-        min_url_label,
-        n_buckets,
-        empty_result=pd.DataFrame({"url": pd.Series(dtype=str),
-                                   "cluster_id": pd.Series(dtype=str)}),
-    )
-    return out.map_batches(
-        lambda t: pa.table({"url": t.column("url").cast(pa.string()),
-                            "cluster_id": t.column("cluster_id").cast(pa.string())}),
-        batch_format="pyarrow",
-    )
+    _OUT = pa.table({"url": pa.array([], type=pa.string()),
+                     "cluster_id": pa.array([], type=pa.string())})
+
+    return _int_bucketed(with_urls, "comp", min_url_label, _OUT)
 
 
 # ----------------------------------------------------------------------

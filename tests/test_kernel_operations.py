@@ -129,3 +129,41 @@ def test_batch_vectorized_parity_random():
             expc = np.minimum(exp, cap + 1)
             ok = ((expc > cap) & (gotc == cap + 1)) | np.isclose(expc, gotc)
             assert ok.all()
+
+
+def test_phonetic_english_basic_preset():
+    """phonetic_english_basic mirrors the reference preset
+    (src/transducer/phonetic.rs:56-310): digraphs 0.15, initial clusters
+    0.20, confusions 0.25, double consonants 0.10 — and the restricted
+    weights do not leak to unrelated segments."""
+    ops = OperationSet.phonetic_english_basic()
+    # one example per component set
+    assert weighted_distance("ship", "sip", ops) == pytest.approx(0.15)
+    assert weighted_distance("fone", "phone", ops) == pytest.approx(0.15)
+    assert weighted_distance("queen", "kween", ops) == pytest.approx(0.15)
+    assert weighted_distance("write", "rite", ops) == pytest.approx(0.20)
+    assert weighted_distance("gnome", "nome", ops) == pytest.approx(0.20)
+    assert weighted_distance("cat", "kat", ops) == pytest.approx(0.25)
+    assert weighted_distance("dogs", "dogz", ops) == pytest.approx(0.25)
+    assert weighted_distance("letter", "leter", ops) == pytest.approx(0.10)
+    # stacking: sh->s (0.15) + pp->p (0.10)
+    assert weighted_distance("shipp", "sip", ops) == pytest.approx(0.25)
+    # no leak: unrelated single-char substitution stays unit cost
+    assert weighted_distance("bolt", "belt", ops) == pytest.approx(1.0)
+    # vectorized batch kernel parity on phonetic-shaped strings
+    import random
+
+    import numpy as np
+
+    rng = random.Random(11)
+    alphabet = "shcpktgjwrnae"
+
+    def rs():
+        return "".join(rng.choice(alphabet)
+                       for _ in range(rng.randint(0, 8)))
+
+    qs = [rs() for _ in range(150)]
+    ts = [rs() for _ in range(150)]
+    exp = np.array([weighted_distance(q, t, ops) for q, t in zip(qs, ts)])
+    got = batch_weighted_distances(qs, ts, ops)
+    assert np.allclose(exp, got)
