@@ -139,9 +139,9 @@ def main() -> None:
     # host-noise reason as the headline
     qs = em.queries()
     for name in ["q1", "word_freq", "fuzzy_selfjoin_part", "ann_cosine_topk",
-                 "minhash_neardup_docs", "token_stats", "curate_docs",
-                 "semdedup_embeddings", "tfidf_docs", "dsir_weights_docs",
-                 "lm_ppl_docs", "pack_docs"]:
+                 "ann_lsh_topk", "minhash_neardup_docs", "token_stats",
+                 "curate_docs", "semdedup_embeddings", "tfidf_docs",
+                 "dsir_weights_docs", "lm_ppl_docs", "pack_docs"]:
         reps = []
         for _ in range(2):
             t0 = time.perf_counter()
