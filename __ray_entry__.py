@@ -1266,6 +1266,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["url", "text"])
         return host_stats(pages)
 
+    def dict_roundtrip_parts(sf_dir):
+        """Dictionary serialization + factory + mapped-value iteration as
+        ONE driver-green oracle row (SURVEY §2 rows 21/23/50, previously
+        pytest-only; reference: serialization/mod.rs save/load,
+        dictionary/factory.rs:35-157, PathMapDictionary iteration):
+        build the mapped dictionary p_name -> min(p_partkey) from a
+        distributed combine, write it through dictionary_io's parquet
+        serialization, format-AUTO-DETECT + reload via the factory
+        (backend="path_map"), and dump iter_items.  The round-tripped
+        (term, value) relation must equal the GROUP BY min oracle —
+        any loss in dump/detect/reload/iterate breaks the value hash."""
+        import pandas as pd
+        from liblevenshtein_rust_ray.kernel import build_mapped_trie
+        from liblevenshtein_rust_ray.stages.grouped import bucketed_apply
+        from liblevenshtein_rust_ray.state import dictionary_io as dio
+
+        part = _rd(sf_dir, "part", ["p_partkey", "p_name"])
+        agg = bucketed_apply(
+            part, "p_name",
+            lambda df: df.groupby("p_name", as_index=False)["p_partkey"].min(),
+            empty_result=pd.DataFrame({
+                "p_name": pd.Series(dtype="object"),
+                "p_partkey": pd.Series(dtype="int64")}),
+        ).to_pandas()  # vocabulary-sized (distinct names), driver-safe
+        d = build_mapped_trie(
+            sorted(zip(agg["p_name"], (int(v) for v in agg["p_partkey"]))))
+        path = os.path.join(
+            _CORPUS_CACHE, f"dict_roundtrip_sf{_sf_of(sf_dir)}.parquet")
+        dio.write_dictionary(d, path)
+        fmt = dio.detect_format(path)
+        if fmt != "parquet":
+            raise RuntimeError(f"format auto-detect returned {fmt!r}")
+        t = dio.dict_to_table(dio.read_dictionary(path, backend="path_map"))
+        return pa.table({"term": t.column("term"),
+                         "value": t.column("value").cast(pa.int64())})
+
     def vocab_membership(sf_dir):
         """Bloom-screened dictionary membership of every distinct corpus
         token against the reference's real 124k-word dictionary (broadcast
@@ -1779,9 +1815,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs": curate_docs,
         "url_canonical_dedup": url_canonical_dedup,
         "line_dedup_pages": line_dedup_pages,
-        "gopher_quality_docs": gopher_quality_docs,
         "substring_dedup_docs": substring_dedup_docs,
         "dup_span_fraction_docs": dup_span_fraction_docs,
+        "dict_roundtrip_parts": dict_roundtrip_parts,
         "spell_correct_realdict": spell_correct_realdict,
         "corpus_recall_real": corpus_recall_real,
         "band_join_click_error": band_join_click_error,
@@ -1833,6 +1869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # + er_pairs_incremental, kmv/host_stats/vocab_membership by the
         # token-stats and relational families)
         "fuzzy_selfjoin_part_transposition_d1": fuzzy_selfjoin_part_transposition_d1,
+        "gopher_quality_docs": gopher_quality_docs,
         "spell_correct_vocab": spell_correct_vocab,
         "spelling_recall": spelling_recall_q,
         "url_dedup_incremental": url_dedup_incremental,
@@ -3733,6 +3770,12 @@ def oracle_sql() -> dict[str, str]:
     # deletion blocking is exact — same pair set as the length plan
     sql["fuzzy_vocab_pairs_deletion"] = sql["fuzzy_vocab_pairs"]
     sql["fuzzy_join_vocab_partwords_deletion"] = sql["fuzzy_join_vocab_partwords"]
+    # dict_roundtrip_parts: the serialize->detect->reload->iterate chain
+    # must reproduce the mapped relation exactly
+    sql["dict_roundtrip_parts"] = """
+        SELECT p_name AS term, CAST(min(p_partkey) AS BIGINT) AS value
+        FROM part GROUP BY p_name
+    """
     sql["vocab_membership"] = f"""
         WITH v AS ({vocab})
         SELECT v.tok,
