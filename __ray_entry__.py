@@ -1266,6 +1266,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["url", "text"])
         return host_stats(pages)
 
+    def neardup_canonical_docs(sf_dir):
+        """Near-duplicate cluster canonicalization: every document mapped
+        to its cluster representative (most tokens, ties → smallest id;
+        non-duplicates map to themselves).  MinHash-md5 pairs →
+        transitive closure → per-cluster argmax — the "keep the best
+        copy" form of near-dedup whose canon_id is stable under re-runs;
+        oracle = the md5 LSH SQL composed with the recursive-closure CTE
+        (er_clusters pattern) and a QUALIFY argmax."""
+        from liblevenshtein_rust_ray.pipelines.curation import (
+            neardup_canonicalize)
+
+        return neardup_canonicalize(
+            _rd(sf_dir, "documents", ["doc_id", "text"]))
+
+    def bpe_merges_docs(sf_dir):
+        """BPE tokenizer TRAINING (Sennrich et al. 2016) over documents:
+        the first 8 learned merges (merge_rank, lhs, rhs, pair_count).
+        One distributed corpus pass builds the word-frequency table;
+        merge rounds then run over the VOCABULARY only (corpus-size-
+        independent after the first pass — the standard trick).  Merge
+        application is left-to-right non-overlapping on marker-wrapped
+        symbol strings, which is plain `replace` semantics — the exact
+        property the chained-CTE SQL oracle replays round by round
+        (stages/bpetrain.py).  Deterministic tie-break: count desc,
+        lhs asc, rhs asc."""
+        from liblevenshtein_rust_ray.stages.bpetrain import bpe_learn_merges
+
+        return bpe_learn_merges(
+            _rd(sf_dir, "documents", ["text"]), "text", n_merges=8)
+
     def dict_roundtrip_parts(sf_dir):
         """Dictionary serialization + factory + mapped-value iteration as
         ONE driver-green oracle row (SURVEY §2 rows 21/23/50, previously
@@ -1849,7 +1879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- 41-50: composition + kernel-variant slots — one per
         # ALGORITHM FAMILY (standard, transposition, merge-split,
         # restricted weighted ops, NEW phonetic preset) ---
-        "chunk_docs": chunk_docs,
+        "bpe_merges_docs": bpe_merges_docs,
         "pack_docs": pack_docs,
         "er_f1": er_f1,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1870,6 +1900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token-stats and relational families)
         "fuzzy_selfjoin_part_transposition_d1": fuzzy_selfjoin_part_transposition_d1,
         "gopher_quality_docs": gopher_quality_docs,
+        "chunk_docs": chunk_docs,
         "spell_correct_vocab": spell_correct_vocab,
         "spelling_recall": spelling_recall_q,
         "url_dedup_incremental": url_dedup_incremental,
@@ -1906,6 +1937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search_tokens": prefix_search_tokens,
         "prefix_search_tokens_zipper": prefix_search_tokens_zipper,
         "exact_dedup_part": exact_dedup_part,
+        "neardup_canonical_docs": neardup_canonical_docs,
         "minhash_neardup_docs_md5": minhash_neardup_docs_md5,
         "minhash_neardup_docs_md5_join": minhash_neardup_docs_md5_join,
         "simhash_pairs_docs_md5": simhash_pairs_docs_md5,
@@ -2485,6 +2517,47 @@ _MS_DP_CTE = """
  ),
  dpres AS (SELECT a, b, row_i[1] AS d FROM dp WHERE i = 0)
 """
+
+
+def _bpe_oracle_sql(n_merges: int, source: str = "documents") -> str:
+    """The BPE training loop as one chained-CTE SQL string (round k uses
+    only round k-1's vocabulary state, so the chain is static SQL).  The
+    marker-wrapped encoding makes SQL ``replace`` the exact merge step —
+    see stages/bpetrain.py's encoding note."""
+    wf = (f"SELECT tok, CAST(count(*) AS BIGINT) AS f FROM (SELECT "
+          f"unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok "
+          f"FROM {source}) GROUP BY tok")
+    parts = [
+        f"v0 AS MATERIALIZED (SELECT '<' || array_to_string(regexp_extract_all(tok, "
+        f"'.'), '><') || '>' AS s, f FROM ({wf}))"
+    ]
+    sel = []
+    for k in range(1, n_merges + 1):
+        parts.append(f"""
+ e{k} AS MATERIALIZED (SELECT rid, f, unnest(syms) AS sym,
+                 generate_subscripts(syms, 1) AS pos
+          FROM (SELECT row_number() OVER () AS rid, f,
+                       string_split(substr(s, 2, length(s) - 2),
+                                    '><') AS syms
+                FROM v{k - 1} WHERE s IS NOT NULL))""")
+        parts.append(f"""
+ p{k} AS MATERIALIZED (SELECT l, r, CAST(SUM(f) AS BIGINT) AS c FROM (
+            SELECT f, sym AS l,
+                   lead(sym) OVER (PARTITION BY rid ORDER BY pos) AS r
+            FROM e{k}) WHERE r IS NOT NULL GROUP BY l, r)""")
+        parts.append(
+            f" m{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} "
+            f"ORDER BY c DESC, l, r LIMIT 1)")
+        parts.append(f"""
+ v{k} AS MATERIALIZED (SELECT replace(s,
+                 '<' || (SELECT l FROM m{k}) || '><' ||
+                 (SELECT r FROM m{k}) || '>',
+                 '<' || (SELECT l FROM m{k}) ||
+                 (SELECT r FROM m{k}) || '>') AS s, f
+          FROM v{k - 1})""")
+        sel.append(f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS lhs, "
+                   f"r AS rhs, c AS pair_count FROM m{k}")
+    return "WITH " + ",".join(parts) + " " + " UNION ALL ".join(sel)
 
 
 def _weighted_dp_cte(sub_cost: float, rules=(), merge: float | None = None,
@@ -3770,6 +3843,41 @@ def oracle_sql() -> dict[str, str]:
     # deletion blocking is exact — same pair set as the length plan
     sql["fuzzy_vocab_pairs_deletion"] = sql["fuzzy_vocab_pairs"]
     sql["fuzzy_join_vocab_partwords_deletion"] = sql["fuzzy_join_vocab_partwords"]
+    # bpe_merges_docs: the BPE training loop replayed round by round in
+    # SQL.  v0 = marker-wrapped char sequences of the word-freq table;
+    # each round k: explode symbols with position (e_k), count adjacent
+    # pairs weighted by word freq (p_k), deterministic argmax (m_k),
+    # apply the merge with plain replace on the marker encoding (v_k) —
+    # exactly the engine's semantics (stages/bpetrain.py encoding note).
+    sql["bpe_merges_docs"] = _bpe_oracle_sql(8)
+    # neardup_canonical_docs: md5-LSH pairs -> recursive transitive
+    # closure (er_clusters pattern) -> per-cluster token-count argmax ->
+    # full-corpus left join (self for non-members)
+    sql["neardup_canonical_docs"] = f"""
+        WITH RECURSIVE
+         prs AS (SELECT id_a, id_b FROM ({_minhash_md5_oracle_sql()}) q),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                   UNION SELECT id_b, id_a FROM prs),
+         walk(node, lbl) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT ed.dst, w.lbl FROM walk w JOIN edges ed
+             ON ed.src = w.node),
+         comp AS (SELECT node, min(lbl) AS cl FROM walk GROUP BY node),
+         tok AS (SELECT doc_id,
+                        CAST(len(regexp_extract_all(lower(coalesce(text,
+                             '')), '[a-z0-9]+')) AS BIGINT) AS n
+                 FROM documents),
+         rep AS (SELECT c.cl, c.node AS rep
+                 FROM comp c JOIN tok t ON t.doc_id = c.node
+                 QUALIFY row_number() OVER (PARTITION BY c.cl
+                     ORDER BY t.n DESC, c.node ASC) = 1),
+         mapped AS (SELECT c.node AS doc_id, r.rep AS canon_id
+                    FROM comp c JOIN rep r ON r.cl = c.cl)
+        SELECT d.doc_id,
+               CAST(coalesce(m.canon_id, d.doc_id) AS BIGINT) AS canon_id
+        FROM documents d LEFT JOIN mapped m ON m.doc_id = d.doc_id
+    """
     # dict_roundtrip_parts: the serialize->detect->reload->iterate chain
     # must reproduce the mapped relation exactly
     sql["dict_roundtrip_parts"] = """

@@ -151,3 +151,119 @@ def curate_documents(ds, min_tokens: int = 10, max_punct: float = 0.2,
         empty_result=pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                    "n_tokens": pd.Series(dtype="int64")}),
     )
+
+
+def neardup_canonicalize(ds, text_col: str = "text", id_col: str = "doc_id",
+                         threshold: float = 0.5, hasher: str = "md5",
+                         max_bucket: int = 1_000_000):
+    """Map every document to its near-duplicate CLUSTER representative:
+    ``(id_col, canon_id)`` for the full corpus.
+
+    Composition (each piece independently oracle-checked): MinHash-LSH
+    candidate pairs → transitive closure (``connected_components``) →
+    per-cluster representative = the member with the MOST tokens (ties:
+    smallest id) → members map to the representative, every other doc
+    maps to itself.  This is the "keep the best copy" curation step that
+    greedy pair-drop (curate_documents' anti-join) approximates — here
+    the whole cluster agrees on one canonical id, so downstream joins
+    on ``canon_id`` are stable under re-runs and insertions.
+
+    Scale shape: the pair/cluster side is bounded by near-duplicate
+    documents (cluster table ≪ corpus); token counts ride the same
+    stateless pass the quality screens use; three thin-row exchanges —
+    doc-keyed (attach member n_tokens), cluster-keyed (argmax), and
+    doc-keyed (final left join against the full corpus) — none carries
+    text."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.cluster import connected_components
+    from ..stages.dedup import minhash_lsh_pairs
+    from ..stages.grouped import bucketed_apply
+
+    pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold=threshold,
+                              hasher=hasher, max_bucket=max_bucket)
+
+    comp = connected_components(pairs.map_batches(
+        lambda t: pa.table({
+            "url_a": pc.cast(t.column("id_a"), pa.string()),
+            "url_b": pc.cast(t.column("id_b"), pa.string()),
+        }), batch_format="pyarrow"))  # (url=str(id), cluster_id=str)
+
+    # thin (doc_id, n_tokens) for every doc — same count the screens use
+    def tok_rows(t: pa.Table) -> pa.Table:
+        text = pc.coalesce(t.column(text_col), pa.scalar("", pa.string()))
+        n = pc.count_substring_regex(pc.utf8_lower(text),
+                                     pattern=r"[a-z0-9]+")
+        return pa.table({id_col: t.column(id_col).combine_chunks(),
+                         "n_tokens": n.cast(pa.int64())})
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow")
+
+    # exchange 1 (doc-keyed): attach n_tokens to cluster members
+    def member_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(t.column("url"), pa.int64()),
+            "cl": t.column("cluster_id").combine_chunks(),
+            "n_tokens": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+        })
+
+    def tok_tagged(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t.column(id_col).combine_chunks().cast(pa.int64()),
+            "cl": pa.nulls(t.num_rows, type=pa.string()).fill_null(""),
+            "n_tokens": t.column("n_tokens").combine_chunks(),
+        })
+
+    def join_members(df: pd.DataFrame) -> pd.DataFrame:
+        mem = df[df["n_tokens"] < 0][[id_col, "cl"]]
+        cnt = df[df["n_tokens"] >= 0][[id_col, "n_tokens"]]
+        m = mem.merge(cnt, on=id_col, how="inner")
+        return m[[id_col, "cl", "n_tokens"]]
+
+    members = bucketed_apply(
+        comp.map_batches(member_rows, batch_format="pyarrow").union(
+            toks.map_batches(tok_tagged, batch_format="pyarrow")),
+        id_col, join_members,
+        empty_result=pd.DataFrame({
+            id_col: pd.Series(dtype="int64"),
+            "cl": pd.Series(dtype="object"),
+            "n_tokens": pd.Series(dtype="int64")}),
+    )
+
+    # exchange 2 (cluster-keyed): representative per cluster, map members
+    def pick_rep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cl", "n_tokens", id_col],
+                            ascending=[True, False, True])
+        rep = df.groupby("cl", sort=False)[id_col].transform("first")
+        return pd.DataFrame({id_col: df[id_col],
+                             "canon_id": rep.astype("int64")})
+
+    mapped = bucketed_apply(
+        members, "cl", pick_rep,
+        empty_result=pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                   "canon_id": pd.Series(dtype="int64")}),
+    )
+
+    # exchange 3 (doc-keyed): full corpus LEFT JOIN mapped → self default
+    def all_tagged(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t.column(id_col).combine_chunks().cast(pa.int64()),
+            "canon_id": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["canon_id"] >= 0]
+        base = df[df["canon_id"] < 0][[id_col]].drop_duplicates()
+        out = base.merge(m[[id_col, "canon_id"]], on=id_col, how="left")
+        out["canon_id"] = out["canon_id"].fillna(
+            out[id_col]).astype("int64")
+        return out
+
+    return bucketed_apply(
+        ds.select_columns([id_col]).map_batches(
+            all_tagged, batch_format="pyarrow").union(mapped),
+        id_col, finish,
+        empty_result=pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                   "canon_id": pd.Series(dtype="int64")}),
+    )

@@ -1,0 +1,97 @@
+"""BPE merge learning (stages/bpetrain.py)."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs(texts):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"text": pa.array(texts, type=pa.string())}))
+
+
+def test_bpe_hand_checked(ray_session):
+    from liblevenshtein_rust_ray.stages.bpetrain import bpe_learn_merges
+
+    # vocab: aaab x3, ab x2  ->  pairs: (a,a): 2*3=6, (a,b): 3+2=5, then
+    # after merging (a,a)->aa: aaab = [aa,a,b]; pairs (aa,a):3, (a,b):5
+    out = bpe_learn_merges(_docs(["aaab aaab ab", "aaab ab"]),
+                           n_merges=2)
+    assert list(out.itertuples(index=False, name=None)) == [
+        (1, "a", "a", 6), (2, "a", "b", 5)]
+
+
+def test_bpe_overlap_left_to_right(ray_session):
+    from liblevenshtein_rust_ray.stages.bpetrain import bpe_learn_merges
+
+    # "aaa": pairs (a,a) counted twice per word occurrence; the merge is
+    # applied left-to-right non-overlapping -> [aa, a], leaving ONE
+    # (aa,a) pair for round 2
+    out = bpe_learn_merges(_docs(["aaa"]), n_merges=2)
+    assert list(out.itertuples(index=False, name=None)) == [
+        (1, "a", "a", 2), (2, "aa", "a", 1)]
+
+
+def test_bpe_exhaustion(ray_session):
+    from liblevenshtein_rust_ray.stages.bpetrain import bpe_learn_merges
+
+    # single-char words only: no adjacent pairs ever -> 0 rows
+    out = bpe_learn_merges(_docs(["a b c", "a b"]), n_merges=4)
+    assert len(out) == 0
+    # one two-char word: exactly 1 merge then exhaustion
+    out = bpe_learn_merges(_docs(["ab"]), n_merges=4)
+    assert list(out.itertuples(index=False, name=None)) == [(1, "a", "b", 1)]
+
+
+def test_bpe_distributed_parity_with_collisions(ray_session):
+    """The marker encoding must keep distributed == driver on vocab
+    engineered so a naive space-join replace would corrupt: 'the'/'he'
+    (suffix fake-l), 'a bc'-style prefix fake-r, adjacent repeats."""
+    from liblevenshtein_rust_ray.stages.bpetrain import bpe_learn_merges
+
+    texts = ["the the the he he she she banana banana",
+             "than bane the he ababab abc abc abc"]
+    a = bpe_learn_merges(_docs(texts), n_merges=6, mode="driver")
+    b = bpe_learn_merges(_docs(texts), n_merges=6, mode="distributed")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    # first merge on this corpus must be (h,e) or (t,h) by count — sanity
+    assert a.iloc[0]["pair_count"] >= 6
+
+
+def test_bpe_mode_guard(ray_session):
+    from liblevenshtein_rust_ray.stages.bpetrain import bpe_learn_merges
+
+    with pytest.raises(ValueError, match="distributed"):
+        bpe_learn_merges(_docs(["aa bb cc dd"]), n_merges=1,
+                         mode="driver", max_vocab_driver=2)
+    with pytest.raises(ValueError, match="unknown mode"):
+        bpe_learn_merges(_docs(["aa"]), mode="nope")
+    # auto falls back to distributed over the guard — same answer
+    out = bpe_learn_merges(_docs(["aa bb aa"]), n_merges=1,
+                           max_vocab_driver=1)
+    # word "aa" freq 2 -> pair (a,a) weight 2; beats (b,b) weight 1
+    assert list(out.itertuples(index=False, name=None)) == [(1, "a", "a", 2)]
+
+
+def test_neardup_canonicalize(ray_session):
+    """Cluster representative = most tokens (ties: smallest id);
+    non-duplicates map to themselves."""
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.pipelines.curation import (
+        neardup_canonicalize)
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight")
+    near = base + " extra trailing words here"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": [base, near, base, "completely different text entirely"],
+    })
+    out = (neardup_canonicalize(rd.from_arrow(docs)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    got = dict(zip(out["doc_id"], out["canon_id"]))
+    # 1,2,3 are one near-dup cluster; rep = doc 2 (most tokens); 4 = self
+    assert got == {1: 2, 2: 2, 3: 2, 4: 4}
