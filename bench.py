@@ -141,7 +141,8 @@ def main() -> None:
     for name in ["q1", "word_freq", "fuzzy_selfjoin_part", "ann_cosine_topk",
                  "ann_lsh_topk", "minhash_neardup_docs", "token_stats",
                  "curate_docs", "semdedup_embeddings", "tfidf_docs",
-                 "dsir_weights_docs", "lm_ppl_docs", "pack_docs"]:
+                 "dsir_weights_docs", "lm_ppl_docs", "pack_docs",
+                 "bpe_merges_docs", "neardup_canonical_docs"]:
         reps = []
         for _ in range(2):
             t0 = time.perf_counter()
