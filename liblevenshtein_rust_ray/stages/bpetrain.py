@@ -19,8 +19,9 @@ ranking feeding a subword model) as a Ray Data operator:
    note in the distributed branch).
 
 ``mode="driver"`` runs the merge rounds on the driver over the pulled
-vocab table (guarded by ``max_vocab_driver``; the vocab is the SMALL
-side — 50M words ≈ 1 GB).  ``mode="distributed"`` keeps the vocabulary
+vocab table (guarded by ``max_vocab_driver`` — default 2M: the loop is
+per-word Python, so the guard is sized to loop time, not memory).
+``mode="distributed"`` keeps the vocabulary
 a Dataset and runs each round as a pair-count partial exchange +
 driver argmax + broadcast merge application — the path for
 vocabularies past the driver guard; bit-identical to the driver loop
@@ -93,7 +94,7 @@ def _merges_driver(words, freqs, n_merges: int):
 
 
 def bpe_learn_merges(ds, text_col: str = "text", n_merges: int = 8,
-                     max_vocab_driver: int = 50_000_000,
+                     max_vocab_driver: int = 2_000_000,
                      mode: str = "auto"):
     """Learn the first ``n_merges`` BPE merges; returns a pandas
     DataFrame (merge_rank, lhs, rhs, pair_count) — at most ``n_merges`` rows,
