@@ -155,7 +155,8 @@ def curate_documents(ds, min_tokens: int = 10, max_punct: float = 0.2,
 
 def neardup_canonicalize(ds, text_col: str = "text", id_col: str = "doc_id",
                          threshold: float = 0.5, hasher: str = "md5",
-                         max_bucket: int = 1_000_000):
+                         max_bucket: int = 1_000_000,
+                         max_driver_members: int = 5_000_000):
     """Map every document to its near-duplicate CLUSTER representative:
     ``(id_col, canon_id)`` for the full corpus.
 
@@ -169,11 +170,15 @@ def neardup_canonicalize(ds, text_col: str = "text", id_col: str = "doc_id",
     on ``canon_id`` are stable under re-runs and insertions.
 
     Scale shape: the pair/cluster side is bounded by near-duplicate
-    documents (cluster table ≪ corpus); token counts ride the same
-    stateless pass the quality screens use; three thin-row exchanges —
-    doc-keyed (attach member n_tokens), cluster-keyed (argmax), and
-    doc-keyed (final left join against the full corpus) — none carries
-    text."""
+    documents (cluster table ≪ corpus).  Common case (member count ≤
+    ``max_driver_members``): the cluster table is pulled to the driver,
+    member token counts arrive via ONE broadcast-filtered stateless
+    pass, the argmax runs driver-side, and the final map is a second
+    stateless pass against the broadcast (member → canon) arrays —
+    ZERO exchanges beyond the pair/closure machinery.  Past the guard,
+    the exchange plan takes over: three thin-row bucketed exchanges
+    (doc-keyed n_tokens attach, cluster-keyed argmax, doc-keyed final
+    left join), none carrying text — bit-identical output (pinned)."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -188,7 +193,65 @@ def neardup_canonicalize(ds, text_col: str = "text", id_col: str = "doc_id",
         lambda t: pa.table({
             "url_a": pc.cast(t.column("id_a"), pa.string()),
             "url_b": pc.cast(t.column("id_b"), pa.string()),
-        }), batch_format="pyarrow"))  # (url=str(id), cluster_id=str)
+        }), batch_format="pyarrow")).materialize()
+    # (url=str(id), cluster_id=str)
+
+    if comp.count() <= max_driver_members:
+        import ray
+
+        cdf = comp.to_pandas()
+        mids = cdf["url"].astype(np.int64).to_numpy()
+        order = np.argsort(mids, kind="stable")
+        mids_sorted = mids[order]
+        mref = ray.put(np.ascontiguousarray(mids_sorted))
+
+        def member_toks(t: pa.Table) -> pa.Table:
+            mem = ray.get(mref)  # zero-copy local view
+            ids = t.column(id_col).combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64, copy=False)
+            pos = np.searchsorted(mem, ids)
+            keep = (pos < len(mem))
+            keep &= (mem[np.minimum(pos, max(len(mem) - 1, 0))] == ids
+                     ) if len(mem) else False
+            text = pc.coalesce(t.column(text_col),
+                               pa.scalar("", pa.string()))
+            n = pc.count_substring_regex(
+                pc.utf8_lower(text), pattern=r"[a-z0-9]+").cast(pa.int64())
+            return pa.table({
+                id_col: pa.array(ids[keep], type=pa.int64()),
+                "n_tokens": n.filter(pa.array(keep)),
+            })
+
+        mt = (ds.map_batches(member_toks, batch_format="pyarrow")
+              .to_pandas())  # members-sized
+        cdf = cdf.assign(**{id_col: mids}).merge(mt, on=id_col,
+                                                 how="inner")
+        cdf = cdf.sort_values(["cluster_id", "n_tokens", id_col],
+                              ascending=[True, False, True])
+        rep = cdf.groupby("cluster_id", sort=False)[id_col].transform(
+            "first").astype("int64").to_numpy()
+        member_ids = cdf[id_col].to_numpy()
+        order2 = np.argsort(member_ids, kind="stable")
+        lut_ids = np.ascontiguousarray(member_ids[order2])
+        lut_canon = np.ascontiguousarray(rep[order2])
+        lref = ray.put((lut_ids, lut_canon))
+
+        def map_all(t: pa.Table) -> pa.Table:
+            lids, lcanon = ray.get(lref)
+            ids = t.column(id_col).combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64, copy=False)
+            canon = ids.copy()
+            if len(lids):
+                pos = np.searchsorted(lids, ids)
+                hit = pos < len(lids)
+                pos = np.minimum(pos, len(lids) - 1)
+                hit &= lids[pos] == ids
+                canon[hit] = lcanon[pos[hit]]
+            return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                             "canon_id": pa.array(canon, type=pa.int64())})
+
+        return ds.select_columns([id_col]).map_batches(
+            map_all, batch_format="pyarrow")
 
     # thin (doc_id, n_tokens) for every doc — same count the screens use
     def tok_rows(t: pa.Table) -> pa.Table:

@@ -95,3 +95,25 @@ def test_neardup_canonicalize(ray_session):
     got = dict(zip(out["doc_id"], out["canon_id"]))
     # 1,2,3 are one near-dup cluster; rep = doc 2 (most tokens); 4 = self
     assert got == {1: 2, 2: 2, 3: 2, 4: 4}
+
+
+def test_neardup_canonicalize_paths_agree(ray_session):
+    """Broadcast fast path (default) == exchange plan (forced via
+    max_driver_members=0) — bit-identical mapping."""
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.pipelines.curation import (
+        neardup_canonicalize)
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13, 14], type=pa.int64()),
+        "text": [base, base + " phi chi", base, "unrelated short text",
+                 base + " psi"],
+    })
+    a = (neardup_canonicalize(rd.from_arrow(docs)).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (neardup_canonicalize(rd.from_arrow(docs), max_driver_members=0)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
