@@ -297,6 +297,35 @@ def cmd_run_pack(args) -> int:
     return 0
 
 
+def cmd_run_bpe(args) -> int:
+    import os
+
+    import ray
+
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address=args.address, include_dashboard=False,
+                 logging_level="ERROR")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .pipelines.context import configure_data_context
+    from .stages.bpetrain import bpe_learn_merges
+
+    configure_data_context()
+    corpus = rd.read_parquet(args.input, columns=[args.text_col])
+    merges = bpe_learn_merges(corpus, text_col=args.text_col,
+                              n_merges=args.n_merges, mode=args.mode)
+    pq.write_table(pa.Table.from_pandas(merges, preserve_index=False),
+                   args.output, compression="zstd")
+    print(json.dumps({"merges": len(merges), "output": args.output}))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="liblevenshtein_rust_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -426,6 +455,19 @@ def main(argv=None) -> int:
     pk.add_argument("--n-groups", type=int, default=64)
     pk.add_argument("--address", default="local")
     pk.set_defaults(fn=cmd_run_pack)
+
+    bp = sub.add_parser(
+        "run-bpe",
+        help="learn BPE tokenizer merges over a text column")
+    bp.add_argument("--input", required=True)
+    bp.add_argument("--output", required=True,
+                    help="parquet of (merge_rank, lhs, rhs, pair_count)")
+    bp.add_argument("--text-col", default="text")
+    bp.add_argument("--n-merges", type=int, default=1024)
+    bp.add_argument("--mode", default="auto",
+                    choices=["auto", "driver", "distributed"])
+    bp.add_argument("--address", default="local")
+    bp.set_defaults(fn=cmd_run_bpe)
 
     args = p.parse_args(argv)
     return args.fn(args)

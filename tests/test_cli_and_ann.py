@@ -302,3 +302,27 @@ def test_cli_run_ingest(tmp_path, capsys, ray_session):
     assert got["canonical_url"].tolist() == ["https://a.com/x", "https://b.com/y"]
     assert got["text"].tolist() == ["new", "solo"]
     assert got["n_snapshots"].tolist() == [2, 1]
+
+
+def test_cli_run_bpe(tmp_path, capsys, ray_session):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from liblevenshtein_rust_ray.cli import main
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(pa.table({
+        "text": ["aaab aaab ab", "aaab ab"],
+    }), str(src / "d.parquet"))
+    out = tmp_path / "merges.parquet"
+    rc = main(["run-bpe", "--input", str(src), "--output", str(out),
+               "--n-merges", "2"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["merges"] == 2
+    got = pq.read_table(str(out)).to_pandas()
+    assert list(got.itertuples(index=False, name=None)) == [
+        (1, "a", "a", 6), (2, "a", "b", 5)]
