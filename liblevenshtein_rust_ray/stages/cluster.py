@@ -237,8 +237,18 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
     scheme."""
     import numpy as np
     import pyarrow.compute as pc
+    import ray.data as rd
 
     from .grouped import bucketed_apply_arrow
+
+    # Pin the edge plan once (sample + the two id-join exchanges each
+    # consume it) and short-circuit an empty edge set — the sample
+    # collection below would otherwise see a schema-less empty frame.
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return rd.from_arrow(pa.table({
+            "url": pa.array([], type=pa.string()),
+            "cluster_id": pa.array([], type=pa.string())}))
 
     # ---- 0a. distinct nodes (per-batch pre-distinct = combiner) ---------
     def to_nodes(t: pa.Table) -> pa.Table:
@@ -486,11 +496,15 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
                 ^ df["label"].to_numpy(dtype=np.int64).astype(np.uint64)
             )
             # second-order term makes the sum collision-resistant against
-            # multiset swaps that preserve the first-order sum
+            # multiset swaps that preserve the first-order sum.  String
+            # cells: a plain int cell flips the block dtype int64/uint64
+            # depending on whether THIS batch's sum overflows 2^63, and
+            # the schema-divergence check then warns on a real (if
+            # harmless) dtype flip — object dtype is stable per batch.
             h2 = h * h
             return pd.DataFrame({
-                "s1": [int(h.sum(dtype="uint64"))],
-                "s2": [int(h2.sum(dtype="uint64"))],
+                "s1": [str(int(h.sum(dtype="uint64")))],
+                "s2": [str(int(h2.sum(dtype="uint64")))],
             })
 
         parts = lab.map_batches(part, batch_format="pandas").take_all()
