@@ -172,6 +172,8 @@ def bpe_learn_merges(ds, text_col: str = "text", n_merges: int = 8,
         agg = (cur.map_batches(pair_partial, batch_format="pyarrow")
                .groupby(["l", "r"]).aggregate(Sum("c", alias_name="c"))
                .to_pandas())
+        if "l" not in agg.columns:
+            break  # every partial was empty -> schema-less aggregate
         agg = agg.dropna(subset=["l"])
         if not len(agg):
             break

@@ -117,3 +117,25 @@ def test_neardup_canonicalize_paths_agree(ray_session):
     b = (neardup_canonicalize(rd.from_arrow(docs), max_driver_members=0)
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.text(alphabet="abcde", min_size=1, max_size=6),
+                min_size=1, max_size=20),
+       st.integers(min_value=1, max_value=4))
+def test_bpe_distributed_equals_driver_property(ray_session, words, n_merges):
+    """Random small corpora: the distributed marker-encoding rounds must
+    equal the driver list-form loop exactly (merge choice, counts, and
+    exhaustion behavior)."""
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.bpetrain import bpe_learn_merges
+
+    docs = _docs([" ".join(words)])
+    a = bpe_learn_merges(docs, n_merges=n_merges, mode="driver")
+    b = bpe_learn_merges(docs, n_merges=n_merges, mode="distributed")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
