@@ -293,6 +293,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = decontaminate(side(False), "text", side(True))
         return out.select_columns(["doc_id"])
 
+    def contamination_frac_docs(sf_dir):
+        """Contamination MEASUREMENT (decontaminate's reporting twin):
+        per corpus doc, its distinct word-3-shingle count, how many
+        appear in the pseudo-benchmark's (doc_id % 97 == 0) shingle set,
+        and the fraction — the distribution a decontamination threshold
+        is read off before committing to a drop rule.  Same broadcast +
+        one-stateless-pass shape; exact unnest/COUNT DISTINCT SQL
+        mirror."""
+        import numpy as np
+
+        from liblevenshtein_rust_ray.stages.dedup import contamination_report
+
+        docs = _rd(sf_dir, "documents", ["doc_id", "text"])
+
+        def side(want_bench: bool):
+            def f(t: pa.Table) -> pa.Table:
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                mask = (ids % 97 == 0) == want_bench
+                return t.filter(pa.array(mask))
+            return docs.map_batches(f, batch_format="pyarrow")
+
+        return contamination_report(side(False), "text", "doc_id",
+                                    side(True))
+
     def redact_docs(sf_dir):
         """PII redaction (emails / IPv4s / phone numbers -> typed
         placeholders) over PII-bearing text synthesized deterministically
@@ -1928,6 +1952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_vocab_pairs_subst_closed": fuzzy_vocab_pairs_subst_closed,
         "vocab_canonicalize": vocab_canonicalize,
         "decontaminate_docs": decontaminate_docs,
+        "contamination_frac_docs": contamination_frac_docs,
         "redact_docs": redact_docs,
         "split_docs": split_docs,
         "rebalance_sources_docs": rebalance_sources_docs,
@@ -3469,6 +3494,35 @@ def oracle_sql() -> dict[str, str]:
                          WHERE u.x IN (SELECT x FROM bench))
         SELECT doc_id FROM corp
         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+    # contamination_frac_docs: per-doc distinct-shingle counts + overlap
+    # with the bench shingle set — zero-shingle docs report 0/0/0.0
+    sql["contamination_frac_docs"] = """
+        WITH t AS (SELECT doc_id,
+                          regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+             s AS (SELECT doc_id,
+                          CASE WHEN len(toks) = 0 THEN []
+                               WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                               ELSE [array_to_string(toks[i:i+2], ' ')
+                                     FOR i IN range(1, len(toks) - 1)]
+                          END AS sh
+                   FROM t),
+             bench AS (SELECT DISTINCT u.x FROM s, unnest(s.sh) AS u(x)
+                       WHERE s.doc_id % 97 = 0),
+             corp AS (SELECT doc_id, sh FROM s WHERE doc_id % 97 <> 0),
+             ex AS (SELECT doc_id, u.x FROM corp, unnest(corp.sh) AS u(x)),
+             d AS (SELECT doc_id,
+                          count(DISTINCT x) AS n_sh,
+                          count(DISTINCT CASE WHEN x IN (SELECT x FROM bench)
+                                              THEN x END) AS n_hit
+                   FROM ex GROUP BY doc_id)
+        SELECT c.doc_id,
+               CAST(coalesce(d.n_sh, 0) AS BIGINT) AS n_shingles,
+               CAST(coalesce(d.n_hit, 0) AS BIGINT) AS n_contaminated,
+               CAST(coalesce(d.n_hit, 0) AS DOUBLE)
+                   / greatest(coalesce(d.n_sh, 0), 1) AS frac
+        FROM corp c LEFT JOIN d ON d.doc_id = c.doc_id
     """
     sql["vocab_canonicalize"] = f"""
         WITH RECURSIVE v AS ({vocab}),

@@ -67,6 +67,28 @@ def _vec_hash_and_salts(m_raw, m_norm):
 
 
 # ----------------------------------------------------------------------
+def _bench_shingle_array(benchmark_texts, text_col: str, k: int):
+    """Sorted uint64 blake2b hashes of the benchmark side's DISTINCT
+    word-``k``-shingles — the broadcast payload for decontaminate and
+    contamination_report (buffer-backed: every task's ``ray.get`` is a
+    zero-copy view of the local object store)."""
+    import numpy as np
+
+    from ..functions.tokenize import shingles, tokenize
+
+    bench: set[int] = set()
+    if hasattr(benchmark_texts, "iter_batches"):
+        for b in benchmark_texts.select_columns([text_col]).iter_batches(
+            batch_size=4096, batch_format="pyarrow"
+        ):
+            for x in b.column(text_col).to_pylist():
+                bench.update(hash64(s) for s in shingles(tokenize(x or ""), k))
+    else:
+        for x in benchmark_texts:
+            bench.update(hash64(s) for s in shingles(tokenize(x or ""), k))
+    return np.fromiter(sorted(bench), dtype=np.uint64, count=len(bench))
+
+
 def decontaminate(ds, text_col: str, benchmark_texts, k: int = 3,
                   min_overlap: int = 1):
     """Training-data decontamination: drop corpus rows sharing at least
@@ -92,22 +114,9 @@ def decontaminate(ds, text_col: str, benchmark_texts, k: int = 3,
 
     ``benchmark_texts``: an iterable of strings, or a Dataset with
     ``text_col`` (consumed on the driver — small side only)."""
-    import numpy as np
     import ray
 
-    from ..functions.tokenize import shingles, tokenize
-
-    bench: set[int] = set()
-    if hasattr(benchmark_texts, "iter_batches"):
-        for b in benchmark_texts.select_columns([text_col]).iter_batches(
-            batch_size=4096, batch_format="pyarrow"
-        ):
-            for x in b.column(text_col).to_pylist():
-                bench.update(hash64(s) for s in shingles(tokenize(x or ""), k))
-    else:
-        for x in benchmark_texts:
-            bench.update(hash64(s) for s in shingles(tokenize(x or ""), k))
-    bref = ray.put(np.fromiter(sorted(bench), dtype=np.uint64, count=len(bench)))
+    bref = ray.put(_bench_shingle_array(benchmark_texts, text_col, k))
 
     def keep(t: pa.Table) -> pa.Table:
         b = ray.get(bref)  # zero-copy numpy view of the local object store
@@ -128,6 +137,55 @@ def decontaminate(ds, text_col: str, benchmark_texts, k: int = 3,
         return t.filter(pa.array(n < min_overlap, type=pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def contamination_report(ds, text_col: str, id_col: str,
+                         benchmark_texts, k: int = 3):
+    """Per-document contamination MEASUREMENT — the reporting twin of
+    :func:`decontaminate`'s drop rule: ``(id_col, n_shingles,
+    n_contaminated, frac)`` where ``n_shingles`` is the doc's DISTINCT
+    word-``k``-shingle count, ``n_contaminated`` how many of those
+    appear in the benchmark's shingle set, and ``frac`` their ratio
+    (0.0 for shingle-less docs).  Run this BEFORE committing to a
+    ``min_overlap`` policy — the frac distribution is what the
+    threshold should be read off.  Same scale shape as decontaminate:
+    benchmark shingles broadcast once (sorted uint64 array, zero-copy
+    per task), corpus streams through ONE stateless pass, no shuffle."""
+    import ray
+
+    bref = ray.put(_bench_shingle_array(benchmark_texts, text_col, k))
+    id_type = ds.schema().base_schema.field(id_col).type
+
+    def report(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        texts = t.column(text_col).to_pylist()
+        hashes: list[int] = []
+        parents: list[int] = []
+        n_sh = np.zeros(len(texts), dtype=np.int64)
+        for i, x in enumerate(texts):
+            sh = set(shingles(tokenize(x or ""), k))
+            n_sh[i] = len(sh)
+            hashes.extend(hash64(s) for s in sh)
+            parents.extend([i] * len(sh))
+        n_hit = np.zeros(len(texts), dtype=np.int64)
+        if hashes:
+            ha = np.fromiter(hashes, dtype=np.uint64, count=len(hashes))
+            hit = np.isin(ha, b)
+            n_hit += np.bincount(
+                np.asarray(parents, dtype=np.int64)[hit],
+                minlength=len(texts)).astype(np.int64)
+        frac = n_hit / np.maximum(n_sh, 1)
+        return pa.table({
+            id_col: t.column(id_col).combine_chunks(),
+            "n_shingles": pa.array(n_sh, type=pa.int64()),
+            "n_contaminated": pa.array(n_hit, type=pa.int64()),
+            "frac": pa.array(frac, type=pa.float64()),
+        }, schema=pa.schema([(id_col, id_type),
+                             ("n_shingles", pa.int64()),
+                             ("n_contaminated", pa.int64()),
+                             ("frac", pa.float64())]))
+
+    return ds.map_batches(report, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------------
