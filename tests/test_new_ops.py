@@ -889,3 +889,24 @@ def test_ngram_jaccard_hot_shingle_cap(ray_session):
     # lower-bound jaccard: the dropped hot shingle is missing from the
     # intersection count but still in |A|+|B| -> 3/(4+4-3), not 1.0
     assert capped["jaccard"].tolist() == [0.6]
+
+
+def test_contamination_report(ray_session):
+    """Per-doc overlap counts + fraction; shingle-less docs report 0/0/0.0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.dedup import contamination_report
+
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": ["alpha beta gamma delta",   # shingles: a-b-g, b-g-d
+                 "alpha beta gamma zeta",    # a-b-g, b-g-z
+                 ""],                         # no shingles
+    }))
+    bench = ["alpha beta gamma"]             # one shingle: a-b-g
+    out = (contamination_report(corpus, "text", "doc_id", bench)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_shingles"].tolist() == [2, 2, 0]
+    assert out["n_contaminated"].tolist() == [1, 1, 0]
+    assert out["frac"].tolist() == [0.5, 0.5, 0.0]
