@@ -1346,6 +1346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()  # vocabulary-sized (distinct names), driver-safe
         d = build_mapped_trie(
             sorted(zip(agg["p_name"], (int(v) for v in agg["p_partkey"]))))
+        os.makedirs(_CORPUS_CACHE, exist_ok=True)
         path = os.path.join(
             _CORPUS_CACHE, f"dict_roundtrip_sf{_sf_of(sf_dir)}.parquet")
         dio.write_dictionary(d, path)
@@ -1886,15 +1887,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_ppl_docs": lm_ppl_docs,
         "decontaminate_embeddings": decontaminate_embeddings_q,
         "token_quantiles_docs": token_quantiles_docs,
-        # --- 31-40: round-3 VERDICT task 2 rotation — never-checked or
-        # stale-r01 oracle rows promoted into the driver window
-        # (token_quantiles_docs above is the 6th): er_clusters' new
-        # transitive-closure oracle, and the four r01-only green rows --
+        # --- 31-40: round-4 VERDICT task 1 rotation — the three
+        # never-driver-checked r04 operators (neardup canonicalization,
+        # contamination measurement, the sf-honoring production cluster
+        # row) plus one multimodal rows-only row, joining the r03
+        # promotions that stay (er_clusters' transitive-closure oracle,
+        # token_quantiles_docs above) ------------------------------------
         "er_clusters": er_clusters_q,
-        "lang_counts": lang_counts,
-        "events_hourly": events_hourly,
-        "revenue_by_segment": revenue_by_segment,
-        "top_docs_by_tokens": top_docs_by_tokens,
+        "neardup_canonical_docs": neardup_canonical_docs,
+        "contamination_frac_docs": contamination_frac_docs,
+        "er_clusters_scaled": er_clusters_scaled,
+        "multimodal_image_features": multimodal_image_features,
         "token_stats": token_stats,
         "quality_docs": quality_docs,
         "langid_docs": langid_docs,
@@ -1922,6 +1925,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus_recall_real, url_dedup_incremental by url_canonical_dedup
         # + er_pairs_incremental, kmv/host_stats/vocab_membership by the
         # token-stats and relational families)
+        # (r05 demotions, making room for the 4 promotions above — every
+        # one holds a FRESH r04-green driver row, and each demoted plan
+        # stays proven in-window by a sibling: lang_counts by langid_docs,
+        # events_hourly/revenue_by_segment by q1 + band_join_click_error,
+        # top_docs_by_tokens by token_stats/word_freq)
+        "lang_counts": lang_counts,
+        "events_hourly": events_hourly,
+        "revenue_by_segment": revenue_by_segment,
+        "top_docs_by_tokens": top_docs_by_tokens,
         "fuzzy_selfjoin_part_transposition_d1": fuzzy_selfjoin_part_transposition_d1,
         "gopher_quality_docs": gopher_quality_docs,
         "chunk_docs": chunk_docs,
@@ -1952,7 +1964,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_vocab_pairs_subst_closed": fuzzy_vocab_pairs_subst_closed,
         "vocab_canonicalize": vocab_canonicalize,
         "decontaminate_docs": decontaminate_docs,
-        "contamination_frac_docs": contamination_frac_docs,
         "redact_docs": redact_docs,
         "split_docs": split_docs,
         "rebalance_sources_docs": rebalance_sources_docs,
@@ -1962,7 +1973,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search_tokens": prefix_search_tokens,
         "prefix_search_tokens_zipper": prefix_search_tokens_zipper,
         "exact_dedup_part": exact_dedup_part,
-        "neardup_canonical_docs": neardup_canonical_docs,
         "minhash_neardup_docs_md5": minhash_neardup_docs_md5,
         "minhash_neardup_docs_md5_join": minhash_neardup_docs_md5_join,
         "simhash_pairs_docs_md5": simhash_pairs_docs_md5,
@@ -1977,16 +1987,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # no_oracle by nature (RNG hash family / binary media / sf-varying
         # corpus paths); er_pairs stays rows-only (production rep-edge
         # CHOICE is engine-specific; its relation is oracle-proven by
-        # er_pairs_reps + er_pairs_corpus instead); er_clusters_scaled is
-        # the sf_dir-honoring production-cluster row (r03 ADVICE)
-        "er_clusters_scaled": er_clusters_scaled,
+        # er_pairs_reps + er_pairs_corpus instead); er_clusters_scaled
+        # and multimodal_image_features moved INTO the window (r04 task 1)
         "minhash_neardup_docs": minhash_neardup_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "ann_ivf_topk": ann_ivf_topk_q,
         "doc_fingerprints": doc_fingerprints,
         "er_pairs": er_pairs_q,
         "multimodal_stub": multimodal_stub,
-        "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_features": multimodal_audio_features,
     }
 

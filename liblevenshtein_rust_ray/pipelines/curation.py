@@ -178,13 +178,36 @@ def neardup_canonicalize(ds, text_col: str = "text", id_col: str = "doc_id",
     ZERO exchanges beyond the pair/closure machinery.  Past the guard,
     the exchange plan takes over: three thin-row bucketed exchanges
     (doc-keyed n_tokens attach, cluster-keyed argmax, doc-keyed final
-    left join), none carrying text — bit-identical output (pinned)."""
+    left join), none carrying text — bit-identical output (pinned).
+
+    Contract: ``id_col`` must be a NON-NEGATIVE integer column — the
+    exchange plan uses ``-1`` sentinels to distinguish tag rows and
+    cluster ids round-trip through string casts, so non-integer id
+    types are rejected up front and negative ids raise inside the
+    corpus passes rather than being silently misclassified."""
     import numpy as np
     import pyarrow.compute as pc
 
     from ..stages.cluster import connected_components
     from ..stages.dedup import minhash_lsh_pairs
     from ..stages.grouped import bucketed_apply
+
+    sch = ds.schema()  # ray.data Schema: parallel .names / .types
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    if not pa.types.is_integer(id_type):
+        raise TypeError(
+            f"neardup_canonicalize requires an integer {id_col!r} column "
+            f"(got {id_type}); the plan uses -1 sentinels and int64 "
+            "round-trips that would misclassify other types")
+
+    def _ids_nonneg(col: "pa.ChunkedArray") -> "pa.Array":
+        ids = col.combine_chunks().cast(pa.int64())
+        mn = pc.min(ids).as_py()
+        if mn is not None and mn < 0:
+            raise ValueError(
+                f"neardup_canonicalize requires non-negative {id_col!r} "
+                f"ids (found {mn}); -1 is reserved as a tag sentinel")
+        return ids
 
     pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold=threshold,
                               hasher=hasher, max_bucket=max_bucket)
@@ -258,7 +281,7 @@ def neardup_canonicalize(ds, text_col: str = "text", id_col: str = "doc_id",
         text = pc.coalesce(t.column(text_col), pa.scalar("", pa.string()))
         n = pc.count_substring_regex(pc.utf8_lower(text),
                                      pattern=r"[a-z0-9]+")
-        return pa.table({id_col: t.column(id_col).combine_chunks(),
+        return pa.table({id_col: _ids_nonneg(t.column(id_col)),
                          "n_tokens": n.cast(pa.int64())})
 
     toks = ds.map_batches(tok_rows, batch_format="pyarrow")
@@ -311,7 +334,7 @@ def neardup_canonicalize(ds, text_col: str = "text", id_col: str = "doc_id",
     # exchange 3 (doc-keyed): full corpus LEFT JOIN mapped → self default
     def all_tagged(t: pa.Table) -> pa.Table:
         return pa.table({
-            id_col: t.column(id_col).combine_chunks().cast(pa.int64()),
+            id_col: _ids_nonneg(t.column(id_col)),
             "canon_id": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
         })
 

@@ -157,9 +157,14 @@ def ann_lsh_topk(ds, queries: dict, k: int = 5, n_planes: int = 8, probe_hamming
             # measured 38x over the Python loop, 8x over a full-uint64 LUT
             # pass at 100k rows x 20 queries.
             nb = (n_planes + 7) // 8
-            bbb = bb.view(np.uint8).reshape(-1, 8)[:, :nb]
+            # pin little-endian before the byte view: on a big-endian
+            # host the low bytes would sit at index 7..8-nb and the
+            # slice would XOR always-zero high bytes (distances all 0 →
+            # the probe silently degrades to a full scan)
+            bbb = np.ascontiguousarray(bb.astype("<u8")).view(
+                np.uint8).reshape(-1, 8)[:, :nb]
             qbb = np.ascontiguousarray(
-                self.qbuckets.astype(np.uint64)).view(np.uint8).reshape(
+                self.qbuckets.astype("<u8")).view(np.uint8).reshape(
                     -1, 8)[:, :nb]
             ham_all = _POPCNT8[bbb[None, :, :] ^ qbb[:, None, :]].sum(
                 axis=2, dtype=np.int64)
