@@ -154,17 +154,6 @@ def minhash_bands_md5(sig: np.ndarray, n_bands: int = 32) -> list[str]:
 _U64_MAX = np.uint64(np.iinfo(np.uint64).max)
 
 
-def _flat_shingles(texts, shingle_k: int):
-    """Flatten every doc's shingle list into one stream + doc offsets."""
-    from .tokenize import shingles, tokenize
-
-    flat: list[str] = []
-    offs = np.empty(len(texts) + 1, dtype=np.int64)
-    offs[0] = 0
-    for j, x in enumerate(texts):
-        flat.extend(shingles(tokenize(x or ""), shingle_k))
-        offs[j + 1] = len(flat)
-    return flat, offs
 
 
 def _perm_sweep_md5(uh: np.ndarray, num_perm: int) -> np.ndarray:
@@ -195,14 +184,19 @@ def minhash_signatures_batch(
 
     Row j is bit-identical to
     ``minhash_signature[_md5](shingles(tokenize(texts[j]), shingle_k))``:
-    a signature is a MIN over the shingle multiset, so hashing each
-    DISTINCT shingle once (pd.factorize; the sf0.1 corpus repeats each
-    shingle ~4x, webtext more), gathering the (n_flat, num_perm) value
-    stream in doc order and segment-reducing with ONE
-    ``np.minimum.reduceat`` changes nothing but the constant factor.
-    Empty docs get the all-max sentinel, same as the per-row kernel.
-    """
+    a signature is a MIN over the shingle multiset, so tokenizing /
+    shingling with the columnar kernel (``shingle_codes_column`` — one
+    numpy pass over the flat string buffer, strings assembled only per
+    DISTINCT token window; the sf0.1 corpus repeats each shingle ~4x,
+    webtext more), hashing each distinct shingle once, gathering the
+    (n_flat, num_perm) value stream in doc order and segment-reducing
+    with ONE ``np.minimum.reduceat`` changes nothing but the constant
+    factor.  Empty docs get the all-max sentinel, same as the per-row
+    kernel."""
     import pandas as pd
+    import pyarrow as pa
+
+    from .tokenize import shingle_codes_column
 
     # Sign each DISTINCT text once: webtext batches carry heavy exact
     # duplication (boilerplate pages, mirrored docs — the very thing the
@@ -213,12 +207,15 @@ def minhash_signatures_batch(
         return minhash_signatures_batch(
             list(doc_uniq), num_perm, shingle_k, hasher)[doc_codes]
 
-    flat, offs = _flat_shingles(texts, shingle_k)
     n_docs = len(texts)
     out = np.full((n_docs, num_perm), _U64_MAX, dtype=np.uint64)
-    if not flat:
+    if n_docs == 0:
         return out
-    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    codes, offs, uniq_arr = shingle_codes_column(
+        pa.array([x or "" for x in texts], type=pa.string()), shingle_k)
+    if len(codes) == 0:
+        return out
+    uniq = uniq_arr.to_pylist()
     if hasher == "md5":
         uh = np.fromiter((md5_hash64(f) % _P_INT for f in uniq),
                          dtype=np.uint64, count=len(uniq))

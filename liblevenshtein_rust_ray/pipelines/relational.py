@@ -11,7 +11,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.tokenize import tokenize
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -191,17 +190,10 @@ def word_freq(sf_dir: str, min_freq: int = 2):
     tiny groupby over (token, partial_count)."""
     ds = _read(sf_dir, "documents", columns=["text"])
 
+    from ..functions.tokenize import token_freq_partial
+
     def partial(t: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for x in t.column("text").to_pylist():
-            for tok in tokenize(x or ""):
-                counts[tok] = counts.get(tok, 0) + 1
-        return pa.table(
-            {
-                "token": pa.array(list(counts.keys()), type=pa.string()),
-                "c": pa.array(list(counts.values()), type=pa.int64()),
-            }
-        )
+        return token_freq_partial(t.column("text"))
 
     from ray.data.aggregate import Sum
 

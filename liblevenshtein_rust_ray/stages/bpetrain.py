@@ -37,22 +37,16 @@ import pyarrow as pa
 
 def _word_freq_table(ds, text_col: str):
     """Distributed (token, freq) over the corpus — occurrence counts,
-    word_freq's exact tokenization (partial combine + one exchange)."""
-    from ..functions.tokenize import tokenize
-
-    def partial(t: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for x in t.column(text_col).to_pylist():
-            for tok in tokenize(x or ""):
-                counts[tok] = counts.get(tok, 0) + 1
-        return pa.table({
-            "token": pa.array(list(counts.keys()), type=pa.string()),
-            "c": pa.array(list(counts.values()), type=pa.int64()),
-        })
-
+    word_freq's exact tokenization and partial combiner
+    (``functions.tokenize.token_freq_partial``, the columnar kernel
+    shared with pipelines.relational.word_freq) + one tiny exchange."""
     from ray.data.aggregate import Sum
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
+    from ..functions.tokenize import token_freq_partial
+
+    return (ds.map_batches(
+                lambda t: token_freq_partial(t.column(text_col)),
+                batch_format="pyarrow")
             .groupby("token").aggregate(Sum("c", alias_name="freq")))
 
 

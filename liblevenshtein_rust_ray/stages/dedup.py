@@ -67,6 +67,32 @@ def _vec_hash_and_salts(m_raw, m_norm):
 
 
 # ----------------------------------------------------------------------
+def _doc_distinct_shingle_hashes(col, k: int):
+    """Per-document DISTINCT word-``k``-shingle blake2b hashes, columnar:
+    ``(parents, hashes, n_sh)`` — flat uint64 hashes with their doc row
+    index, plus the per-doc distinct-shingle count.  The tokenizer /
+    shingler is one numpy pass over the batch's flat string buffer and
+    the blake2b loop runs once per DISTINCT shingle in the batch, not
+    once per occurrence (``functions.tokenize.shingle_codes_column``)."""
+    from ..functions.tokenize import shingle_codes_column
+
+    codes, offs, uniq = shingle_codes_column(col, k)
+    n_docs = len(offs) - 1
+    if len(codes) == 0:
+        return (np.zeros(0, dtype=np.int64),
+                np.zeros(0, dtype=np.uint64),
+                np.zeros(n_docs, dtype=np.int64))
+    doc = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offs))
+    n_uniq = len(uniq)
+    dk = np.unique(doc * n_uniq + codes)      # distinct (doc, shingle)
+    d = dk // n_uniq
+    c = dk % n_uniq
+    uh = np.fromiter((hash64(s) for s in uniq.to_pylist()),
+                     dtype=np.uint64, count=n_uniq)
+    n_sh = np.bincount(d, minlength=n_docs).astype(np.int64)
+    return d, uh[c], n_sh
+
+
 def _bench_shingle_array(benchmark_texts, text_col: str, k: int):
     """Sorted uint64 blake2b hashes of the benchmark side's DISTINCT
     word-``k``-shingles — the broadcast payload for decontaminate and
@@ -74,18 +100,18 @@ def _bench_shingle_array(benchmark_texts, text_col: str, k: int):
     zero-copy view of the local object store)."""
     import numpy as np
 
-    from ..functions.tokenize import shingles, tokenize
-
     bench: set[int] = set()
     if hasattr(benchmark_texts, "iter_batches"):
         for b in benchmark_texts.select_columns([text_col]).iter_batches(
             batch_size=4096, batch_format="pyarrow"
         ):
-            for x in b.column(text_col).to_pylist():
-                bench.update(hash64(s) for s in shingles(tokenize(x or ""), k))
+            _, hh, _ = _doc_distinct_shingle_hashes(b.column(text_col), k)
+            bench.update(hh.tolist())
     else:
-        for x in benchmark_texts:
-            bench.update(hash64(s) for s in shingles(tokenize(x or ""), k))
+        _, hh, _ = _doc_distinct_shingle_hashes(
+            pa.array([x or "" for x in benchmark_texts],
+                     type=pa.string()), k)
+        bench.update(hh.tolist())
     return np.fromiter(sorted(bench), dtype=np.uint64, count=len(bench))
 
 
@@ -120,20 +146,13 @@ def decontaminate(ds, text_col: str, benchmark_texts, k: int = 3,
 
     def keep(t: pa.Table) -> pa.Table:
         b = ray.get(bref)  # zero-copy numpy view of the local object store
-        texts = t.column(text_col).to_pylist()
-        hashes: list[int] = []
-        parents: list[int] = []
-        for i, x in enumerate(texts):
-            sh = set(shingles(tokenize(x or ""), k))  # DISTINCT overlap
-            hashes.extend(hash64(s) for s in sh)
-            parents.extend([i] * len(sh))
-        n = np.zeros(len(texts), dtype=np.int64)
-        if hashes:
-            ha = np.fromiter(hashes, dtype=np.uint64, count=len(hashes))
+        parents, ha, _ = _doc_distinct_shingle_hashes(
+            t.column(text_col), k)  # DISTINCT overlap
+        n = np.zeros(t.num_rows, dtype=np.int64)
+        if len(ha):
             hit = np.isin(ha, b)
-            n += np.bincount(
-                np.asarray(parents, dtype=np.int64)[hit], minlength=len(texts)
-            ).astype(np.int64)
+            n += np.bincount(parents[hit],
+                             minlength=t.num_rows).astype(np.int64)
         return t.filter(pa.array(n < min_overlap, type=pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -158,22 +177,13 @@ def contamination_report(ds, text_col: str, id_col: str,
 
     def report(t: pa.Table) -> pa.Table:
         b = ray.get(bref)
-        texts = t.column(text_col).to_pylist()
-        hashes: list[int] = []
-        parents: list[int] = []
-        n_sh = np.zeros(len(texts), dtype=np.int64)
-        for i, x in enumerate(texts):
-            sh = set(shingles(tokenize(x or ""), k))
-            n_sh[i] = len(sh)
-            hashes.extend(hash64(s) for s in sh)
-            parents.extend([i] * len(sh))
-        n_hit = np.zeros(len(texts), dtype=np.int64)
-        if hashes:
-            ha = np.fromiter(hashes, dtype=np.uint64, count=len(hashes))
+        parents, ha, n_sh = _doc_distinct_shingle_hashes(
+            t.column(text_col), k)
+        n_hit = np.zeros(t.num_rows, dtype=np.int64)
+        if len(ha):
             hit = np.isin(ha, b)
-            n_hit += np.bincount(
-                np.asarray(parents, dtype=np.int64)[hit],
-                minlength=len(texts)).astype(np.int64)
+            n_hit += np.bincount(parents[hit],
+                                 minlength=t.num_rows).astype(np.int64)
         frac = n_hit / np.maximum(n_sh, 1)
         return pa.table({
             id_col: t.column(id_col).combine_chunks(),
@@ -765,23 +775,43 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, threshold: float = 0.5,
     ds = coalesce_small_input(ds)
 
     def sets_batch(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        texts = t.column(text_col).to_pylist()
-        out_h, out_i, out_s = [], [], []
-        for i, x in zip(ids, texts):
-            sh = sorted(set(shingles(tokenize(x or ""), k)))
-            if not sh:
-                continue  # empty sets never reach the index (as before)
-            out_h.append(hash64("\x00".join(sh)))
-            out_i.append(i)
-            out_s.append(sh)
-        return pa.table(
-            {
-                "__set_hash": pa.array(out_h, type=pa.uint64()),
-                "id": pa.array(out_i),
-                "shingles": pa.array(out_s, type=pa.list_(pa.string())),
-            }
-        )
+        # columnar: distinct (doc, shingle) pairs ordered by the
+        # LEXICOGRAPHIC rank of the shingle string, so each doc's list
+        # comes out already equal to sorted(set(shingles(...)))
+        from ..functions.tokenize import shingle_codes_column
+        import pyarrow.compute as pc
+
+        codes, offs, uniq = shingle_codes_column(t.column(text_col), k)
+        n_docs = t.num_rows
+        if len(codes) == 0:
+            return pa.table({
+                "__set_hash": pa.array([], type=pa.uint64()),
+                "id": pa.array([], type=t.column(id_col).type),
+                "shingles": pa.array([], type=pa.list_(pa.string())),
+            })
+        order = pc.array_sort_indices(uniq).to_numpy(zero_copy_only=False)
+        lexrank = np.empty(len(uniq), dtype=np.int64)
+        lexrank[order] = np.arange(len(uniq), dtype=np.int64)
+        doc = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offs))
+        n_uniq = len(uniq)
+        dk = np.unique(doc * n_uniq + lexrank[codes])
+        d = dk // n_uniq
+        c_sorted_code = np.asarray(order)[dk % n_uniq]  # back to uniq idx
+        per_doc = np.bincount(d, minlength=n_docs)
+        nonempty = np.flatnonzero(per_doc > 0)
+        flat = uniq.take(pa.array(c_sorted_code)).cast(pa.string())
+        loffs = np.zeros(len(nonempty) + 1, dtype=np.int32)
+        loffs[1:] = np.cumsum(per_doc[nonempty])
+        lists = pa.ListArray.from_arrays(pa.array(loffs, type=pa.int32()),
+                                         flat)
+        joined = pc.binary_join(lists, "\x00").to_pylist()
+        out_h = np.fromiter((hash64(s) for s in joined),
+                            dtype=np.uint64, count=len(joined))
+        return pa.table({
+            "__set_hash": pa.array(out_h, type=pa.uint64()),
+            "id": t.column(id_col).take(pa.array(nonempty)),
+            "shingles": lists,
+        })
 
     def collapse_and_explode(bucket: pd.DataFrame) -> pd.DataFrame:
         out_s, out_i, out_n, out_m = [], [], [], []

@@ -29,7 +29,6 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.simhash import md5_hash64
-from ..functions.tokenize import shingles, tokenize
 
 _TWO64 = 2.0 ** 64
 
@@ -39,10 +38,10 @@ def kmv_partial_batch(t: pa.Table, text_col: str, k: int,
     """Per-batch partial: the batch's <= k smallest distinct shingle
     hashes, one uint64 row each (the only thing that ever leaves the
     task)."""
-    hs = set()
-    for x in t.column(text_col).to_pylist():
-        for s in shingles(tokenize(x or ""), shingle_k):
-            hs.add(md5_hash64(s))
+    from ..functions.tokenize import shingle_codes_column
+
+    _, _, uniq = shingle_codes_column(t.column(text_col), shingle_k)
+    hs = {md5_hash64(s) for s in uniq.to_pylist()}
     return pa.table({"h": pa.array(sorted(hs)[:k], type=pa.uint64())})
 
 
