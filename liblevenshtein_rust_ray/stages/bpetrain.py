@@ -5,31 +5,40 @@ reference capability family: `src/corpus/parser.rs` word-frequency
 ranking feeding a subword model) as a Ray Data operator:
 
 1. ONE distributed corpus pass builds the word-frequency table (the
-   same `[a-z0-9]+` lower tokenization as word_freq / tfidf — partial
-   per-batch counts, one tiny (token, count) exchange).  All further
-   rounds operate on the VOCABULARY table, not the corpus — the
-   standard trick that makes BPE training corpus-size-independent
-   after one pass (training cost scales with distinct words).
-2. Each merge round counts adjacent symbol pairs weighted by word
-   frequency, picks the argmax (ties: count desc, left asc, right
-   asc — fully deterministic), and applies the merge left-to-right
-   non-overlapping (exactly `str.replace` on the MARKER-WRAPPED
-   symbol string "<a><b><c>", which is also SQL `replace` semantics —
-   the property the chained-CTE oracle leans on; see the encoding
-   note in the distributed branch).
+   same `[a-z0-9]+` lower tokenization as word_freq / tfidf — the
+   columnar ``token_freq_partial`` kernel, one tiny (token, count)
+   exchange).  All further rounds operate on the VOCABULARY table, not
+   the corpus — the standard trick that makes BPE training
+   corpus-size-independent after one pass.
+2. Merge rounds are INCREMENTAL (the real-tokenizer-scale fix): after
+   merging ``(l, r)`` only words containing that adjacent pair change
+   any pair count, so both modes keep a persistent pair→count state
+   plus a lazy max-heap and apply signed deltas from exactly the
+   affected words — never a full recount.  Argmax ties break (count
+   desc, lhs asc, rhs asc) — fully deterministic, and pinned
+   bit-identical to the naive full-recount reference loop (kept below
+   as ``_merges_reference`` for the property tests).
 
-``mode="driver"`` runs the merge rounds on the driver over the pulled
-vocab table (guarded by ``max_vocab_driver`` — default 2M: the loop is
-per-word Python, so the guard is sized to loop time, not memory).
-``mode="distributed"`` keeps the vocabulary
-a Dataset and runs each round as a pair-count partial exchange +
-driver argmax + broadcast merge application — the path for
-vocabularies past the driver guard; bit-identical to the driver loop
-(pinned by tests).  ``mode="auto"`` picks driver under the guard.
+``mode="driver"`` pulls the vocab table once (guarded by
+``max_vocab_driver``) and runs the incremental loop in-process.
+``mode="distributed"`` keeps the vocabulary a Dataset and batches MANY
+merge rounds per cluster launch: each launch takes the current top-K
+candidate pairs, runs ONE stateless filter pass pulling just the
+(un-cached) words containing any candidate, and then simulates merge
+rounds driver-side until the argmax leaves the candidate set — the
+invariant being that every word containing a candidate pair is either
+in the pulled set or was already rewritten driver-side (merges only
+ever modify such words, so no other word's pairs can change).
+Rewritten words accumulate in an overlay that is flushed back to the
+Dataset in one broadcast map when it grows past ``max_overlay``.
+Bit-identical to the driver loop (pinned by tests).  ``mode="auto"``
+picks driver under the guard.
 
 Output: one row per learned merge — (merge_rank, lhs, rhs, pair_count).
 """
 
+import heapq
+import re
 from collections import Counter
 
 import pyarrow as pa
@@ -70,7 +79,10 @@ def _best_pair(cnt):
     return min(cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
 
 
-def _merges_driver(words, freqs, n_merges: int):
+def _merges_reference(words, freqs, n_merges: int):
+    """The naive full-recount loop — O(vocab) per round.  Kept ONLY as
+    the semantic reference the incremental engine is property-tested
+    against (tests/test_bpetrain.py); production paths never call it."""
     out = []
     for rank in range(1, n_merges + 1):
         cnt = Counter()
@@ -87,12 +99,156 @@ def _merges_driver(words, freqs, n_merges: int):
     return out
 
 
+class _PairState:
+    """pair→count map + lazy max-heap + (working-set) inverted index.
+
+    The heap holds ``(-count, l, r)`` entries; every count CHANGE pushes
+    a fresh entry, and pops discard entries whose stored count no longer
+    matches — so the top valid pop is always the exact deterministic
+    argmax (count desc, lhs asc, rhs asc)."""
+
+    def __init__(self):
+        self.cnt: dict = {}
+        self.heap: list = []
+
+    def build(self, pair_counts):
+        self.cnt = dict(pair_counts)
+        self.heap = [(-c, l, r) for (l, r), c in self.cnt.items() if c > 0]
+        heapq.heapify(self.heap)
+
+    def add(self, pair, delta: int):
+        c = self.cnt.get(pair, 0) + delta
+        if c <= 0:
+            self.cnt.pop(pair, None)
+        else:
+            self.cnt[pair] = c
+            heapq.heappush(self.heap, (-c, pair[0], pair[1]))
+
+    def pop_max(self):
+        """Remove and return the valid argmax ``((l, r), count)`` or
+        None when no pairs remain."""
+        while self.heap:
+            negc, l, r = heapq.heappop(self.heap)
+            if self.cnt.get((l, r)) == -negc:
+                return (l, r), -negc
+        return None
+
+    def push_back(self, pair, c: int):
+        heapq.heappush(self.heap, (-c, pair[0], pair[1]))
+
+    def peek_top_k(self, k: int):
+        """The k highest-priority VALID pairs (without net removal)."""
+        stash = []
+        seen = set()
+        while self.heap and len(stash) < k:
+            negc, l, r = heapq.heappop(self.heap)
+            if self.cnt.get((l, r)) == -negc and (l, r) not in seen:
+                stash.append(((l, r), -negc))
+                seen.add((l, r))
+        for pair, c in stash:
+            self.push_back(pair, c)
+        return [p for p, _ in stash]
+
+
+class _WorkingSet:
+    """Driver-side word store with a pair→words inverted index.
+
+    Holds (symbols, freq) per word key and applies one merge
+    incrementally: only words indexed under the merged pair are
+    touched, and each contributes a signed per-pair delta
+    (new adjacent-pair multiset minus old) weighted by its frequency."""
+
+    def __init__(self, state: _PairState):
+        self.state = state
+        self.words: dict = {}      # key -> [symbols]
+        self.freq: dict = {}       # key -> int
+        self.index: dict = {}      # (l, r) -> set(keys)
+        self.dirty: set = set()    # keys rewritten since last flush
+
+    def add_word(self, key, sy, f):
+        if key in self.words:
+            return
+        self.words[key] = sy
+        self.freq[key] = f
+        for p in zip(sy, sy[1:]):
+            self.index.setdefault(p, set()).add(key)
+
+    def apply_merge(self, l: str, r: str):
+        pair = (l, r)
+        merged = l + r
+        affected = self.index.pop(pair, set())
+        for key in affected:
+            sy = self.words[key]
+            f = self.freq[key]
+            old = Counter(zip(sy, sy[1:]))
+            if old.get(pair, 0) == 0:
+                continue  # stale index entry
+            new_sy = _apply_merge(sy, l, r, merged)
+            new = Counter(zip(new_sy, new_sy[1:]))
+            self.words[key] = new_sy
+            self.dirty.add(key)
+            for p in old.keys() | new.keys():
+                d = new.get(p, 0) - old.get(p, 0)
+                if d:
+                    self.state.add(p, d * f)
+                if p != pair:
+                    if new.get(p, 0):
+                        self.index.setdefault(p, set()).add(key)
+                    elif old.get(p, 0):
+                        s = self.index.get(p)
+                        if s is not None:
+                            s.discard(key)
+
+    def drop_clean(self):
+        """Forget words not rewritten (they match the backing store);
+        the index is rebuilt for the keepers."""
+        keep = self.dirty
+        self.words = {k: self.words[k] for k in keep}
+        self.freq = {k: self.freq[k] for k in keep}
+        self.index = {}
+        for k, sy in self.words.items():
+            for p in zip(sy, sy[1:]):
+                self.index.setdefault(p, set()).add(k)
+
+
+def _merges_incremental(words, freqs, n_merges: int):
+    """Driver-mode incremental loop: one initial pair count, then
+    O(affected-words) per merge via the lazy heap + inverted index."""
+    state = _PairState()
+    ws = _WorkingSet(state)
+    init = Counter()
+    for i, (sy, f) in enumerate(zip(words, freqs)):
+        f = int(f)
+        ws.add_word(i, list(sy), f)
+        for p in zip(sy, sy[1:]):
+            init[p] += f
+    state.build(init)
+    out = []
+    for rank in range(1, n_merges + 1):
+        top = state.pop_max()
+        if top is None:
+            break
+        (l, r), c = top
+        out.append((rank, l, r, int(c)))
+        ws.apply_merge(l, r)
+        # the merged pair's own count must now be zero everywhere
+        state.cnt.pop((l, r), None)
+    return out
+
+
 def bpe_learn_merges(ds, text_col: str = "text", n_merges: int = 8,
                      max_vocab_driver: int = 2_000_000,
-                     mode: str = "auto"):
+                     mode: str = "auto", candidate_k: int = 64,
+                     max_overlay: int = 250_000):
     """Learn the first ``n_merges`` BPE merges; returns a pandas
-    DataFrame (merge_rank, lhs, rhs, pair_count) — at most ``n_merges`` rows,
-    fewer if the vocabulary runs out of adjacent pairs."""
+    DataFrame (merge_rank, lhs, rhs, pair_count) — at most ``n_merges``
+    rows, fewer if the vocabulary runs out of adjacent pairs.
+
+    ``candidate_k``: distributed mode pulls words for this many top
+    candidate pairs per cluster launch and simulates merge rounds
+    driver-side until the argmax leaves the candidate set (launches ≈
+    n_merges / rounds-per-launch).  ``max_overlay``: rewritten words
+    held driver-side before a broadcast flush back into the Dataset."""
     import pandas as pd
 
     if mode not in ("auto", "driver", "distributed"):
@@ -114,78 +270,146 @@ def bpe_learn_merges(ds, text_col: str = "text", n_merges: int = 8,
             vocab = wf.to_pandas()
             words = [list(w) for w in vocab["token"]]
             freqs = vocab["freq"].to_numpy()
-            rows = _merges_driver(words, freqs, n_merges)
+            rows = _merges_incremental(words, freqs, n_merges)
             return pd.DataFrame(rows, columns=["merge_rank", "lhs", "rhs",
                                                "pair_count"]).astype(
                 {"merge_rank": "int64", "pair_count": "int64"})
 
-    # ---- distributed rounds: vocab stays a Dataset ----------------------
+    # ---- distributed: vocab stays a Dataset ----------------------------
     # Symbol sequences travel as MARKER-WRAPPED strings "<a><b><c>"
     # (Arrow string col).  With every symbol delimited on BOTH sides by
     # characters outside the token alphabet, plain left-to-right
     # non-overlapping `replace("<l><r>", "<lr>")` is EXACTLY the BPE
-    # merge step: adjacent occurrences share no characters (unlike a
-    # single-separator encoding), a suffix of a longer symbol can't fake
-    # an l-match ("<th><e>" has no "<h>"), and a longer symbol can't
-    # fake an r-prefix ("<a><bc>" has no "<b>").  The SQL oracle uses
-    # the same encoding, so engine and oracle share semantics by
-    # construction.  Each round = one pair-count partial exchange ->
-    # driver argmax (distinct-symbol-pairs sized) -> one stateless merge
-    # map.  Rounds run over the vocab table, never the corpus.
+    # merge step (adjacent occurrences share no characters, a suffix of
+    # a longer symbol can't fake an l-match, a longer symbol can't fake
+    # an r-prefix) — the property the chained-CTE SQL oracle leans on.
+    out = _merges_distributed(wf, n_merges, candidate_k, max_overlay)
+    return pd.DataFrame(out, columns=["merge_rank", "lhs", "rhs",
+                                      "pair_count"]
+                        ).astype({"merge_rank": "int64",
+                                  "pair_count": "int64"})
+
+
+def _sym_str(sy) -> str:
+    return "<" + "><".join(sy) + ">"
+
+
+def _merges_distributed(wf, n_merges: int, candidate_k: int,
+                        max_overlay: int):
+    import numpy as np
+    import ray
+
     def to_syms(t: pa.Table) -> pa.Table:
         toks = t.column("token").to_pylist()
         return pa.table({
-            "s": pa.array(["<" + "><".join(w) + ">" for w in toks],
-                          type=pa.string()),
+            "w": t.column("token").combine_chunks().cast(pa.string()),
+            "s": pa.array([_sym_str(w) for w in toks], type=pa.string()),
             "f": t.column("freq").combine_chunks().cast(pa.int64()),
         })
 
     cur = wf.map_batches(to_syms, batch_format="pyarrow").materialize()
 
-    out = []
-    for rank in range(1, n_merges + 1):
-        def pair_partial(t: pa.Table) -> pa.Table:
-            cnt = Counter()
-            fs = t.column("f").to_numpy(zero_copy_only=False)
-            for s, f in zip(t.column("s").to_pylist(), fs):
-                sy = s[1:-1].split("><")
-                for a, b in zip(sy, sy[1:]):
-                    cnt[(a, b)] += int(f)
-            if not cnt:
-                return pa.table({"l": pa.array([], type=pa.string()),
-                                 "r": pa.array([], type=pa.string()),
-                                 "c": pa.array([], type=pa.int64())})
-            ls, rs = zip(*cnt.keys())
-            return pa.table({"l": pa.array(ls, type=pa.string()),
-                             "r": pa.array(rs, type=pa.string()),
-                             "c": pa.array(list(cnt.values()),
-                                           type=pa.int64())})
+    # ONE pair-count exchange seeds the persistent driver state; every
+    # later round updates it by signed deltas only.
+    def pair_partial(t: pa.Table) -> pa.Table:
+        cnt = Counter()
+        fs = t.column("f").to_numpy(zero_copy_only=False)
+        for s, f in zip(t.column("s").to_pylist(), fs):
+            sy = s[1:-1].split("><")
+            for p in zip(sy, sy[1:]):
+                cnt[p] += int(f)
+        if not cnt:
+            return pa.table({"l": pa.array([], type=pa.string()),
+                             "r": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        ls, rs = zip(*cnt.keys())
+        return pa.table({"l": pa.array(ls, type=pa.string()),
+                         "r": pa.array(rs, type=pa.string()),
+                         "c": pa.array(list(cnt.values()),
+                                       type=pa.int64())})
 
-        from ray.data.aggregate import Sum
+    from ray.data.aggregate import Sum
 
-        agg = (cur.map_batches(pair_partial, batch_format="pyarrow")
-               .groupby(["l", "r"]).aggregate(Sum("c", alias_name="c"))
-               .to_pandas())
-        if "l" not in agg.columns:
-            break  # every partial was empty -> schema-less aggregate
+    agg = (cur.map_batches(pair_partial, batch_format="pyarrow")
+           .groupby(["l", "r"]).aggregate(Sum("c", alias_name="c"))
+           .to_pandas())
+    state = _PairState()
+    if "l" in agg.columns:
         agg = agg.dropna(subset=["l"])
-        if not len(agg):
-            break
-        agg = agg.sort_values(["c", "l", "r"],
-                              ascending=[False, True, True])
-        l, r, c = (agg.iloc[0]["l"], agg.iloc[0]["r"],
-                   int(agg.iloc[0]["c"]))
-        out.append((rank, l, r, c))
-        pat, rep = f"<{l}><{r}>", f"<{l}{r}>"
+        state.build({(l, r): int(c) for l, r, c in
+                     zip(agg["l"], agg["r"], agg["c"])})
+    ws = _WorkingSet(state)
 
-        def apply(t: pa.Table, pat=pat, rep=rep) -> pa.Table:
-            ss = [s.replace(pat, rep) for s in t.column("s").to_pylist()]
-            return pa.table({"s": pa.array(ss, type=pa.string()),
+    def flush_overlay():
+        nonlocal cur
+        if not ws.dirty:
+            return
+        omap = {k: _sym_str(ws.words[k]) for k in ws.dirty}
+        oref = ray.put(omap)
+
+        def rewrite(t: pa.Table) -> pa.Table:
+            m = ray.get(oref)
+            wsr = t.column("w").to_pylist()
+            mask = [w in m for w in wsr]
+            if not any(mask):
+                return t
+            ss = t.column("s").to_pylist()
+            ss = [m.get(w, s) for w, s in zip(wsr, ss)]
+            return pa.table({"w": t.column("w").combine_chunks(),
+                             "s": pa.array(ss, type=pa.string()),
                              "f": t.column("f").combine_chunks()})
 
-        cur = cur.map_batches(apply, batch_format="pyarrow").materialize()
+        cur = cur.map_batches(rewrite, batch_format="pyarrow").materialize()
+        ws.dirty = set()
+        ws.drop_clean()  # everything is clean now -> empty working set
 
-    return pd.DataFrame(out, columns=["merge_rank", "lhs", "rhs",
-                                      "pair_count"]
-                        ).astype({"merge_rank": "int64",
-                                  "pair_count": "int64"})
+    out = []
+    rank = 1
+    while rank <= n_merges:
+        cands = state.peek_top_k(candidate_k)
+        if not cands:
+            break
+        cand_set = set(cands)
+        pats = [f"<{l}><{r}>" for l, r in cands]
+        rx = "|".join(re.escape(p) for p in pats)
+        known = pa.array(list(ws.words.keys()), type=pa.string())
+
+        def pull(t: pa.Table, rx=rx, known=known) -> pa.Table:
+            import pyarrow.compute as pc
+            m = pc.match_substring_regex(t.column("s"), rx)
+            if len(known):
+                m = pc.and_(m, pc.invert(pc.is_in(
+                    t.column("w"), value_set=known)))
+            return t.filter(m)
+
+        pulled = cur.map_batches(pull, batch_format="pyarrow").to_pandas()
+        if "w" in pulled.columns:  # schema-less when every block is empty
+            for w, s, f in zip(pulled["w"], pulled["s"], pulled["f"]):
+                ws.add_word(w, s[1:-1].split("><"), int(f))
+
+        progressed = False
+        while rank <= n_merges:
+            top = state.pop_max()
+            if top is None:
+                break
+            (l, r), c = top
+            if (l, r) not in cand_set:
+                state.push_back((l, r), c)
+                break
+            out.append((rank, l, r, int(c)))
+            rank += 1
+            progressed = True
+            ws.apply_merge(l, r)
+            state.cnt.pop((l, r), None)
+        if not progressed:
+            # invariant breach guard — cannot happen (every word holding
+            # a candidate pair is pulled or already cached), but never
+            # spin silently if it ever did
+            raise RuntimeError("bpe distributed: no progress in launch")
+        if len(ws.words) > max_overlay:
+            flush_overlay()
+        else:
+            ws.drop_clean()
+            # rewritten words stay cached; clean pulled words are
+            # forgotten so the is_in exclusion set stays overlay-sized
+    return out

@@ -139,3 +139,42 @@ def test_bpe_distributed_equals_driver_property(ray_session, words, n_merges):
     b = bpe_learn_merges(docs, n_merges=n_merges, mode="distributed")
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=8),
+                min_size=1, max_size=30),
+       st.integers(min_value=1, max_value=24))
+def test_bpe_incremental_equals_reference_property(words, n_merges):
+    """The incremental heap+delta engine must match the naive
+    full-recount reference loop exactly — merge choices, tie-breaks,
+    counts, and exhaustion — on random corpora (no Ray needed)."""
+    from collections import Counter
+
+    from liblevenshtein_rust_ray.stages.bpetrain import (
+        _merges_incremental, _merges_reference)
+
+    wf = Counter(words)
+    ws = [list(w) for w in wf.keys()]
+    fs = list(wf.values())
+    assert _merges_incremental([list(w) for w in ws], fs, n_merges) == \
+        _merges_reference(ws, fs, n_merges)
+
+
+def test_bpe_distributed_small_candidate_k_and_flush(ray_session):
+    """candidate_k=1 (one merge per launch, the degenerate schedule) and
+    max_overlay=0 (flush after every launch) must both stay
+    bit-identical to the driver loop."""
+    from liblevenshtein_rust_ray.stages.bpetrain import bpe_learn_merges
+
+    texts = ["the the the he he she she banana banana",
+             "than bane the he ababab abc abc abc"]
+    a = bpe_learn_merges(_docs(texts), n_merges=8, mode="driver")
+    b = bpe_learn_merges(_docs(texts), n_merges=8, mode="distributed",
+                         candidate_k=1)
+    c = bpe_learn_merges(_docs(texts), n_merges=8, mode="distributed",
+                         max_overlay=0)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  c.reset_index(drop=True))
