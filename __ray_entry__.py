@@ -3028,9 +3028,10 @@ def oracle_sql() -> dict[str, str]:
                        FROM scored GROUP BY doc_id)
             SELECT d.doc_id,
                    coalesce(w.n_tokens, 0) AS n_tokens,
-                   coalesce(w.logp, 0.0) AS logp,
-                   exp(-coalesce(w.logp, 0.0)
-                       / greatest(coalesce(w.n_tokens, 0), 1)) AS ppl
+                   round(coalesce(w.logp, 0.0), 4) AS logp,
+                   round(exp(-coalesce(w.logp, 0.0)
+                             / greatest(coalesce(w.n_tokens, 0), 1)),
+                         4) AS ppl
             FROM documents d LEFT JOIN w USING (doc_id)
         """,
         # dsir_weights_docs: same tokenization as word_freq; bucket =
@@ -3065,7 +3066,7 @@ def oracle_sql() -> dict[str, str]:
                        GROUP BY b.doc_id)
             SELECT d.doc_id,
                    coalesce(w.n_feats, 0) AS n_feats,
-                   coalesce(w.logw, 0.0) AS logw
+                   round(coalesce(w.logw, 0.0), 4) AS logw
             FROM documents d LEFT JOIN w USING (doc_id)
         """,
         # spelling corrector: best dictionary word per token — (distance

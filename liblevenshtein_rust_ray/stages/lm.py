@@ -149,13 +149,17 @@ def lm_score(ds, train, text_col: str = "text", id_col: str = "doc_id",
     clean-reference side).  Low ``ppl`` ⇒ the document reads like the
     reference corpus; filter with :func:`lm_filter` or any threshold.
 
-    Known residual oracle risk (accepted): per-doc ``logp`` is a float
-    sum whose accumulation order (np.bincount, doc order) differs from a
-    SQL engine's aggregate order, so the two can diverge in the last
-    ulp; a 6-decimal value hash only flips if a logp value sits exactly
-    on a rounding boundary — far less likely than for money sums since
-    log values are irrational-dense.  Forcing identical order would
-    serialize the reduction; not worth it."""
+    Float-reporting contract: ``logp`` / ``ppl`` are QUANTIZED to 4
+    decimals (np.round here, ROUND(...,4) in the oracle SQL) — per-doc
+    logp is a float sum whose accumulation order (np.bincount, doc
+    order) differs from a SQL engine's aggregate order, so raw values
+    can diverge in the last ulp, and a 6-decimal value hash would flip
+    whenever a raw value sat within an ulp of a 6dp boundary.
+    Quantizing both sides two decimals coarser than the hash shrinks
+    the boundary-straddle window by ~100x; scoring itself is
+    unaffected (deltas are >> 1e-4).  Engine output is block-order
+    independent by construction (each doc's sum runs in its own token
+    order) — pinned by a permutation test."""
     import numpy as np
     import ray
 
@@ -185,8 +189,8 @@ def lm_score(ds, train, text_col: str = "text", id_col: str = "doc_id",
             if isinstance(t.column(id_col), pa.ChunkedArray)
             else t.column(id_col),
             "n_tokens": pa.array(n_tok, type=pa.int64()),
-            "logp": pa.array(logp, type=pa.float64()),
-            "ppl": pa.array(ppl, type=pa.float64()),
+            "logp": pa.array(np.round(logp, 4), type=pa.float64()),
+            "ppl": pa.array(np.round(ppl, 4), type=pa.float64()),
         }, schema=pa.schema([(id_col, id_type), ("n_tokens", pa.int64()),
                              ("logp", pa.float64()), ("ppl", pa.float64())]))
 

@@ -281,7 +281,9 @@ def dsir_weights(ds, target, text_col: str = "text", id_col: str = "doc_id",
             if isinstance(t.column(id_col), pa.ChunkedArray)
             else t.column(id_col),
             "n_feats": pa.array(n_feats, type=pa.int64()),
-            "logw": pa.array(logw, type=pa.float64()),
+            # 4dp quantization, mirrored by ROUND(...,4) in the oracle —
+            # see stages/lm.py::lm_score for the boundary-risk rationale
+            "logw": pa.array(np.round(logw, 4), type=pa.float64()),
         }, schema=pa.schema([(id_col, id_type), ("n_feats", pa.int64()),
                              ("logw", pa.float64())]))
 

@@ -63,10 +63,15 @@ def test_lm_score_matches_reference(ray_session):
     out = (lm_score(rd.from_arrow(docs), TRAIN, b1=B1, b2=B2, alpha=ALPHA)
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     ref = _ref_scores(CORPUS, TRAIN)
+    import numpy as np
+
     for i, (n, lp, ppl) in enumerate(ref):
         assert out.loc[i, "n_tokens"] == n
-        assert out.loc[i, "logp"] == pytest.approx(lp, abs=1e-9)
-        assert out.loc[i, "ppl"] == pytest.approx(ppl, abs=1e-9)
+        # engine output is 4dp-quantized (lm_score contract)
+        assert out.loc[i, "logp"] == pytest.approx(np.round(lp, 4),
+                                                   abs=1e-9)
+        assert out.loc[i, "ppl"] == pytest.approx(np.round(ppl, 4),
+                                                  abs=1e-9)
     # train-lookalike text scores lower perplexity than off-domain text
     assert out.loc[0, "ppl"] < out.loc[1, "ppl"]
 
@@ -150,7 +155,62 @@ def test_lm_score_property(ray_session, texts):
     })
     out = (lm_score(rd.from_arrow(docs), train, b1=B1, b2=B2)
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    import numpy as np
+
     for i, (n, lp, ppl) in enumerate(_ref_scores(texts, train)):
         assert out.loc[i, "n_tokens"] == n
-        assert out.loc[i, "logp"] == pytest.approx(lp, abs=1e-9)
-        assert out.loc[i, "ppl"] == pytest.approx(ppl, abs=1e-9)
+        assert out.loc[i, "logp"] == pytest.approx(np.round(lp, 4),
+                                                   abs=1e-9)
+        assert out.loc[i, "ppl"] == pytest.approx(np.round(ppl, 4),
+                                                  abs=1e-9)
+
+
+def test_lm_score_block_order_independent(ray_session):
+    """Per-doc logp/ppl must not depend on how docs are batched or
+    ordered — each doc's sum runs in its own token order (the
+    quantization contract in lm_score's docstring)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.lm import lm_score
+
+    texts = [f"alpha beta gamma doc{i} alpha beta common words here"
+             for i in range(40)]
+    tbl = pa.table({"doc_id": pa.array(range(40), type=pa.int64()),
+                    "text": pa.array(texts)})
+    train = ["alpha beta gamma common", "beta common words"]
+
+    a = (lm_score(rd.from_arrow(tbl), train, "text", "doc_id",
+                  b1=512, b2=4096).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    # reversed row order, different block split
+    rev = tbl.take(pa.array(list(range(39, -1, -1))))
+    ds_rev = rd.from_arrow_refs(
+        [__import__("ray").put(rev.slice(0, 7)),
+         __import__("ray").put(rev.slice(7, 13)),
+         __import__("ray").put(rev.slice(20, 20))])
+    b = (lm_score(ds_rev, train, "text", "doc_id",
+                  b1=512, b2=4096).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # outputs are 4dp-quantized
+    assert (a["logp"] == a["logp"].round(4)).all()
+    assert (a["ppl"] == a["ppl"].round(4)).all()
+
+
+def test_dsir_logw_quantized(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.selection import (
+        PredicateTarget, dsir_weights)
+
+    tbl = pa.table({"doc_id": pa.array(range(30), type=pa.int64()),
+                    "text": pa.array([f"tok{i % 7} shared words tok{i % 3}"
+                                      for i in range(30)])})
+    target = PredicateTarget(
+        lambda t: t.column("doc_id").to_numpy(zero_copy_only=False) % 5 == 0)
+    out = dsir_weights(rd.from_arrow(tbl), target, "text", "doc_id",
+                       n_buckets=256).to_pandas()
+    assert (out["logw"] == out["logw"].round(4)).all()

@@ -54,7 +54,7 @@ def test_dsir_weights_matches_reference(ray_session):
     ref = _ref_weights(CORPUS, TARGET)
     assert list(out["n_feats"]) == [n for n, _ in ref]
     for got, (_, want) in zip(out["logw"], ref):
-        assert got == pytest.approx(want, abs=1e-9)
+        assert got == pytest.approx(round(want, 4), abs=1e-9)
     # empty doc: zero features, zero weight
     assert out.loc[2, "n_feats"] == 0 and out.loc[2, "logw"] == 0.0
     # target-lookalike docs outrank target-unlike ones
@@ -244,7 +244,8 @@ def test_dsir_bigram_features(ray_session):
         ff = feats(x)
         assert out.loc[i, "n_feats"] == len(ff)
         want = float(sum(lr[md5_hash64(f) % B] for f in ff))
-        assert out.loc[i, "logw"] == pytest.approx(want, abs=1e-9)
+        assert out.loc[i, "logw"] == pytest.approx(round(want, 4),
+                                                   abs=1e-9)
 
 
 def test_dsir_fused_self_sample_target(ray_session):
@@ -346,7 +347,7 @@ def test_dsir_weights_property(ray_session, texts):
     ref = _ref_weights(texts, target)
     assert list(out["n_feats"]) == [n for n, _ in ref]
     for got, (_, want) in zip(out["logw"], ref):
-        assert got == pytest.approx(want, abs=1e-9)
+        assert got == pytest.approx(round(want, 4), abs=1e-9)
 
 
 @settings(max_examples=8, deadline=None)
