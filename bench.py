@@ -142,7 +142,8 @@ def main() -> None:
                  "ann_lsh_topk", "minhash_neardup_docs", "token_stats",
                  "curate_docs", "semdedup_embeddings", "tfidf_docs",
                  "dsir_weights_docs", "lm_ppl_docs", "pack_docs",
-                 "bpe_merges_docs", "neardup_canonical_docs"]:
+                 "bpe_merges_docs", "neardup_canonical_docs",
+                 "er_clusters_scaled"]:
         reps = []
         for _ in range(2):
             t0 = time.perf_counter()

@@ -212,7 +212,8 @@ def _contract(pairs, driver_threshold: int, n_buckets: int,
 
 # ----------------------------------------------------------------------
 def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
-                    stats: dict | None = None):
+                    stats: dict | None = None,
+                    broadcast_idmap_bytes: int = 1 << 30):
     """Min-label propagation over INT64 node ids.
 
     The label rounds move the full edge table twice per round; with url
@@ -235,11 +236,21 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
     256-chain: 9 rounds ordered vs 40 random).  A final per-component
     min-url pass pins exact driver-path parity independent of the id
     scheme."""
+    import time as _time
+
     import numpy as np
     import pyarrow.compute as pc
     import ray.data as rd
 
     from .grouped import bucketed_apply_arrow
+
+    def _mark(key, t0):
+        if stats is not None:
+            stats.setdefault("phase_secs", {})[key] = round(
+                _time.perf_counter() - t0, 2)
+        return _time.perf_counter()
+
+    _t = _time.perf_counter()
 
     # Pin the edge plan once (sample + the two id-join exchanges each
     # consume it) and short-circuit an empty edge set — the sample
@@ -310,16 +321,77 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
         return pa.table({"url": pa.array(urls, type=pa.string()),
                          "id": pa.array(ids, type=pa.int64())})
 
+    _t = _mark("pin_and_sample", _t)
     ids = (
         nodes.map_batches(add_range_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(assign_ranked_ids, batch_format="pyarrow")
         .materialize()
     )
+    _t = _mark("assign_ids", _t)
 
-    # ---- 0c. edges -> (id_a, id_b): two co-partitioned merge exchanges,
-    # Arrow end-to-end — each bucket does a sort+searchsorted numpy join
-    # over zero-copy views instead of a pandas merge over pickled frames.
+    # ---- 0c fast path: BROADCAST the url→id map while it fits --------
+    # The map is NODE-sized (distinct matched urls), usually far smaller
+    # than the edge set; under the byte guard it rides ray.put once and
+    # every task does a vectorized pd.Index hash lookup (built once per
+    # worker process) — the edge table never enters a string exchange at
+    # all.  Past the guard the thin-row exchange plan below takes over
+    # (same hybrid shape as neardup_canonicalize / the 1 GiB metadata
+    # transport cutover).  sf2.0 measured: 14.7 s exchange → ~2 s.
+    if ids.size_bytes() <= broadcast_idmap_bytes:
+        import ray
+
+        tabs = [t for t in ray.get(list(ids.to_arrow_refs()))
+                if t.num_rows]
+        idt = pa.concat_tables(tabs).combine_chunks()
+        # Arrow buffers ride ray.put zero-copy (no object-array pickle:
+        # a first cut shipped 4M Python strings and the DEserialization
+        # alone cost more than the exchange it replaced)
+        uref = ray.put(idt.column("url").combine_chunks())
+        iref = ray.put(np.ascontiguousarray(
+            idt.column("id").combine_chunks().to_numpy()))
+
+        def to_int_edges_bcast(t: pa.Table) -> pa.Table:
+            u = ray.get(uref)   # zero-copy view of the local store
+            iv = ray.get(iref)
+            a = pc.index_in(
+                t.column("url_a").combine_chunks().cast(pa.string()),
+                value_set=u).fill_null(-1).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            b = pc.index_in(
+                t.column("url_b").combine_chunks().cast(pa.string()),
+                value_set=u).fill_null(-1).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            ok = (a >= 0) & (b >= 0)  # every endpoint is a node by
+            ia, ib = iv[a[ok]], iv[b[ok]]  # construction; belt+braces
+            return pa.table({
+                "node": pa.array(np.concatenate([ia, ib]),
+                                 type=pa.int64()),
+                "neighbor": pa.array(np.concatenate([ib, ia]),
+                                     type=pa.int64()),
+            })
+
+        # int-only rows come out, so the hygiene repartition is cheap;
+        # per-task index_in value-set hashing measured cheaper than any
+        # repartition-to-fewer-blocks or per-actor-index scheme at sf2.0
+        edges = (pairs.map_batches(to_int_edges_bcast,
+                                   batch_format="pyarrow")
+                 .repartition(n_buckets).materialize())
+        _t = _mark("int_edges", _t)
+        return _cc_label_rounds(edges, ids, max_rounds, n_buckets,
+                                stats, _mark, _t)
+
+    # ---- 0c. edges -> (id_a, id_b): ONE url-keyed exchange + one thin
+    # all-int exchange (was two url-keyed exchanges; at sf2.0 this phase
+    # was 17.3 s of a 37.9 s total — the strings were crossing the wire
+    # twice).  Each edge explodes into two endpoint rows tagged with a
+    # 128-bit CONTENT key of the pair (two independent keyed 64-bit
+    # hashes of "url_a\\0url_b" — vectorized, deterministic across
+    # processes); the url exchange attaches each endpoint's int id, and
+    # the endpoints re-meet on an exchange keyed by the edge key's first
+    # word — 25 bytes/row, no strings.  A spurious edge needs two
+    # DISTINCT pairs agreeing on all 128 bits (p ~ |E|^2 / 2^129 — at
+    # 10^12 edges ~1e-15, documented like exact_dedup's collision note).
     def _scol(t: pa.Table, name: str) -> np.ndarray:
         return t.column(name).combine_chunks().to_numpy(zero_copy_only=False)
 
@@ -334,65 +406,107 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
             ok &= False
         return ok, vals_sorted[pos]
 
-    def half_a(t: pa.Table) -> pa.Table:
+    def edge_endpoint_rows(t: pa.Table) -> pa.Table:
+        a = t.column("url_a").combine_chunks().cast(pa.string())
+        b = t.column("url_b").combine_chunks().cast(pa.string())
+        joined = pc.binary_join_element_wise(a, b, "\x00")
+        jo = joined.to_numpy(zero_copy_only=False)
+        e1 = pd.util.hash_array(jo, hash_key="llrr-edge-key-01"
+                                ).view(np.int64)
+        e2 = pd.util.hash_array(jo, hash_key="llrr-edge-key-02"
+                                ).view(np.int64)
+        n = t.num_rows
         return pa.table({
-            "key": t.column("url_a").combine_chunks().cast(pa.string()),
-            "other": t.column("url_b").combine_chunks().cast(pa.string()),
-            "id": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            "key": pa.chunked_array([a, b]).combine_chunks(),
+            "e1": pa.array(np.concatenate([e1, e1]), type=pa.int64()),
+            "e2": pa.array(np.concatenate([e2, e2]), type=pa.int64()),
+            "side": pa.array(np.concatenate(
+                [np.zeros(n, np.int8), np.ones(n, np.int8)])),
+            "id": pa.array(np.full(2 * n, -1, dtype=np.int64)),
         })
 
     def tag_ids(t: pa.Table) -> pa.Table:
+        n = t.num_rows
         return pa.table({
             "key": t.column("url").combine_chunks(),
-            "other": pa.nulls(t.num_rows, type=pa.string()).fill_null(""),
+            "e1": pa.array(np.zeros(n, np.int64)),
+            "e2": pa.array(np.zeros(n, np.int64)),
+            "side": pa.array(np.full(n, -1, dtype=np.int8)),
             "id": t.column("id").combine_chunks(),
         })
 
-    def join_key_id(t: pa.Table) -> pa.Table:
+    def join_endpoint_ids(t: pa.Table) -> pa.Table:
         idv = _scol(t, "id")
         keys = _scol(t, "key")
-        is_lab = idv >= 0
-        lk, lid = keys[is_lab], idv[is_lab]
+        is_id = idv >= 0
+        lk, lid = keys[is_id], idv[is_id]
         order = np.argsort(lk, kind="stable")
-        ok, hit = _lookup(lk[order], lid[order], keys[~is_lab])
-        other = _scol(t, "other")[~is_lab]
+        ok, hit = _lookup(lk[order], lid[order], keys[~is_id])
         return pa.table({
-            "key": pa.array(other[ok], type=pa.string()),
-            "ida": pa.array(hit[ok], type=pa.int64()),
+            "e1": pa.array(_scol(t, "e1")[~is_id][ok], type=pa.int64()),
+            "e2": pa.array(_scol(t, "e2")[~is_id][ok], type=pa.int64()),
+            "side": t.column("side").combine_chunks().filter(
+                pa.array(~is_id)).filter(pa.array(ok)),
+            "id": pa.array(hit[ok], type=pa.int64()),
         })
 
-    _HALF_EMPTY = pa.table({"key": pa.array([], type=pa.string()),
-                            "ida": pa.array([], type=pa.int64())})
+    _EP_EMPTY = pa.table({"e1": pa.array([], type=pa.int64()),
+                          "e2": pa.array([], type=pa.int64()),
+                          "side": pa.array([], type=pa.int8()),
+                          "id": pa.array([], type=pa.int64())})
 
-    half = bucketed_apply_arrow(
-        pairs.map_batches(half_a, batch_format="pyarrow").union(
+    endpoint_ids = bucketed_apply_arrow(
+        pairs.map_batches(edge_endpoint_rows, batch_format="pyarrow").union(
             ids.map_batches(tag_ids, batch_format="pyarrow")
         ),
         "key",
-        join_key_id,
+        join_endpoint_ids,
         n_buckets,
-        empty_result=_HALF_EMPTY,
+        empty_result=_EP_EMPTY,
     )
 
-    def tag_half(t: pa.Table) -> pa.Table:
-        return t.select(["key", "ida"])
-
-    def tag_ids2(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "key": t.column("url").combine_chunks(),
-            "ida": pa.array(-1 - _scol(t, "id"), type=pa.int64()),
-        })
-
-    def join_to_int_edges(t: pa.Table) -> pa.Table:
-        # rows with ida < 0 carry this key's id as -(id)-1
-        ida = _scol(t, "ida")
-        keys = _scol(t, "key")
-        own = ida < 0
-        okeys, oids = keys[own], -ida[own] - 1
-        order = np.argsort(okeys, kind="stable")
-        ok, idb = _lookup(okeys[order], oids[order], keys[~own])
-        a = ida[~own][ok]
-        b = idb[ok]
+    def pair_up(t: pa.Table) -> pa.Table:
+        e1 = _scol(t, "e1")
+        e2 = _scol(t, "e2")
+        side = _scol(t, "side")
+        idv = _scol(t, "id")
+        order = np.lexsort((idv, side, e2, e1))
+        e1, e2, side, idv = e1[order], e2[order], side[order], idv[order]
+        # rows of one edge key are now adjacent, side-0 block first;
+        # within a (e1,e2) group the i-th side-0 id pairs with the i-th
+        # side-1 id (identical duplicate edges pair with themselves)
+        new = np.empty(len(e1), dtype=bool)
+        new[:1] = True
+        new[1:] = (e1[1:] != e1[:-1]) | (e2[1:] != e2[:-1])
+        grp = np.cumsum(new) - 1
+        n_grp = grp[-1] + 1 if len(grp) else 0
+        is0 = side == 0
+        g0 = grp[is0]
+        g1 = grp[~is0]
+        a_ids = idv[is0]
+        b_ids = idv[~is0]
+        # match by (group, per-side order): both sides sorted identically
+        # so position i of side-0 within group g pairs with position i of
+        # side-1 within group g; groups are contiguous so per-side ranks
+        # within group are recoverable from per-side cumcounts
+        first0 = np.concatenate(([0], np.cumsum(np.bincount(
+            g0, minlength=n_grp))))[:-1] if n_grp else np.zeros(0, np.int64)
+        first1 = np.concatenate(([0], np.cumsum(np.bincount(
+            g1, minlength=n_grp))))[:-1] if n_grp else np.zeros(0, np.int64)
+        k0 = np.arange(len(g0), dtype=np.int64) - first0[g0]
+        k1 = np.arange(len(g1), dtype=np.int64) - first1[g1]
+        # join on (group, k): both are sorted by (group, k) already
+        key0 = g0 * (1 << 32) + k0
+        key1 = g1 * (1 << 32) + k1
+        pos = np.searchsorted(key1, key0)
+        ok = pos < len(key1)
+        pos = np.minimum(pos, max(len(key1) - 1, 0))
+        if len(key1):
+            ok &= key1[pos] == key0
+        else:
+            ok &= False
+        a = a_ids[ok]
+        b = b_ids[pos[ok]]
         return pa.table({
             "node": pa.array(np.concatenate([a, b]), type=pa.int64()),
             "neighbor": pa.array(np.concatenate([b, a]), type=pa.int64()),
@@ -403,14 +517,24 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
 
     # Edge list both directions, int64; small vs corpus → safe to pin.
     edges = bucketed_apply_arrow(
-        half.map_batches(tag_half, batch_format="pyarrow").union(
-            ids.map_batches(tag_ids2, batch_format="pyarrow")
-        ),
-        "key",
-        join_to_int_edges,
+        endpoint_ids,
+        "e1",
+        pair_up,
         n_buckets,
         empty_result=_EDGES_EMPTY,
     ).repartition(n_buckets).materialize()
+    _t = _mark("int_edges", _t)
+    return _cc_label_rounds(edges, ids, max_rounds, n_buckets,
+                            stats, _mark, _t)
+
+
+def _cc_label_rounds(edges, ids, max_rounds, n_buckets, stats, _mark, _t):
+    """Phases 1-2 of :func:`_distributed_cc` (label rounds + relabel),
+    shared by the broadcast-idmap fast path and the exchange plan."""
+    import time as _time
+
+    import numpy as np
+    import pyarrow.compute as pc  # noqa: F401 (parity with caller env)
 
     # ---- 1. label rounds (all int64, ALL-ARROW — round-2 VERDICT task 4:
     # the loop's blocks stay pa.Table end to end; per-bucket work is numpy
@@ -452,8 +576,24 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
         head = np.empty(len(n_s), dtype=bool)
         head[:1] = True
         head[1:] = n_s[1:] != n_s[:-1]
-        return pa.table({"node": pa.array(n_s[head], type=pa.int64()),
-                         "label": pa.array(l_s[head], type=pa.int64())})
+        nn, ll = n_s[head], l_s[head]
+        # in-bucket pointer compression: label(x) <= x is invariant
+        # (init takes min(node, nbr); every round's min includes the
+        # node's own previous label row), so chasing label->label(label)
+        # through pointers that happen to live in THIS bucket only
+        # lowers labels toward values already reachable — fewer global
+        # rounds for free (nn is sorted: one searchsorted per hop)
+        while len(nn):
+            pos = np.searchsorted(nn, ll)
+            ok = pos < len(nn)
+            pos = np.minimum(pos, max(len(nn) - 1, 0))
+            ok &= nn[pos] == ll
+            nxt = np.where(ok, ll[pos], ll)
+            if np.array_equal(nxt, ll):
+                break
+            ll = nxt
+        return pa.table({"node": pa.array(nn, type=pa.int64()),
+                         "label": pa.array(ll, type=pa.int64())})
 
     def init_labels(t: pa.Table) -> pa.Table:
         node, nbr = _col(t, "node"), _col(t, "neighbor")
@@ -476,6 +616,7 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
         .repartition(n_buckets)
         .materialize()
     )
+    _t = _mark("init_labels", _t)
 
     def signature(lab) -> int:
         """Order- AND partition-independent fingerprint of the label
@@ -530,6 +671,7 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
     ).materialize()
 
     sig = signature(labels)
+    _t = _mark("init_sig", _t)
     for _round in range(max_rounds):
         # message pass: per bucket, numpy searchsorted joins labels onto
         # edges over zero-copy int64 views.  -1 marks the absent column
@@ -603,7 +745,15 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
             # grows by +|edge blocks| per round (tested)
             stats.setdefault("label_blocks", []).append(labels.num_blocks())
 
+        if stats is not None:
+            stats.setdefault("round_secs", []).append(round(
+                _time.perf_counter() - _t, 2))
+            _t = _time.perf_counter()
         new_sig = signature(labels)
+        if stats is not None:
+            stats.setdefault("sig_secs", []).append(round(
+                _time.perf_counter() - _t, 2))
+            _t = _time.perf_counter()
         if new_sig == sig:
             if stats is not None:
                 stats["rounds"] = _round + 1

@@ -670,3 +670,33 @@ def test_popcount_u64_matches_python():
     xs[1] = np.uint64(2**64 - 1)
     got = _popcount_u64(xs)
     assert got.tolist() == [bin(int(x)).count("1") for x in xs]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_cc_exchange_plan_parity():
+    """Force the thin-row exchange plan (broadcast_idmap_bytes=0): the
+    128-bit edge-key pair-up must reproduce the driver path exactly,
+    including duplicate edges and multi-block inputs."""
+    import random
+
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.cluster import (
+        _distributed_cc, connected_components)
+
+    rng = random.Random(11)
+    edges = []
+    for i in range(0, 160, 5):
+        base = f"m{i:03d}"
+        for j in range(1, 5):
+            if rng.random() < 0.75:
+                edges.append({"url_a": base, "url_b": f"m{i + j:03d}",
+                              "distance": 1})
+    edges.append(edges[0])  # duplicate edge
+    pairs = rd.from_pandas(pd.DataFrame(edges)).repartition(6)
+    a = (connected_components(pairs, mode="driver").to_pandas()
+         .sort_values("url").reset_index(drop=True))
+    b = (_distributed_cc(pairs, max_rounds=30, n_buckets=4,
+                         broadcast_idmap_bytes=0).to_pandas()
+         .sort_values("url").reset_index(drop=True))
+    assert a.equals(b)
