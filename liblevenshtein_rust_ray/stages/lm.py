@@ -39,38 +39,34 @@ __all__ = ["lm_score", "lm_filter"]
 
 
 def _doc_tokens(t: pa.Table, text_col: str):
-    """(parent_row_idx int64[], tokens object[]) — the shared
-    tokenization (lower + [a-z0-9]+), one entry per token occurrence in
-    document order."""
+    """(parent_row_idx int64[], tokens: pa.Array) — the shared
+    tokenization (lower + [a-z0-9]+) via the columnar kernel
+    (``functions.tokenize.tokenize_column``), one entry per token
+    occurrence in document order."""
     import numpy as np
-    import pyarrow.compute as pc
 
-    text = pc.coalesce(t.column(text_col), pa.scalar("", type=pa.string()))
-    if isinstance(text, pa.ChunkedArray):
-        text = text.combine_chunks()
-    lower = pc.utf8_lower(text)
-    tok_lists = pc.split_pattern_regex(lower, pattern=r"[^a-z0-9]+")
-    flat = tok_lists.flatten()
-    counts = np.diff(tok_lists.offsets.to_numpy().astype(np.int64))
-    parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
-    mask = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
-    return parent[mask], flat.to_numpy(zero_copy_only=False)[mask]
+    from ..functions.tokenize import tokenize_column
+
+    tokens, offs = tokenize_column(t.column(text_col))
+    parent = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                       np.diff(offs))
+    return parent, tokens
 
 
 _M20 = 1 << 20  # bigram-combine truncation: products stay < 2^40
 
 
-def _hash64(values):
+def _hash64(values: "pa.Array"):
     """Full md5_hash64 per value, uint64 — md5 runs once per DISTINCT
-    value in the batch (factorize first)."""
+    value in the batch (C dictionary-encode first)."""
     import numpy as np
-    import pandas as pd
 
     from ..functions.simhash import md5_hash64
 
-    codes, uniq = pd.factorize(pd.Series(values, dtype=object))
-    lut = np.fromiter((md5_hash64(u) for u in uniq),
-                      dtype=np.uint64, count=len(uniq))
+    de = values.dictionary_encode()
+    codes = de.indices.to_numpy(zero_copy_only=False)
+    lut = np.fromiter((md5_hash64(u) for u in de.dictionary.to_pylist()),
+                      dtype=np.uint64, count=len(de.dictionary))
     return lut[codes] if len(codes) else np.zeros(0, dtype=np.uint64)
 
 

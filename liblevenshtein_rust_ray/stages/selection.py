@@ -82,33 +82,40 @@ def _doc_token_buckets(t: pa.Table, text_col: str, n_buckets: int,
     ``ngram=2``: unigrams PLUS space-joined word bigrams — the DSIR
     paper's feature set; bigrams never cross a document boundary."""
     import numpy as np
-    import pandas as pd
     import pyarrow.compute as pc
 
     from ..functions.simhash import md5_hash64
+    from ..functions.tokenize import tokenize_column
 
-    text = pc.coalesce(t.column(text_col), pa.scalar("", type=pa.string()))
-    if isinstance(text, pa.ChunkedArray):
-        text = text.combine_chunks()
-    lower = pc.utf8_lower(text)
-    tok_lists = pc.split_pattern_regex(lower, pattern=r"[^a-z0-9]+")
-    flat = tok_lists.flatten()
-    counts = np.diff(tok_lists.offsets.to_numpy().astype(np.int64))
-    parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
-    mask = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
-    toks = flat.to_numpy(zero_copy_only=False)[mask]
-    parent = parent[mask]
-    if ngram >= 2 and len(toks) > 1:
-        same_doc = parent[1:] == parent[:-1]
-        u = toks.astype(str)  # np.char needs a unicode array
-        big = np.char.add(np.char.add(u[:-1], " "), u[1:])[same_doc]
-        toks = np.concatenate([toks, big.astype(object)])
-        parent = np.concatenate([parent, parent[:-1][same_doc]])
-    codes, uniq = pd.factorize(pd.Series(toks))
+    tokens, offs = tokenize_column(t.column(text_col))
+    parent = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                       np.diff(offs))
+    de = tokens.dictionary_encode()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False)
+    vocab = de.dictionary
     lut = np.fromiter(
-        (md5_hash64(u) % n_buckets for u in uniq),
-        dtype=np.int64, count=len(uniq))
+        (md5_hash64(u) % n_buckets for u in vocab.to_pylist()),
+        dtype=np.int64, count=len(vocab))
     buckets = lut[codes] if len(codes) else np.zeros(0, dtype=np.int64)
+    if ngram >= 2 and len(codes) > 1:
+        # space-joined word bigrams, never crossing a doc boundary;
+        # md5 runs once per DISTINCT bigram (code-pair unique)
+        same_doc = parent[1:] == parent[:-1]
+        c0 = codes[:-1][same_doc]
+        c1 = codes[1:][same_doc]
+        if len(c0):
+            key = c0 * np.int64(len(vocab)) + c1
+            uk, binv = np.unique(key, return_inverse=True)
+            bs = pc.binary_join_element_wise(
+                vocab.take(pa.array(uk // len(vocab))),
+                vocab.take(pa.array(uk % len(vocab))),
+                pa.scalar(" ", type=vocab.type))
+            lut2 = np.fromiter(
+                (md5_hash64(s) % n_buckets for s in bs.to_pylist()),
+                dtype=np.int64, count=len(uk))
+            parent = np.concatenate([parent, parent[:-1][same_doc]])
+            buckets = np.concatenate([buckets, lut2[binv]])
     return parent, buckets
 
 
