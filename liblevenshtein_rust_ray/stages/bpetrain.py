@@ -177,27 +177,37 @@ class _WorkingSet:
         pair = (l, r)
         merged = l + r
         affected = self.index.pop(pair, set())
+        agg: dict = {}          # pair -> total signed delta (freq-weighted)
+        agg_get = agg.get
         for key in affected:
             sy = self.words[key]
             f = self.freq[key]
-            old = Counter(zip(sy, sy[1:]))
-            if old.get(pair, 0) == 0:
+            old = list(zip(sy, sy[1:]))
+            if pair not in old:
                 continue  # stale index entry
             new_sy = _apply_merge(sy, l, r, merged)
-            new = Counter(zip(new_sy, new_sy[1:]))
+            new = list(zip(new_sy, new_sy[1:]))
             self.words[key] = new_sy
             self.dirty.add(key)
-            for p in old.keys() | new.keys():
-                d = new.get(p, 0) - old.get(p, 0)
-                if d:
-                    self.state.add(p, d * f)
+            # plain-dict delta accumulation (a Counter-per-word version
+            # profiled 3x slower: 6M Counter builds for 1024 rounds);
+            # heap pushes happen ONCE per pair per round, below
+            for p in old:
+                agg[p] = agg_get(p, 0) - f
+            for p in new:
+                agg[p] = agg_get(p, 0) + f
+            old_set = set(old)
+            new_set = set(new)
+            for p in new_set - old_set:
+                self.index.setdefault(p, set()).add(key)
+            for p in old_set - new_set:
                 if p != pair:
-                    if new.get(p, 0):
-                        self.index.setdefault(p, set()).add(key)
-                    elif old.get(p, 0):
-                        s = self.index.get(p)
-                        if s is not None:
-                            s.discard(key)
+                    s = self.index.get(p)
+                    if s is not None:
+                        s.discard(key)
+        for p, d in agg.items():
+            if d:
+                self.state.add(p, d)
 
     def drop_clean(self):
         """Forget words not rewritten (they match the backing store);
