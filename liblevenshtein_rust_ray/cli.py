@@ -317,7 +317,8 @@ def cmd_run_bpe(args) -> int:
     configure_data_context()
     corpus = rd.read_parquet(args.input, columns=[args.text_col])
     merges = bpe_learn_merges(corpus, text_col=args.text_col,
-                              n_merges=args.n_merges, mode=args.mode)
+                              n_merges=args.n_merges, mode=args.mode,
+                              candidate_k=args.candidate_k)
     pq.write_table(pa.Table.from_pandas(merges, preserve_index=False),
                    args.output, compression="zstd")
     print(json.dumps({"merges": len(merges), "output": args.output}))
@@ -466,6 +467,9 @@ def main(argv=None) -> int:
     bp.add_argument("--n-merges", type=int, default=1024)
     bp.add_argument("--mode", default="auto",
                     choices=["auto", "driver", "distributed"])
+    bp.add_argument("--candidate-k", type=int, default=64,
+                    help="distributed mode: top-K candidate pairs pulled "
+                         "per cluster launch (rounds batch per launch)")
     bp.add_argument("--address", default="local")
     bp.set_defaults(fn=cmd_run_bpe)
 
