@@ -467,7 +467,7 @@ def main(argv=None) -> int:
     bp.add_argument("--n-merges", type=int, default=1024)
     bp.add_argument("--mode", default="auto",
                     choices=["auto", "driver", "distributed"])
-    bp.add_argument("--candidate-k", type=int, default=64,
+    bp.add_argument("--candidate-k", type=int, default=256,
                     help="distributed mode: top-K candidate pairs pulled "
                          "per cluster launch (rounds batch per launch)")
     bp.add_argument("--address", default="local")

@@ -248,7 +248,7 @@ def _merges_incremental(words, freqs, n_merges: int):
 
 def bpe_learn_merges(ds, text_col: str = "text", n_merges: int = 8,
                      max_vocab_driver: int = 2_000_000,
-                     mode: str = "auto", candidate_k: int = 64,
+                     mode: str = "auto", candidate_k: int = 256,
                      max_overlay: int = 250_000):
     """Learn the first ``n_merges`` BPE merges; returns a pandas
     DataFrame (merge_rank, lhs, rhs, pair_count) — at most ``n_merges``
