@@ -119,3 +119,35 @@ def test_empty_column():
     assert len(toks) == 0 and offs.tolist() == [0]
     codes, so, uniq = shingle_codes_column(col, 3)
     assert len(codes) == 0 and len(uniq) == 0 and so.tolist() == [0]
+
+
+def test_sliced_and_chunked_inputs():
+    """Buffer-offset handling: sliced arrays and multi-chunk
+    ChunkedArrays must tokenize identically to their materialized
+    copies (the kernel reads raw buffers with ca.offset applied)."""
+    base = ["alpha Beta 42", "césar K", "", "tail end tokens here"] * 5
+    arr = pa.array(base, type=pa.string())
+    sl = arr.slice(3, 12)
+    toks_sl, offs_sl = tokenize_column(sl)
+    toks_ref, offs_ref = tokenize_column(pa.array(sl.to_pylist()))
+    assert toks_sl.to_pylist() == toks_ref.to_pylist()
+    assert offs_sl.tolist() == offs_ref.tolist()
+
+    ch = pa.chunked_array([arr.slice(0, 7), arr.slice(7, 6),
+                           pa.array([], type=pa.string()),
+                           arr.slice(13, 7)])
+    toks_ch, offs_ch = tokenize_column(ch)
+    toks_ref2, _ = tokenize_column(pa.array(ch.to_pylist()))
+    assert toks_ch.to_pylist() == toks_ref2.to_pylist()
+
+    sh_sl, so_sl = shingle_column(sl, 3)
+    sh_ref, so_ref = shingle_column(pa.array(sl.to_pylist()), 3)
+    assert sh_sl.to_pylist() == sh_ref.to_pylist()
+    assert so_sl.tolist() == so_ref.tolist()
+
+
+def test_null_rows_treated_as_empty():
+    col = pa.array(["a b c", None, "d", None], type=pa.string())
+    toks, offs = tokenize_column(col)
+    assert toks.to_pylist() == ["a", "b", "c", "d"]
+    assert offs.tolist() == [0, 3, 3, 4, 4]
