@@ -306,7 +306,6 @@ def _sym_str(sy) -> str:
 
 def _merges_distributed(wf, n_merges: int, candidate_k: int,
                         max_overlay: int):
-    import numpy as np
     import ray
 
     def to_syms(t: pa.Table) -> pa.Table:

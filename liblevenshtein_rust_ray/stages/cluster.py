@@ -32,7 +32,6 @@ url — deterministic across runs, partitionings and paths.
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.simhash import hash64
 
 
 # ----------------------------------------------------------------------

@@ -28,7 +28,7 @@ from ..functions.minhash import (  # noqa: F401
     minhash_signatures_batch,
 )
 from ..functions.simhash import simhash64, simhash_bands, hamming64, hash64  # noqa: F401
-from ..functions.tokenize import tokenize, shingles, char_ngrams
+from ..functions.tokenize import char_ngrams
 from .similarity import _list_col_matrix
 
 # byte-wise popcount lookup table for vectorized 64-bit Hamming distance
@@ -415,9 +415,7 @@ def _minhash_pairs_sig_join(ds, text_col, id_col, threshold, num_perm,
     Stars re-verify trivially (identical signatures estimate exactly 1.0),
     so every pair flows through one code path.
     """
-    import ray.data as rd
 
-    from ..functions.minhash import minhash_bands_md5, minhash_signature_md5
     from .grouped import bucketed_apply, bucketed_apply_arrow
 
     def sign_docs(t: pa.Table) -> pa.Table:
