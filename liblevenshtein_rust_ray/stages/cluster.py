@@ -353,14 +353,17 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
         def to_int_edges_bcast(t: pa.Table) -> pa.Table:
             u = ray.get(uref)   # zero-copy view of the local store
             iv = ray.get(iref)
-            a = pc.index_in(
+            n = t.num_rows
+            # ONE index_in over the concatenated endpoints: the call
+            # hashes the value set once per invocation, and that build
+            # — not the probes — is the task cost at 4M urls
+            both = pa.chunked_array([
                 t.column("url_a").combine_chunks().cast(pa.string()),
-                value_set=u).fill_null(-1).to_numpy(
-                    zero_copy_only=False).astype(np.int64)
-            b = pc.index_in(
                 t.column("url_b").combine_chunks().cast(pa.string()),
-                value_set=u).fill_null(-1).to_numpy(
-                    zero_copy_only=False).astype(np.int64)
+            ]).combine_chunks()
+            idx = pc.index_in(both, value_set=u).fill_null(-1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            a, b = idx[:n], idx[n:]
             ok = (a >= 0) & (b >= 0)  # every endpoint is a node by
             ia, ib = iv[a[ok]], iv[b[ok]]  # construction; belt+braces
             return pa.table({
