@@ -700,3 +700,31 @@ def test_distributed_cc_exchange_plan_parity():
                          broadcast_idmap_bytes=0).to_pandas()
          .sort_values("url").reset_index(drop=True))
     assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_cc_idmap_branch_parity():
+    """Pin the middle branch (edge table too big for the dense-rank
+    regime, id map still broadcastable): duplicate-heavy edges let a
+    byte guard sit between ids and pairs sizes."""
+    import ray.data as rd
+
+    from liblevenshtein_rust_ray.stages.cluster import (
+        _distributed_cc, connected_components)
+
+    edges = []
+    for i in range(0, 60, 3):
+        for _ in range(40):  # heavy duplication: |pairs bytes| >> |ids|
+            edges.append({"url_a": f"p{i:02d}", "url_b": f"p{i + 1:02d}",
+                          "distance": 1})
+            edges.append({"url_a": f"p{i + 1:02d}", "url_b": f"p{i + 2:02d}",
+                          "distance": 1})
+    pairs = rd.from_pandas(pd.DataFrame(edges)).repartition(5).materialize()
+    ids_bytes_ceiling = pairs.size_bytes() // 2 - 1  # pairs > 2*B
+    assert ids_bytes_ceiling > 2_000  # sanity: B still fits the tiny map
+    a = (connected_components(pairs, mode="driver").to_pandas()
+         .sort_values("url").reset_index(drop=True))
+    b = (_distributed_cc(pairs, max_rounds=30, n_buckets=4,
+                         broadcast_idmap_bytes=ids_bytes_ceiling)
+         .to_pandas().sort_values("url").reset_index(drop=True))
+    assert a.equals(b)
