@@ -212,7 +212,7 @@ def _contract(pairs, driver_threshold: int, n_buckets: int,
 # ----------------------------------------------------------------------
 def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
                     stats: dict | None = None,
-                    broadcast_idmap_bytes: int = 1 << 30):
+                    broadcast_idmap_bytes: int = 384 << 20):
     """Min-label propagation over INT64 node ids.
 
     The label rounds move the full edge table twice per round; with url
@@ -276,6 +276,15 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
     # under rank ids IS the min url — the final output is a stateless
     # ``take`` of the broadcast url array.  sf2.0 measured: drops ~2.5 s
     # of id-assignment and ~4.5 s of relabel exchanges.
+    #
+    # GUARD SIZING (measured, sf10): every encode task re-hashes the
+    # broadcast value set (pc.index_in builds per call) and holds its
+    # own ~100 B/url hash table, so cost is O(|V|) per task and memory
+    # is |V|-table × concurrent tasks.  At 4M urls (sf2.0) that is the
+    # fastest plan; at 19M urls it thrashed (221 s with builds capped
+    # at 64, 622 s uncapped) while the thin-row exchange plan below
+    # PARTITIONS the map (|V|/n_buckets per bucket).  The 384 MiB
+    # default keeps broadcast regimes in their sweet spot.
     if pairs.size_bytes() <= 2 * broadcast_idmap_bytes:
         import ray
 
@@ -315,8 +324,15 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
                                      type=pa.int64()),
             })
 
-        edges = (pairs.map_batches(to_int_edges_dense,
-                                   batch_format="pyarrow")
+        # every task re-hashes the broadcast value set (index_in builds
+        # per call, O(|V|)), so CAP THE TASK COUNT: at sf10 (19M urls,
+        # 164 input blocks) the uncapped map spent 622 s re-building a
+        # 19M-entry hash table per block; repartitioning the thin pairs
+        # first bounds it at n_buckets builds
+        src = (pairs.repartition(n_buckets)
+               if pairs.num_blocks() > n_buckets else pairs)
+        edges = (src.map_batches(to_int_edges_dense,
+                                 batch_format="pyarrow")
                  .repartition(n_buckets).materialize())
         _t = _mark("int_edges", _t)
         return _cc_label_rounds(edges, None, max_rounds, n_buckets,
@@ -428,11 +444,12 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
                                      type=pa.int64()),
             })
 
-        # int-only rows come out, so the hygiene repartition is cheap;
-        # per-task index_in value-set hashing measured cheaper than any
-        # repartition-to-fewer-blocks or per-actor-index scheme at sf2.0
-        edges = (pairs.map_batches(to_int_edges_bcast,
-                                   batch_format="pyarrow")
+        # cap the per-task value-set hash builds at n_buckets (see the
+        # dense branch note: uncapped, cost is O(|V|) per input block)
+        srcb = (pairs.repartition(n_buckets)
+                if pairs.num_blocks() > n_buckets else pairs)
+        edges = (srcb.map_batches(to_int_edges_bcast,
+                                  batch_format="pyarrow")
                  .repartition(n_buckets).materialize())
         _t = _mark("int_edges", _t)
         return _cc_label_rounds(edges, ids, max_rounds, n_buckets,
