@@ -469,16 +469,21 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
     def _scol(t: pa.Table, name: str) -> np.ndarray:
         return t.column(name).combine_chunks().to_numpy(zero_copy_only=False)
 
-    def _lookup(keys_sorted, vals_sorted, probe):
-        """Inner-join probe -> vals via binary search; returns (ok, vals)."""
-        pos = np.searchsorted(keys_sorted, probe)
-        ok = pos < len(keys_sorted)
-        pos = np.minimum(pos, max(len(keys_sorted) - 1, 0))
-        if len(keys_sorted):
-            ok &= keys_sorted[pos] == probe
-        else:
-            ok &= False
-        return ok, vals_sorted[pos]
+    # The endpoint↔id meet itself joins on a 128-bit url hash instead of
+    # the url string, so NO strings cross this exchange either: edge
+    # rows are (u1,u2,e1,e2,side) and id rows (u1,u2,id) — ~41 B/row
+    # fixed-width vs ~(url+25) B, and the bucket sort runs on int
+    # columns.  Same collision class as the edge key (a wrong id needs
+    # two DISTINCT urls agreeing on all 128 bits, p ~ |V|²/2^129); a
+    # first-word hash tie between different urls is handled by a
+    # forward scan (expected zero iterations).
+    def _url_hash2(arr: pa.Array):
+        ao = arr.to_numpy(zero_copy_only=False)
+        h1 = pd.util.hash_array(ao, hash_key="llrr-url-key-001"
+                                ).view(np.int64)
+        h2 = pd.util.hash_array(ao, hash_key="llrr-url-key-002"
+                                ).view(np.int64)
+        return h1, h2
 
     def edge_endpoint_rows(t: pa.Table) -> pa.Table:
         a = t.column("url_a").combine_chunks().cast(pa.string())
@@ -489,9 +494,12 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
                                 ).view(np.int64)
         e2 = pd.util.hash_array(jo, hash_key="llrr-edge-key-02"
                                 ).view(np.int64)
+        h1a, h2a = _url_hash2(a)
+        h1b, h2b = _url_hash2(b)
         n = t.num_rows
         return pa.table({
-            "key": pa.chunked_array([a, b]).combine_chunks(),
+            "u1": pa.array(np.concatenate([h1a, h1b]), type=pa.int64()),
+            "u2": pa.array(np.concatenate([h2a, h2b]), type=pa.int64()),
             "e1": pa.array(np.concatenate([e1, e1]), type=pa.int64()),
             "e2": pa.array(np.concatenate([e2, e2]), type=pa.int64()),
             "side": pa.array(np.concatenate(
@@ -501,8 +509,11 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
 
     def tag_ids(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        h1, h2 = _url_hash2(
+            t.column("url").combine_chunks().cast(pa.string()))
         return pa.table({
-            "key": t.column("url").combine_chunks(),
+            "u1": pa.array(h1, type=pa.int64()),
+            "u2": pa.array(h2, type=pa.int64()),
             "e1": pa.array(np.zeros(n, np.int64)),
             "e2": pa.array(np.zeros(n, np.int64)),
             "side": pa.array(np.full(n, -1, dtype=np.int8)),
@@ -511,17 +522,34 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
 
     def join_endpoint_ids(t: pa.Table) -> pa.Table:
         idv = _scol(t, "id")
-        keys = _scol(t, "key")
+        u1 = _scol(t, "u1")
+        u2 = _scol(t, "u2")
         is_id = idv >= 0
-        lk, lid = keys[is_id], idv[is_id]
-        order = np.argsort(lk, kind="stable")
-        ok, hit = _lookup(lk[order], lid[order], keys[~is_id])
+        lu1, lu2, lid = u1[is_id], u2[is_id], idv[is_id]
+        order = np.lexsort((lu2, lu1))
+        lu1, lu2, lid = lu1[order], lu2[order], lid[order]
+        pu1, pu2 = u1[~is_id], u2[~is_id]
+        pos = np.searchsorted(lu1, pu1)
+        inb = pos < len(lu1)
+        pos = np.minimum(pos, max(len(lu1) - 1, 0))
+        ok_u1 = inb & ((lu1[pos] == pu1) if len(lu1) else False)
+        match = ok_u1 & (lu2[pos] == pu2) if len(lu1) else ok_u1
+        # first-word tie with a different second word: scan forward
+        # within the (tiny) equal-u1 run — expected empty
+        for i in np.flatnonzero(ok_u1 & ~match):
+            p = pos[i] + 1
+            while p < len(lu1) and lu1[p] == pu1[i]:
+                if lu2[p] == pu2[i]:
+                    pos[i] = p
+                    match[i] = True
+                    break
+                p += 1
         return pa.table({
-            "e1": pa.array(_scol(t, "e1")[~is_id][ok], type=pa.int64()),
-            "e2": pa.array(_scol(t, "e2")[~is_id][ok], type=pa.int64()),
+            "e1": pa.array(_scol(t, "e1")[~is_id][match], type=pa.int64()),
+            "e2": pa.array(_scol(t, "e2")[~is_id][match], type=pa.int64()),
             "side": t.column("side").combine_chunks().filter(
-                pa.array(~is_id)).filter(pa.array(ok)),
-            "id": pa.array(hit[ok], type=pa.int64()),
+                pa.array(~is_id)).filter(pa.array(match)),
+            "id": pa.array(lid[pos[match]], type=pa.int64()),
         })
 
     _EP_EMPTY = pa.table({"e1": pa.array([], type=pa.int64()),
@@ -533,7 +561,7 @@ def _distributed_cc(pairs, max_rounds: int, n_buckets: int = 64,
         pairs.map_batches(edge_endpoint_rows, batch_format="pyarrow").union(
             ids.map_batches(tag_ids, batch_format="pyarrow")
         ),
-        "key",
+        "u1",
         join_endpoint_ids,
         n_buckets,
         empty_result=_EP_EMPTY,
